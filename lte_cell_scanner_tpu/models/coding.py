@@ -162,7 +162,9 @@ def ratematch_map(n_c: int, n_e: int) -> np.ndarray:
                               np.arange(n_c, dtype=np.int64)])
         y = row.reshape(n_r, n_cols)
         y_perm = y[:, _PERM]
-        w.append(y_perm.reshape(-1))
+        # column-major readout: the block interleaver is read out down the
+        # permuted columns (itpp cvectorize semantics, lte_lib.cpp:441-445)
+        w.append(y_perm.T.reshape(-1))
     w = np.concatenate(w)  # stream-major circular buffer, -1 = pad
     out = np.zeros((n_e, 2), dtype=np.int64)
     k = 0

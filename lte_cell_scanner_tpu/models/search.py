@@ -1,0 +1,113 @@
+"""Top-level cell search: the full per-carrier pipeline and deduplication.
+
+Behavioral contract: the CellSearch main loop
+(/root/reference/src/CellSearch.cpp:437-618): xcorr_pss -> chi-squared
+threshold -> peak_search -> per peak {sss_detect -> pss_sss_foe ->
+extract_tfg -> tfoec -> decode_mib} -> dedup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..cell import Cell, CpType
+from ..constants import (DS_COMB_ARM, FS_LTE, THRESH1_N_NINES,
+                         THRESH2_N_SIGMA)
+from ..ops.dsp import chi2cdf_inv, matlab_range
+from .mib import decode_mib
+from .peaks import peak_search
+from .rs import RsDl
+from .sss_detect import pss_sss_foe, sss_detect
+from .tfg import extract_tfg, tfoec
+from .xcorr import xcorr_pss
+
+
+def compute_z_th1(sp_incoherent: np.ndarray, n_comb_xc: int,
+                  ds_comb_arm: int = DS_COMB_ARM,
+                  thresh1_n_nines: int = THRESH1_N_NINES) -> np.ndarray:
+    """Per-lag PSS detection threshold from the chi-squared false-alarm
+    design point (reference CellSearch.cpp:500-503)."""
+    R_th1 = chi2cdf_inv(1 - 10.0 ** (-thresh1_n_nines),
+                        2 * n_comb_xc * (2 * ds_comb_arm + 1))
+    rx_cutoff = (6 * 12 * 15e3 / 2 + 4 * 15e3) / (FS_LTE / 16 / 2)
+    return (R_th1 * sp_incoherent / rx_cutoff / 137 / 2 / n_comb_xc
+            / (2 * ds_comb_arm + 1))
+
+
+def default_f_search_set(freq_start: float, ppm: float = 120.0) -> np.ndarray:
+    """5 kHz frequency-offset raster covering +-ppm crystal error
+    (reference CellSearch.cpp:463-464)."""
+    n_extra = int(np.floor((freq_start * ppm / 1e6 + 2.5e3) / 5e3))
+    return matlab_range(-n_extra * 5000.0, 5000.0, n_extra * 5000.0)
+
+
+@dataclass
+class SearchConfig:
+    ds_comb_arm: int = DS_COMB_ARM
+    thresh1_n_nines: int = THRESH1_N_NINES
+    thresh2_n_sigma: float = THRESH2_N_SIGMA
+    compat: str = "production"   # or "golden" (see models/sss_detect.py)
+    interp: str = "hex"
+    decode: bool = True          # run the tfg/tfoec/MIB back half
+
+
+def cell_search(capbuf, f_search_set, fc_requested: float,
+                fc_programmed: float, fs_programmed: float,
+                config: Optional[SearchConfig] = None) -> List[Cell]:
+    """Search one carrier: detect, refine, and (optionally) decode cells."""
+    cfg = config or SearchConfig()
+    capbuf = np.asarray(capbuf)
+
+    res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
+                    fc_programmed, fs_programmed)
+    Z_th1 = compute_z_th1(res.sp_incoherent, res.n_comb_xc, cfg.ds_comb_arm,
+                          cfg.thresh1_n_nines)
+    peaks = peak_search(res.xc_incoherent_collapsed_pow,
+                        res.xc_incoherent_collapsed_frq,
+                        Z_th1, f_search_set, fc_requested, fc_programmed,
+                        res.xc_incoherent_single, cfg.ds_comb_arm)
+
+    detected: List[Cell] = []
+    for cell in peaks:
+        cell = sss_detect(cell, capbuf, cfg.thresh2_n_sigma, fc_requested,
+                          fc_programmed, fs_programmed, compat=cfg.compat)
+        if cell.n_id_1 < 0:
+            continue
+        cell = pss_sss_foe(cell, capbuf, fc_requested, fc_programmed,
+                           fs_programmed, compat=cfg.compat)
+        if not cfg.decode:
+            detected.append(cell)
+            continue
+        tfg, tfg_timestamp = extract_tfg(cell, capbuf, fc_requested,
+                                         fc_programmed, fs_programmed)
+        rs_dl = RsDl(cell.n_id_cell(), 6, cell.cp_type)
+        cell, tfg_comp, _ = tfoec(cell, tfg, tfg_timestamp, fc_requested,
+                                  fc_programmed, rs_dl)
+        cell = decode_mib(cell, tfg_comp, rs_dl, interp=cfg.interp)
+        if cell.n_rb_dl < 0:
+            continue
+        detected.append(cell)
+    return detected
+
+
+def dedup(cell_lists: List[List[Cell]]) -> List[Cell]:
+    """Merge per-carrier results: same cell ID within 1 MHz keeps the
+    strongest detection (reference CellSearch.cpp:285-319)."""
+    final: List[Cell] = []
+    for cells in cell_lists:
+        for c in cells:
+            matched = False
+            for i, f in enumerate(final):
+                if (c.n_id_cell() == f.n_id_cell()
+                        and abs((c.fc_requested + c.freq_superfine)
+                                - (f.fc_requested + f.freq_superfine)) < 1e6):
+                    matched = True
+                    if c.pss_pow > f.pss_pow:
+                        final[i] = c
+                    break
+            if not matched:
+                final.append(c)
+    return final
