@@ -1,0 +1,82 @@
+"""Golden chain test: extract_tfg -> tfoec -> decode_mib on test_tfg.mat.
+
+The reference's test_tfg.it expected-output vector was stripped, but its
+*input* survives in Matlab/test_tfg.mat (SURVEY.md section 4.1): an 80 ms
+capture plus the detected peak for cell 277 (n_id_1=92, n_id_2=1, normal
+CP, ind 8675 (1-based), freq 40 kHz, freq_fine 39684.0775, frame_start
+17449.5250338 (1-based)).  The decode contract (test/test_tfg.cpp:100 and
+the stored peaks struct): MIB decodes with n_rb_dl=50.
+"""
+
+import numpy as np
+import pytest
+
+from lte_cell_scanner_tpu.cell import Cell, CpType
+from lte_cell_scanner_tpu.constants import FS_LTE
+from lte_cell_scanner_tpu.models.mib import decode_mib
+from lte_cell_scanner_tpu.models.rs import RsDl
+from lte_cell_scanner_tpu.models.tfg import extract_tfg, tfoec
+from lte_cell_scanner_tpu.utils.matfile import read_mat
+
+FS = FS_LTE / 16
+
+
+@pytest.fixture(scope="module")
+def tfg_mat():
+    return read_mat("/root/reference/Matlab/test_tfg.mat")
+
+
+def test_tfg_chain_decodes_mib(tfg_mat):
+    d = tfg_mat
+    p = d["peaks"]
+    fc = float(d["fc"])
+    cell = Cell(
+        fc_requested=fc, fc_programmed=fc,
+        pss_pow=float(p["pow"]),
+        ind=int(p["ind"]) - 1,                    # matlab 1-based
+        freq=float(p["freq"]),
+        n_id_2=int(p["n_id_2"]),
+        n_id_1=int(p["n_id_1"]),
+        cp_type=CpType.NORMAL if p["cp_type"] == "normal" else CpType.EXTENDED,
+        frame_start=float(p["frame_start"]) - 1,  # matlab 1-based
+        freq_fine=float(p["freq_fine"]),
+    )
+    assert cell.n_id_cell() == 277
+
+    capbuf = d["capbuf"]
+    tfg, ts = extract_tfg(cell, capbuf, fc, fc, FS)
+    assert tfg.shape == (854, 72)
+
+    rs_dl = RsDl(cell.n_id_cell(), 6, cell.cp_type)
+    cell2, tfg_comp, _ = tfoec(cell, tfg, ts, fc, fc, rs_dl)
+    # superfine FOE stays within the 5 kHz raster cell of freq_fine
+    assert abs(cell2.freq_superfine - cell.freq_fine) < 200.0
+
+    cell3 = decode_mib(cell2, tfg_comp, rs_dl)
+    assert cell3.n_rb_dl == 50, str(cell3)
+    assert cell3.n_ports == 2, str(cell3)
+    # stored MATLAB decode results for this capture
+    if "sfn" in p and np.isfinite(float(p["sfn"])):
+        assert cell3.sfn == int(p["sfn"]), str(cell3)
+
+
+def test_tfg_chain_freq_superfine_close_to_matlab(tfg_mat):
+    d = tfg_mat
+    p = d["peaks"]
+    if not np.isfinite(float(p.get("freq_superfine", np.nan))):
+        pytest.skip("no stored freq_superfine")
+    fc = float(d["fc"])
+    cell = Cell(
+        fc_requested=fc, fc_programmed=fc, pss_pow=float(p["pow"]),
+        ind=int(p["ind"]) - 1, freq=float(p["freq"]),
+        n_id_2=int(p["n_id_2"]), n_id_1=int(p["n_id_1"]),
+        cp_type=CpType.NORMAL, frame_start=float(p["frame_start"]) - 1,
+        freq_fine=float(p["freq_fine"]),
+    )
+    capbuf = d["capbuf"]
+    tfg, ts = extract_tfg(cell, capbuf, fc, fc, FS)
+    rs_dl = RsDl(277, 6, cell.cp_type)
+    cell2, _, _ = tfoec(cell, tfg, ts, fc, fc, rs_dl)
+    # production semantics differ from the MATLAB prototype at the k_factor
+    # level; the estimates must still agree to well under a Hz-scale drift
+    assert abs(cell2.freq_superfine - float(p["freq_superfine"])) < 5.0

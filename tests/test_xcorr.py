@@ -1,0 +1,98 @@
+"""xcorr_pss front-end tests.
+
+test/test_xcorr_pss.it (the expected-output vector) was stripped from the
+reference, but its input capture survives in Matlab/test_xcorr_pss.mat with
+run parameters ds_comb_arm=2, fc=739 MHz, f_search_set=35e3:5e3:45e3
+(Matlab/test_xcorr_pss.m:23-25).  Strategy (SURVEY.md section 4.1):
+self-consistency against an independent brute-force numpy implementation,
+plus cross-checks against the still-intact downstream golden vectors
+(done in test_sss_detect/test_peak_search).
+"""
+
+import numpy as np
+import pytest
+
+from lte_cell_scanner_tpu.constants import FS_LTE
+from lte_cell_scanner_tpu.models.xcorr import (combine_start_indices,
+                                               pss_templates, xcorr_pss)
+from lte_cell_scanner_tpu.models.pss import PSS_TD
+from lte_cell_scanner_tpu.utils.matfile import read_mat
+
+FS = FS_LTE / 16
+FC = 739e6
+
+
+@pytest.fixture(scope="module")
+def xcorr_capture():
+    d = read_mat("/root/reference/Matlab/test_xcorr_pss.mat")
+    return np.asarray(d["capbuf"]).ravel()
+
+
+def test_templates_against_bruteforce():
+    f_set = np.array([35e3, 40e3, 45e3])
+    tm = pss_templates(f_set, FC, FC, FS)
+    assert tm.shape == (3, 3, 137)
+    pss = PSS_TD()
+    for fi, f in enumerate(f_set):
+        k = (FC - f) / FC
+        ramp = np.exp(1j * 2 * np.pi * f * np.arange(137) / (FS * k))
+        expect = np.conj(pss[1] * ramp) / 137
+        assert np.allclose(tm[1, fi], expect, atol=1e-15)
+
+
+def test_xcorr_pss_against_bruteforce(xcorr_capture):
+    capbuf = xcorr_capture
+    f_set = np.array([35e3, 40e3, 45e3])
+    res = xcorr_pss(capbuf, f_set, 2, FC, FC, FS)
+
+    n_lags = len(capbuf) - 136
+    assert res.n_comb_xc == (n_lags - 100) // 9600
+    assert res.n_comb_sp == (len(capbuf) - 136 - 137) // 9600
+
+    # Brute-force a handful of (t, foi, idx) fold cells end to end.
+    tm = pss_templates(f_set, FC, FC, FS)
+    starts = combine_start_indices(f_set, FC, FC, FS, res.n_comb_xc)
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        t = rng.integers(0, 3)
+        foi = rng.integers(0, 3)
+        idx = int(rng.integers(0, 9600))
+        acc = 0.0
+        for m in range(res.n_comb_xc):
+            lag = idx + starts[foi, m]
+            xc = np.dot(tm[t, foi], capbuf[lag: lag + 137])
+            acc += abs(xc) ** 2
+        acc /= res.n_comb_xc
+        got = res.xc_incoherent_single[t, foi, idx]
+        assert abs(got - acc) < 1e-10, (t, foi, idx)
+
+    # Delay-spread combining: +-2 cyclic mean
+    xs = res.xc_incoherent_single
+    man = (xs + np.roll(xs, 1, -1) + np.roll(xs, -1, -1)
+           + np.roll(xs, 2, -1) + np.roll(xs, -2, -1)) / 5
+    assert np.allclose(res.xc_incoherent, man, atol=1e-12)
+
+    # Collapse is an exact max/argmax over the hypothesis axis
+    assert np.allclose(res.xc_incoherent_collapsed_pow,
+                       res.xc_incoherent.max(axis=1))
+
+
+def test_sp_est_against_bruteforce(xcorr_capture):
+    capbuf = xcorr_capture
+    res = xcorr_pss(capbuf, np.array([40e3]), 2, FC, FC, FS)
+    p = np.abs(capbuf) ** 2
+    n_sp = res.n_comb_sp * 9600
+    sp = np.convolve(p, np.ones(274) / 274, mode="valid")[:n_sp]
+    assert np.allclose(res.sp, sp, atol=1e-12)
+    fold = sp.reshape(res.n_comb_sp, 9600).mean(axis=0)
+    assert np.allclose(res.sp_incoherent, np.roll(fold, 137), atol=1e-12)
+
+
+def test_strongest_cell_found_in_xcorr_capture(xcorr_capture):
+    """The 70.5 ms capture contains cell 277's PSS at 40 kHz offset."""
+    f_set = np.arange(35e3, 45e3 + 1, 5e3)
+    res = xcorr_pss(xcorr_capture, f_set, 2, FC, FC, FS)
+    t, idx = np.unravel_index(res.xc_incoherent_collapsed_pow.argmax(),
+                              (3, 9600))
+    assert t == 1  # n_id_2 = 1
+    assert f_set[res.xc_incoherent_collapsed_frq[t, idx]] == 40e3
