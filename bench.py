@@ -1,0 +1,75 @@
+"""Benchmark: PSS-scan throughput on one chip vs the reference baseline.
+
+Prints ONE JSON line:
+  {"metric": "pss_scan_samples_per_sec", "value": N, "unit": "samples/s",
+   "vs_baseline": R}
+
+Baseline (BASELINE.md): the reference CellSearch takes ~6 s per center
+frequency on a dual-core i7-2640 with the default hypothesis grid --
+153600 IQ samples / 6 s = 25.6k samples/s through the full PSS scan.
+
+The benchmark times the full per-carrier front end on the real capture
+(test/capbuf_0000.it when present, synthetic otherwise): template
+correlation over the default +-100 ppm hypothesis grid, incoherent fold,
+delay-spread combining, hypothesis collapse, and signal-power estimation,
+on one TPU chip in complex64.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.search import default_f_search_set
+    from lte_cell_scanner_tpu.models.xcorr import (_xcorr_core,
+                                                   combine_start_indices,
+                                                   pss_templates)
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    try:
+        from lte_cell_scanner_tpu.utils import read_itfile
+        capbuf = read_itfile("/root/reference/test/capbuf_0000.it")["capbuf"]
+    except Exception:
+        rng = np.random.default_rng(0)
+        capbuf = (rng.normal(size=153600) + 1j * rng.normal(size=153600)) * 0.1
+    capbuf = np.asarray(capbuf, dtype=np.complex64)
+    n_cap = len(capbuf)
+
+    f_set = default_f_search_set(fc, ppm=100)   # 31 hypotheses (ref default)
+    n_comb_xc = (n_cap - 136 - 100) // 9600
+    templates = jnp.asarray(pss_templates(f_set, fc, fc, fs, np.complex64))
+    start_idx = jnp.asarray(combine_start_indices(f_set, fc, fc, fs,
+                                                  n_comb_xc))
+    cap_dev = jnp.asarray(capbuf)
+
+    def run():
+        out = _xcorr_core(cap_dev, templates, start_idx, 2)
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready(), out[2])
+        return out
+
+    run()  # compile + warm
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        run()
+    dt = (time.perf_counter() - t0) / n_iter
+
+    samples_per_sec = n_cap / dt
+    baseline = 153600 / 6.0
+    print(json.dumps({
+        "metric": "pss_scan_samples_per_sec",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
