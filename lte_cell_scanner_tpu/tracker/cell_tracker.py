@@ -1,0 +1,491 @@
+"""Per-cell tracking: demod, CE filtering, FOE/TOE feedback, MIB re-decode.
+
+Behavioral contract: the reference tracker thread
+(/root/reference/src/tracker_thread.cpp): get_fd (:91-174), filter_ce
+(:176-202), do_foe (:204-243), do_toe_v2 (:245-279), do_ac_fd (:318-340),
+do_ac_td (:343-370), interp72/interp2d (:372-477), pbch_extract_rt /
+do_mib_decode (:494-749), do_pss_sss_sigpower_ce (:754-820), and the main
+per-OFDM-symbol loop (:823-1068).
+
+Re-design: one TrackedCellProcessor object per cell, driven by the event
+loop with batches of symbol PDUs; the per-cell thread + FIFO/condvar
+machinery becomes plain deques.  The small per-symbol math (12-subcarrier
+vectors) runs in numpy float64 on host, exactly mirroring the reference's
+double math; the heavy front-end (the searcher) stays on device.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Deque, List, Optional
+
+import numpy as np
+
+from ..cell import CpType
+from ..constants import CELL_DROP_THRESHOLD, FS_LTE
+from ..models.coding import crc_parity
+from ..models.pn import lte_pn
+from ..models.pss import PSS_FD
+from ..models.rs import RsDl
+from ..models.sss import SSS_FD
+from .producer import SymbolPdu
+from .state import GlobalState, TrackedCell
+
+_CN = np.concatenate([np.arange(-36, 0), np.arange(1, 37)])
+
+
+def _wrap(x, lo, hi):
+    return (x - lo) % (hi - lo) + lo
+
+
+def _sigpower(v):
+    return float(np.mean(np.abs(v) ** 2))
+
+
+class _RsPdu:
+    __slots__ = ("shift", "slot_num", "sym_num", "ce", "fo", "ft")
+
+    def __init__(self, shift, slot_num, sym_num, ce, fo, ft):
+        self.shift = shift
+        self.slot_num = slot_num
+        self.sym_num = sym_num
+        self.ce = ce
+        self.fo = fo
+        self.ft = ft
+
+
+class _FiltPdu:
+    __slots__ = ("shift", "slot_num", "sym_num", "tp", "sp", "sp_raw", "np",
+                 "ce_filt")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+class _InterpPdu:
+    __slots__ = ("slot_num", "sym_num", "ce", "tp", "sp", "sp_raw", "np")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+class TrackedCellProcessor:
+    """Processes one tracked cell's symbol stream."""
+
+    def __init__(self, cell: TrackedCell, state: GlobalState):
+        self.cell = cell
+        self.state = state
+        self.rs_dl = RsDl(cell.n_id_cell, 6, cell.cp_type)
+        m_bit = 1920 if cell.cp_type is CpType.NORMAL else 1728
+        self.scr = lte_pn(cell.n_id_cell, m_bit)
+        self.slot_num = 0
+        self.sym_num = 0
+        self.bulk_phase_offset = 0.0
+        n_ports = cell.n_ports
+        self.data_fifo: Deque = deque()
+        self.ce_raw_fifo: List[Deque[_RsPdu]] = [deque() for _ in range(n_ports)]
+        self.ce_filt_fifo: List[Deque[_FiltPdu]] = [deque() for _ in range(n_ports)]
+        self.ce_interp_fifo: List[Deque[_InterpPdu]] = [deque() for _ in range(n_ports)]
+        self.ce_interp_init = [False] * n_ports
+        self.ce_history: List[Deque[np.ndarray]] = [deque() for _ in range(n_ports)]
+        self.mib_fifo: Deque = deque()
+        self.mib_fifo_synchronized = False
+        self.sss_sym: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    def _get_fd(self, pdu: SymbolPdu) -> np.ndarray:
+        """FOC + DFT + 72-SC extraction + timing/bulk-phase compensation
+        (reference get_fd, tracker_thread.cpp:91-174)."""
+        st = self.state
+        fo = pdu.frequency_offset
+        k_factor = (st.fc_requested - fo) / st.fc_programmed
+        data = pdu.data * np.exp(
+            -1j * 2 * np.pi * fo * np.arange(128)
+            / (st.fs_programmed * k_factor))
+        dft_in = np.roll(data, -2)
+        dft_out = np.fft.fft(dft_in) / np.sqrt(128.0)
+        syms = np.concatenate([dft_out[-36:], dft_out[1:37]])
+
+        if self.cell.cp_type is CpType.EXTENDED:
+            n_samp_elapsed = 128 + 32
+        else:
+            n_samp_elapsed = 128 + 10 if pdu.sym_num == 0 else 128 + 9
+        self.bulk_phase_offset = _wrap(
+            self.bulk_phase_offset
+            + 2 * np.pi * n_samp_elapsed * (16 / FS_LTE) * -fo,
+            -np.pi, np.pi)
+        comp = np.exp(1j * (self.bulk_phase_offset
+                            - 2 * np.pi * pdu.late / 128 * _CN))
+        return syms * comp
+
+    # ------------------------------------------------------------------
+    def _filter_ce(self, prev: _RsPdu, curr: _RsPdu, nxt: _RsPdu):
+        """3-symbol hex filtering (reference filter_ce)."""
+        out = np.empty(12, dtype=np.complex128)
+        for t in range(12):
+            lo, hi = max(0, t - 1), min(11, t + 1)
+            total = curr.ce[lo: hi + 1].sum()
+            n_total = hi - lo + 1
+            if prev.shift < curr.shift:
+                lo2, hi2 = t, min(11, t + 1)
+            else:
+                lo2, hi2 = max(0, t - 1), t
+            total += prev.ce[lo2: hi2 + 1].sum() + nxt.ce[lo2: hi2 + 1].sum()
+            n_total += 2 * (hi2 - lo2 + 1)
+            out[t] = total / n_total
+        return out
+
+    def _do_foe(self, prev: _RsPdu, nxt: _RsPdu, np_curr: float,
+                ce_filt: np.ndarray) -> None:
+        st = self.state
+        foe = np.conj(prev.ce) * nxt.ce
+        cf2 = np.abs(ce_filt) ** 2
+        foe_np = np_curr * np_curr + 2 * np_curr * cf2
+        weight = cf2 / foe_np
+        foe_comb = np.sum(foe * weight)
+        foe_comb_np = np.sum(foe_np * weight * weight)
+        scale = 1.0 / np.sum(cf2 * weight)
+        foe_comb *= scale
+        foe_comb_np *= scale * scale
+
+        fo = prev.fo
+        k_factor = (st.fc_requested - fo) / st.fc_programmed
+        dt = 0.0005 + _wrap(nxt.ft - prev.ft, -9600.0, 9600.0) \
+            / (st.fs_programmed * k_factor)
+        residual_f = np.angle(foe_comb) / (2 * np.pi) / dt
+        residual_f_np = max(foe_comb_np / 2, 0.001)
+        st.blend_frequency_offset(fo + residual_f, residual_f_np)
+
+    def _do_toe_v2(self, prev: _RsPdu, curr: _RsPdu, sp: float,
+                   np_curr: float) -> None:
+        if prev.shift < curr.shift:
+            a, b = prev.ce, curr.ce
+        else:
+            a, b = curr.ce, prev.ce
+        toe1 = np.sum(np.conj(a) * b) / 12
+        toe2 = (np.sum(np.conj(b[0:5]) * a[1:6])
+                + np.sum(np.conj(b[6:11]) * a[7:12])) / 10
+        toe1 /= np.sqrt(sp)
+        toe2 /= np.sqrt(sp)
+        delay = -(np.angle(toe1) + np.angle(toe2)) / 2 / 3 / (2 * np.pi / 128)
+        delay_np = max(np_curr / sp / 2 / 12, 0.001)
+        diff = _wrap((curr.ft + delay) - self.cell.frame_timing,
+                     -9600.0, 9600.0)
+        diff = diff * (1 / delay_np) / (1 / 0.0001 + 1 / delay_np)
+        self.cell.update_frame_timing(self.cell.frame_timing + diff)
+
+    def _do_ac_fd(self, curr: _RsPdu, sp: float, np_curr: float) -> None:
+        ce = curr.ce
+        ac = np.array([np.mean(np.conj(ce[: 12 - d]) * ce[d:]) if d < 12
+                       else 0 for d in range(12)])
+        ac = ac / sp
+        counts = np.arange(12.0, 0.0, -1.0)
+        ac_np = (np_curr ** 2 / sp ** 2 + 2 * np_curr / sp) / counts
+        w_old = 1 / 0.00001
+        self.cell.ac_fd = (self.cell.ac_fd * w_old + ac / ac_np) \
+            / (w_old + 1.0 / ac_np)
+
+    def _do_ac_td(self, curr: _RsPdu, sp: float, hist: Deque) -> None:
+        hist.append(curr.ce)
+        if len(hist) > 72:
+            hist.popleft()
+        if len(hist) == 72:
+            last = hist[71]
+            xc = np.array([np.sum(np.conj(last) * hist[71 - t]) / 12
+                           for t in range(72)]) / sp
+            w_old = 1 / 0.00001
+            self.cell.ac_td = (self.cell.ac_td * w_old + xc) / (w_old + 1)
+
+    # ------------------------------------------------------------------
+    def _interp72(self, pdu: _FiltPdu) -> np.ndarray:
+        """Linear 12 -> 72 interpolation with edge extrapolation
+        (reference interp72, tracker_thread.cpp:372-393)."""
+        out = np.empty(72, dtype=np.complex128)
+        l_x = pdu.shift
+        l_y = pdu.ce_filt[0]
+        r_x = pdu.shift + 6
+        r_y = pdu.ce_filt[1]
+        ptr = 1
+        for t in range(72):
+            if t > r_x and ptr < 11:
+                l_x, l_y = r_x, r_y
+                r_x += 6
+                ptr += 1
+                r_y = pdu.ce_filt[ptr]
+            out[t] = (r_y - l_y) / (r_x - l_x) * (t - l_x) + l_y
+        return out
+
+    def _interp2d(self, port: int, prev: _FiltPdu, curr: _FiltPdu) -> None:
+        n_symb = self.cell.n_symb_dl()
+        prev_i = self._interp72(prev)
+        curr_i = self._interp72(curr)
+        if port > 2:
+            time_diff = 0.0005
+        elif self.cell.cp_type is CpType.EXTENDED:
+            time_diff = 3 * (128 + 32) * (16 / FS_LTE)
+        elif prev.sym_num == 0:
+            time_diff = 4 * (128 + 9) * (16 / FS_LTE)
+        else:
+            time_diff = (2 * (128 + 9) + (128 + 10)) * (16 / FS_LTE)
+
+        slot_num, sym_num = prev.slot_num, prev.sym_num
+        time_offset = 0.0
+        fifo = self.ce_interp_fifo[port]
+        while (slot_num, sym_num) != (curr.slot_num, curr.sym_num):
+            a = time_offset / time_diff
+            pdu = _InterpPdu(
+                slot_num=slot_num, sym_num=sym_num,
+                ce=prev_i + (curr_i - prev_i) * a,
+                tp=prev.tp + (curr.tp - prev.tp) * a,
+                sp=prev.sp + (curr.sp - prev.sp) * a,
+                sp_raw=prev.sp_raw + (curr.sp_raw - prev.sp_raw) * a,
+                np=prev.np + (curr.np - prev.np) * a)
+            if not self.ce_interp_init[port]:
+                # bootstrap: repeat the first CE back to slot 0 sym 0
+                self.ce_interp_init[port] = True
+                tsl = tsy = 0
+                while (tsl, tsy) != (slot_num, sym_num):
+                    boot = _InterpPdu(
+                        slot_num=tsl, sym_num=tsy, ce=pdu.ce, tp=pdu.tp,
+                        sp=pdu.sp, sp_raw=pdu.sp_raw, np=pdu.np)
+                    fifo.append(boot)
+                    tsy += 1
+                    if tsy == n_symb:
+                        tsy = 0
+                        tsl = (tsl + 1) % 20
+            fifo.append(pdu)
+            if self.cell.cp_type is CpType.EXTENDED:
+                time_offset += (128 + 32) * (16 / FS_LTE)
+            else:
+                time_offset += ((128 + 10) if sym_num == 6 else (128 + 9)) \
+                    * (16 / FS_LTE)
+            sym_num += 1
+            if sym_num == n_symb:
+                sym_num = 0
+                slot_num = (slot_num + 1) % 20
+
+    # ------------------------------------------------------------------
+    def _do_pss_sss_sigpower_ce(self, syms, slot_num, sym_num) -> None:
+        c = self.cell
+        n_symb = c.n_symb_dl()
+        if slot_num not in (0, 10) or sym_num not in (n_symb - 2, n_symb - 1):
+            return
+        if sym_num == n_symb - 2:
+            self.sss_sym = syms
+            return
+        if self.sss_sym is None:
+            return
+        sss_sym = self.sss_sym
+        pss_sym = syms
+        np_blank = (_sigpower(sss_sym[0:5]) + _sigpower(sss_sym[67:72])
+                    + _sigpower(pss_sym[0:5]) + _sigpower(pss_sym[67:72])) / 4
+        sss_tab = SSS_FD()[c.n_id_1, c.n_id_2, 0 if slot_num == 0 else 1]
+        ce_sss = sss_sym[5:67] * sss_tab.astype(np.float64)
+        ce_pss = pss_sym[5:67] * np.conj(PSS_FD()[c.n_id_2])
+        ce_smooth = np.empty(62, dtype=np.complex128)
+        for t in range(62):
+            lo, hi = max(0, t - 6), min(61, t + 6)
+            ce_smooth[t] = (ce_sss[lo:hi + 1].sum()
+                            + ce_pss[lo:hi + 1].sum()) / (2 * (hi - lo + 1))
+        np_est = (_sigpower(ce_smooth - ce_sss) * 13 / 12
+                  + _sigpower(ce_smooth - ce_pss) * 13 / 12) / 2
+        tp = _sigpower(ce_smooth)
+        sp = tp - np_est / 13
+        c.sync_tp, c.sync_sp, c.sync_np, c.sync_np_blank = \
+            tp, sp, np_est, np_blank
+        c.sync_ce = np.concatenate([np.zeros(5), ce_smooth, np.zeros(5)])
+        if np.isnan(c.sync_sp_av):
+            c.sync_tp_av, c.sync_sp_av = tp, sp
+            c.sync_np_av, c.sync_np_blank_av = np_est, np_blank
+        else:
+            c.sync_tp_av = 0.999 * c.sync_tp_av + 0.001 * tp
+            c.sync_sp_av = 0.999 * c.sync_sp_av + 0.001 * sp
+            c.sync_np_av = 0.999 * c.sync_np_av + 0.001 * np_est
+            c.sync_np_blank_av = 0.999 * c.sync_np_blank_av + 0.001 * np_blank
+
+    # ------------------------------------------------------------------
+    def _do_mib_decode(self, syms, ce, sp, np_v, slot_num, sym_num) -> bool:
+        """Returns False if the cell should be dropped
+        (reference do_mib_decode, tracker_thread.cpp:531-749)."""
+        from ..models.coding import conv_decode_tailbite, conv_deratematch
+        from ..models.modulation import lte_demodulate
+        import jax.numpy as jnp
+
+        c = self.cell
+        if slot_num == 1 and sym_num <= 3:
+            self.mib_fifo.append((syms, ce, sp, np_v))
+        if len(self.mib_fifo) != 16:
+            return True
+
+        n_ports = c.n_ports
+        v3 = c.n_id_cell % 3
+        n_symb = c.n_symb_dl()
+        pbch_sym = []
+        pbch_ce = []
+        pbch_np = []
+        for fr in range(4):
+            for symn in range(4):
+                s_syms, s_ce, s_sp, s_np = self.mib_fifo[fr * 4 + symn]
+                for sc in range(72):
+                    if sc % 3 == v3 and (symn in (0, 1)
+                                         or (symn == 3 and n_symb == 6)):
+                        continue
+                    pbch_sym.append(s_syms[sc])
+                    pbch_ce.append(s_ce[:, sc])
+                    pbch_np.append(s_np)
+        pbch_sym = np.asarray(pbch_sym)
+        pbch_ce = np.asarray(pbch_ce).T          # [n_ports, n_syms]
+        pbch_np = np.asarray(pbch_np).T          # [n_ports, n_syms]
+
+        if n_ports == 1:
+            h = pbch_ce[0]
+            gain = np.conj(h / np.abs(h) ** 2)
+            syms_mib = pbch_sym * gain
+            np_mib = pbch_np[0] * np.abs(gain) ** 2
+        else:
+            x1 = pbch_sym[0::2]
+            x2 = pbch_sym[1::2]
+            if n_ports == 2:
+                h1 = (pbch_ce[0, 0::2] + pbch_ce[0, 1::2]) / 2
+                h2 = (pbch_ce[1, 0::2] + pbch_ce[1, 1::2]) / 2
+                np_t = (pbch_np[0, 0::2] + pbch_np[1, 0::2]) / 2
+            else:
+                even = np.arange(len(x1)) % 2 == 0
+                h1 = np.where(even, (pbch_ce[0, 0::2] + pbch_ce[0, 1::2]) / 2,
+                              (pbch_ce[1, 0::2] + pbch_ce[1, 1::2]) / 2)
+                h2 = np.where(even, (pbch_ce[2, 0::2] + pbch_ce[2, 1::2]) / 2,
+                              (pbch_ce[3, 0::2] + pbch_ce[3, 1::2]) / 2)
+                np_t = np.where(even,
+                                (pbch_np[0, 0::2] + pbch_np[2, 0::2]) / 2,
+                                (pbch_np[1, 0::2] + pbch_np[3, 0::2]) / 2)
+            scale = np.abs(h1) ** 2 + np.abs(h2) ** 2
+            s1 = (np.conj(h1) * x1 + h2 * np.conj(x2)) / scale
+            s2 = np.conj((-np.conj(h2) * x1 + h1 * np.conj(x2)) / scale)
+            syms_mib = np.stack([s1, s2], 1).reshape(-1) * np.sqrt(2)
+            np_pair = (np.abs(h1) / scale) ** 2 * np_t \
+                + (np.abs(h2) / scale) ** 2 * np_t
+            np_mib = np.stack([np_pair, np_pair], 1).reshape(-1)
+
+        e_est = np.asarray(lte_demodulate(jnp.asarray(syms_mib),
+                                          jnp.asarray(np_mib), "qpsk"))
+        e_est = e_est * (1.0 - 2.0 * self.scr.astype(np.float64))
+        d_est = conv_deratematch(jnp.asarray(e_est), 40)
+        c_est = np.asarray(conv_decode_tailbite(d_est))
+        crc_est = crc_parity(c_est[:24].astype(np.uint8), "crc16")
+        if n_ports == 2:
+            crc_est = crc_est ^ 1
+        elif n_ports == 4:
+            crc_est = crc_est ^ np.tile([0, 1], 8)
+
+        bw_map = {0: 6, 1: 15, 2: 25, 3: 50, 4: 75, 5: 100}
+        bw = int(c_est[0] * 4 + c_est[1] * 2 + c_est[2])
+        n_rb_ok = bw_map.get(bw, 0) == c.n_rb_dl
+        phich_dur_ok = bool(c_est[3]) == \
+            (c.phich_duration.value == "extended")
+        res = int(c_est[4] * 2 + c_est[5])
+        res_ok = res == {"1/6": 0, "1/2": 1, "one": 2, "two": 3}[
+            c.phich_resource.value]
+
+        if np.array_equal(crc_est, c_est[24:40]) and n_rb_ok \
+                and phich_dur_ok and res_ok:
+            self.mib_fifo_synchronized = True
+            c.mib_decode_failures = 0.0
+            for _ in range(16):
+                self.mib_fifo.popleft()
+        elif self.mib_fifo_synchronized:
+            c.mib_decode_failures += 1
+            for _ in range(16):
+                self.mib_fifo.popleft()
+        else:
+            c.mib_decode_failures += 0.25
+            for _ in range(4):
+                self.mib_fifo.popleft()
+
+        if c.mib_decode_failures >= CELL_DROP_THRESHOLD:
+            c.kill_me = True
+            return False
+        return True
+
+    # ------------------------------------------------------------------
+    def process(self, pdus: Deque[SymbolPdu]) -> None:
+        """Consume all pending symbol PDUs (one reference loop iteration
+        per PDU, tracker_thread.cpp:856-1067)."""
+        c = self.cell
+        n_ports = c.n_ports
+        while pdus and not c.kill_me:
+            pdu = pdus.popleft()
+            syms = self._get_fd(pdu)
+            self.data_fifo.append((self.slot_num, self.sym_num, syms))
+
+            for port in range(n_ports):
+                shift = self.rs_dl.get_shift(self.slot_num, self.sym_num,
+                                             port)
+                if shift < 0:
+                    continue
+                rs_raw = syms[shift::6]
+                ce_raw = rs_raw * np.conj(
+                    self.rs_dl.get_rs(self.slot_num, self.sym_num))
+                self.ce_raw_fifo[port].append(_RsPdu(
+                    shift, self.slot_num, self.sym_num, ce_raw,
+                    pdu.frequency_offset, pdu.frame_timing))
+
+            for port in range(n_ports):
+                raw = self.ce_raw_fifo[port]
+                if len(raw) != 3:
+                    continue
+                prev, curr, nxt = raw[0], raw[1], raw[2]
+                ce_filt = self._filter_ce(prev, curr, nxt)
+                np_curr = _sigpower(curr.ce - ce_filt) * 7 / 6
+                tp_curr = _sigpower(ce_filt)
+                sp_raw = tp_curr - np_curr / 7
+                sp_curr = max(1e-5, sp_raw)
+                self.ce_filt_fifo[port].append(_FiltPdu(
+                    shift=curr.shift, slot_num=curr.slot_num,
+                    sym_num=curr.sym_num, tp=tp_curr, sp=sp_curr,
+                    sp_raw=sp_raw, np=np_curr, ce_filt=ce_filt))
+                self._do_foe(prev, nxt, np_curr, ce_filt)
+                self._do_toe_v2(prev, curr, sp_curr, np_curr)
+                self._do_ac_fd(curr, sp_curr, np_curr)
+                self._do_ac_td(curr, sp_curr, self.ce_history[port])
+                raw.popleft()
+
+            for port in range(n_ports):
+                filt = self.ce_filt_fifo[port]
+                if len(filt) != 2:
+                    continue
+                self._interp2d(port, filt[0], filt[1])
+                filt.popleft()
+
+            while self.data_fifo and all(f for f in self.ce_interp_fifo):
+                slot_num, sym_num, dsyms = self.data_fifo.popleft()
+                fronts = [self.ce_interp_fifo[p].popleft()
+                          for p in range(n_ports)]
+                ce = np.stack([f.ce for f in fronts])
+                tp = np.array([f.tp for f in fronts])
+                sp = np.array([f.sp for f in fronts])
+                sp_raw = np.array([f.sp_raw for f in fronts])
+                np_v = np.array([f.np for f in fronts])
+
+                c.ce = ce
+                c.crs_sp_raw = sp_raw
+                c.crs_np = np_v
+                if c.crs_sp_raw_av is None:
+                    c.crs_tp_av = tp
+                    c.crs_sp_raw_av = sp_raw
+                    c.crs_np_av = np_v
+                elif slot_num in (0, 10) and sym_num in (5, 6):
+                    c.crs_tp_av = 0.999 * c.crs_tp_av + 0.001 * tp
+                    c.crs_sp_raw_av = 0.999 * c.crs_sp_raw_av + 0.001 * sp_raw
+                    c.crs_np_av = 0.999 * c.crs_np_av + 0.001 * np_v
+
+                self._do_pss_sss_sigpower_ce(dsyms, slot_num, sym_num)
+                if not self._do_mib_decode(dsyms, ce, sp, np_v, slot_num,
+                                           sym_num):
+                    return
+
+            self.sym_num += 1
+            if self.sym_num == c.n_symb_dl():
+                self.sym_num = 0
+                self.slot_num = (self.slot_num + 1) % 20

@@ -1,0 +1,176 @@
+"""Sample-stream demultiplexer (the reference producer thread, re-designed).
+
+Behavioral contract: /root/reference/src/producer_thread.cpp:59-252:
+
+- every sample gets an LTE-timescale timestamp advanced by
+  (FS_LTE/16)/(fs_programmed*k_factor) and wrapped mod 19200 (one frame);
+- when the searcher requests a capture, filling starts at the timestamp-0
+  crossing (within 0.5 samples) and records the fractional lateness;
+- per tracked cell, a 128-sample OFDM-symbol window starts when the
+  timestamp crosses frame_timing + target_cap_start_time within 0.5
+  samples (or up to 3 samples late), stamping the FO and frame timing in
+  effect at capture start; after each window the target advances by the
+  symbol stride (CP-dependent) mod 19200.
+
+Re-design notes: instead of a per-sample scalar loop, each block's
+timestamps are vectorized (cumulative ramp) and trigger points are located
+with searchsorted-style arithmetic on the host; the per-cell symbol
+windows are then sliced in bulk.  The boost FIFO handshake becomes plain
+Python deques consumed in the same event-loop tick.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Deque, Dict, List, Optional
+
+from collections import deque
+
+import numpy as np
+
+from ..constants import FS_LTE
+from .state import GlobalState, TrackedCell
+
+
+@dataclass
+class SymbolPdu:
+    """Producer -> tracker unit (reference td_fifo_pdu_t, LTE-Tracker.h:9)."""
+    data: np.ndarray            # 128 complex samples
+    slot_num: int
+    sym_num: int
+    late: float
+    frequency_offset: float
+    frame_timing: float
+
+
+@dataclass
+class _CellCapture:
+    serial_num: int = 0
+    target: float = 0.0         # target_cap_start_time
+    filling: bool = False
+    buffer: Optional[np.ndarray] = None
+    buffer_offset: int = 0
+    slot_num: int = 0
+    sym_num: int = 0
+    pdu_late: float = 0.0
+    pdu_fo: float = 0.0
+    pdu_ft: float = 0.0
+
+
+def _wrap_half_frame(x):
+    return (np.asarray(x) + 9600.0) % 19200.0 - 9600.0
+
+
+class Producer:
+    """Demultiplexes the raw sample stream into per-cell symbol PDUs and
+    searcher capture buffers."""
+
+    def __init__(self, state: GlobalState, capbuf_len: int = 19200 * 8):
+        self.state = state
+        self.sample_time = -1.0
+        # searcher capture handshake (reference capbuf_sync_t)
+        self.capbuf_len = capbuf_len
+        self.capture_requested = False
+        self._filling = False
+        self._cap_idx = 0
+        self.capbuf = np.zeros(capbuf_len, dtype=np.complex128)
+        self.capbuf_late = 0.0
+        self.capbuf_ready = False
+        # per-cell capture state + output fifos
+        self._cell_state: Dict[int, _CellCapture] = {}
+        self.fifos: Dict[int, Deque[SymbolPdu]] = {}
+
+    def request_capture(self) -> None:
+        self.capture_requested = True
+        self.capbuf_ready = False
+
+    def capture_idle(self) -> bool:
+        """True when no capture is pending, filling, or awaiting pickup."""
+        return not (self.capture_requested or self._filling
+                    or self.capbuf_ready)
+
+    def process(self, samples: np.ndarray, cells: List[TrackedCell]) -> None:
+        """Process one block of complex samples."""
+        n = len(samples)
+        if n == 0:
+            return
+        fo = self.state.frequency_offset
+        k_factor = self.state.k_factor()
+        step = (FS_LTE / 16) / (self.state.fs_programmed * k_factor)
+
+        # vectorized timestamps (wrapped mod one frame)
+        ts = self.sample_time + step * np.arange(1, n + 1)
+        self.sample_time = float(ts[-1] % 19200.0)
+        ts = ts % 19200.0
+
+        # ---- searcher capture buffer ---------------------------------
+        if self.capture_requested or self._filling:
+            for t in range(n):
+                if self.capture_requested:
+                    tdiff = _wrap_half_frame(ts[t])
+                    if abs(tdiff) < 0.5:
+                        self.capture_requested = False
+                        self._filling = True
+                        self._cap_idx = 0
+                        self.capbuf_late = float(tdiff)
+                if self._filling:
+                    self.capbuf[self._cap_idx] = samples[t]
+                    self._cap_idx += 1
+                    if self._cap_idx == self.capbuf_len:
+                        self._filling = False
+                        self.capbuf_ready = True
+                        break
+
+        # ---- per-cell symbol capture ---------------------------------
+        for cell in cells:
+            cid = cell.n_id_cell
+            cl = self._cell_state.get(cid)
+            if cl is None or cell.serial_num != cl.serial_num:
+                cl = _CellCapture(serial_num=cell.serial_num)
+                cl.target = 10.0 if cell.n_symb_dl() == 7 else 32.0
+                cl.buffer = np.zeros(128, dtype=np.complex128)
+                self._cell_state[cid] = cl
+                self.fifos.setdefault(cid, deque())
+            frame_timing = cell.frame_timing
+            fifo = self.fifos[cid]
+
+            t = 0
+            while t < n:
+                if not cl.filling:
+                    tdiff = _wrap_half_frame(ts[t:] - (frame_timing + cl.target))
+                    hit = np.nonzero((np.abs(tdiff) < 0.5)
+                                     | ((tdiff > 0) & (tdiff < 3)))[0]
+                    if len(hit) == 0:
+                        break
+                    t += int(hit[0])
+                    cl.filling = True
+                    cl.pdu_late = float(tdiff[hit[0]])
+                    cl.buffer_offset = 0
+                    cl.pdu_fo = fo
+                    cl.pdu_ft = frame_timing
+                take = min(128 - cl.buffer_offset, n - t)
+                cl.buffer[cl.buffer_offset: cl.buffer_offset + take] = \
+                    samples[t: t + take]
+                cl.buffer_offset += take
+                t += take
+                if cl.buffer_offset == 128:
+                    fifo.append(SymbolPdu(
+                        data=cl.buffer.copy(), slot_num=cl.slot_num,
+                        sym_num=cl.sym_num, late=cl.pdu_late,
+                        frequency_offset=cl.pdu_fo, frame_timing=cl.pdu_ft))
+                    cell.fifo_peak_size = max(cell.fifo_peak_size, len(fifo))
+                    cl.filling = False
+                    n_symb = cell.n_symb_dl()
+                    if n_symb == 6:
+                        cl.target += 32 + 128
+                    else:
+                        cl.target += (128 + 10) if cl.sym_num == 6 else (128 + 9)
+                    cl.target %= 19200.0
+                    cl.sym_num += 1
+                    if cl.sym_num == n_symb:
+                        cl.sym_num = 0
+                        cl.slot_num = (cl.slot_num + 1) % 20
+
+    def drop_cell(self, n_id_cell: int) -> None:
+        self._cell_state.pop(n_id_cell, None)
+        self.fifos.pop(n_id_cell, None)

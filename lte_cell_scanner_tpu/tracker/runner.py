@@ -1,0 +1,114 @@
+"""Tracker orchestration: the deterministic event loop.
+
+Re-design of the reference LTE-Tracker thread graph (main/pre-producer +
+producer + searcher + N trackers + display,
+/root/reference/src/LTE-Tracker.cpp:766-875): a single deterministic loop
+drives sample blocks through the producer demultiplexer, the per-cell
+trackers, and the periodic background searcher.  kalibrate() bootstraps
+the dongle frequency-offset estimate exactly as the reference does
+(LTE-Tracker.cpp:565-741: run the CellSearch pipeline on one carrier until
+any cell is found; its freq_superfine seeds the global FO register).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, List, Optional
+
+import numpy as np
+
+from ..cell import Cell
+from ..models.search import SearchConfig, cell_search, default_f_search_set
+from .cell_tracker import TrackedCellProcessor
+from .producer import Producer
+from .searcher import search_once
+from .state import GlobalState, TrackedCell
+
+
+def kalibrate(capture_fn: Callable[[], np.ndarray], fc_requested: float,
+              fc_programmed: float, fs_programmed: float,
+              ppm: float = 120.0, max_tries: int = 100,
+              config: Optional[SearchConfig] = None) -> float:
+    """Estimate the dongle frequency offset by searching until a cell is
+    found; returns the best cell's freq_superfine."""
+    cfg = config or SearchConfig()
+    f_search_set = default_f_search_set(fc_requested, ppm)
+    for _ in range(max_tries):
+        capbuf = capture_fn()
+        cells = cell_search(capbuf, f_search_set, fc_requested,
+                            fc_programmed, fs_programmed, cfg)
+        if cells:
+            best = max(cells, key=lambda c: c.pss_pow)
+            return float(best.freq_superfine)
+    raise RuntimeError("kalibrate: no cell found")
+
+
+class TrackerRunner:
+    """Realtime multi-cell tracker over a sample stream."""
+
+    def __init__(self, fc_requested: float, fc_programmed: float,
+                 fs_programmed: float, initial_fo: float = 0.0,
+                 search_config: Optional[SearchConfig] = None):
+        self.state = GlobalState(fc_requested=fc_requested,
+                                 fc_programmed=fc_programmed,
+                                 fs_programmed=fs_programmed,
+                                 frequency_offset=initial_fo)
+        self.producer = Producer(self.state)
+        self.cells: List[TrackedCell] = []
+        self.processors = {}
+        self.search_config = search_config or SearchConfig()
+        self._search_enabled = True
+
+    # ------------------------------------------------------------------
+    def add_cell(self, tc: TrackedCell) -> None:
+        self.cells.append(tc)
+        self.processors[tc.n_id_cell] = TrackedCellProcessor(tc, self.state)
+
+    def seed_from_cell(self, cell: Cell, frame_timing: float) -> None:
+        self.add_cell(TrackedCell.from_cell(cell, frame_timing))
+
+    # ------------------------------------------------------------------
+    def process_block(self, samples: np.ndarray) -> None:
+        """Feed one block of complex samples through the whole graph."""
+        self.producer.process(samples, self.cells)
+
+        # drive the per-cell trackers
+        for tc in list(self.cells):
+            proc = self.processors[tc.n_id_cell]
+            fifo = self.producer.fifos.get(tc.n_id_cell)
+            if fifo:
+                proc.process(fifo)
+            if tc.kill_me:
+                self.cells.remove(tc)
+                self.processors.pop(tc.n_id_cell)
+                self.producer.drop_cell(tc.n_id_cell)
+
+        # searcher handshake: issue / consume capture requests
+        if self._search_enabled:
+            if self.producer.capbuf_ready:
+                self.producer.capbuf_ready = False
+                had_cells = bool(self.cells)
+                new_cells = search_once(
+                    self.producer.capbuf, self.producer.capbuf_late,
+                    self.state, self.cells, self.search_config)
+                if new_cells and not had_cells:
+                    # First acquisition doubles as the reference's
+                    # kalibrate() bootstrap (LTE-Tracker.cpp:565-741): seed
+                    # the global FO register from the strongest cell's
+                    # superfine estimate.
+                    best = max(new_cells,
+                               key=lambda t: 0 if np.isnan(t.freq_superfine)
+                               else 1)
+                    if np.isfinite(best.freq_superfine):
+                        self.state.frequency_offset = best.freq_superfine
+                for tc in new_cells:
+                    self.add_cell(tc)
+            elif self.producer.capture_idle():
+                self.producer.request_capture()
+
+    def run(self, sample_blocks: Iterable[np.ndarray],
+            on_block: Optional[Callable[["TrackerRunner"], None]] = None
+            ) -> None:
+        for block in sample_blocks:
+            self.process_block(np.asarray(block))
+            if on_block is not None:
+                on_block(self)
