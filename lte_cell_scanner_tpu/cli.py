@@ -1,0 +1,193 @@
+"""Command-line tools: cell search scanner and realtime tracker.
+
+Behavioral contract: the reference CLIs --
+CellSearch (/root/reference/src/CellSearch.cpp:92-280: --freq-start/-s,
+--freq-end/-e, --ppm/-p, --correction/-c, --record/-r, --load/-l,
+--data-dir/-d, --device-index/-i; 100 kHz raster rounding, record/load
+exclusivity) and LTE-Tracker (/root/reference/src/LTE-Tracker.cpp:114-373:
+--freq/-f plus the hidden debug flags --load/--repeat/--drop/--rtl_sdr/
+--noise-power).
+
+Usage:
+    python -m lte_cell_scanner_tpu.cli search -s 739e6 --load -d DIR
+    python -m lte_cell_scanner_tpu.cli track -f 739e6 --load FILE.it
+    python -m lte_cell_scanner_tpu.cli search -s 739e6 --sim
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _freq_formatter(freq: float) -> str:
+    """Reference freq_formatter (CellSearch.cpp:322-340)."""
+    a = abs(freq)
+    for limit, div, suf in ((998.0, 1.0, "h"), (998e3, 1e3, "k"),
+                            (998e6, 1e6, "m"), (998e9, 1e9, "g")):
+        if a < limit:
+            return f"{freq / div:5.3g}{suf}"
+    return str(freq)
+
+
+def _print_cells(cells, correction: float) -> None:
+    """Final results table (reference CellSearch.cpp:576-614)."""
+    if not cells:
+        print("No LTE cells were found...")
+        return
+    print("Detected the following cells:")
+    print("A: #antenna ports C: CP type ; P: PHICH duration ; "
+          "PR: PHICH resource type")
+    print("CID A      fc   foff RXPWR C nRB P  PR CrystalCorrectionFactor")
+    for c in cells:
+        cp = {"normal": "N", "extended": "E"}.get(c.cp_type.value, "U")
+        pd = {"normal": "N", "extended": "E"}.get(
+            c.phich_duration.value, "U")
+        pr = {"1/6": "1/6", "1/2": "1/2", "one": "one",
+              "two": "two"}.get(c.phich_resource.value, "UNK")
+        true_loc = c.fc_requested
+        crystal_actual = c.fc_requested - c.freq_superfine
+        corr_new = correction * (true_loc / crystal_actual)
+        print(f"{c.n_id_cell():3d} {c.n_ports:1d} "
+              f"{c.fc_requested / 1e6:6.5g}M "
+              f"{_freq_formatter(c.freq_superfine)} "
+              f"{10 * np.log10(c.pss_pow):5.3g} {cp} {c.n_rb_dl:3d} {pd} "
+              f"{pr} {corr_new:.20g}")
+
+
+def _make_source(args):
+    from .io.capture import FileSource, SimSource
+    if getattr(args, "sim", False):
+        return SimSource(snr_db=args.sim_snr, freq_offset=args.sim_foff)
+    if args.load_files:
+        return FileSource(args.load_files, drop_seconds=args.drop,
+                          repeat=args.repeat,
+                          noise_power=args.noise_power)
+    return None
+
+
+def cmd_search(args) -> int:
+    from .constants import FS_WORK
+    from .io.capture import capture_data
+    from .models.search import (SearchConfig, cell_search, dedup,
+                                default_f_search_set)
+
+    freq_start = args.freq_start
+    freq_end = args.freq_end if args.freq_end else freq_start
+    # round to the 100 kHz raster as the reference does
+    for name, v in (("freq-start", freq_start), ("freq-end", freq_end)):
+        if abs(v - round(v / 100e3) * 100e3) > 1:
+            print(f"Warning: {name} rounded to the 100 kHz raster")
+    freq_start = round(freq_start / 100e3) * 100e3
+    freq_end = round(freq_end / 100e3) * 100e3
+    if args.record and (args.load or args.load_files):
+        print("Error: cannot both record and load")
+        return 1
+
+    source = _make_source(args)
+    if args.load:
+        source = None  # capture_data reads capbuf_XXXX.it from data_dir
+
+    f_search_set = default_f_search_set(freq_start, args.ppm)
+    fc_search_set = np.arange(freq_start, freq_end + 1, 100e3)
+    cfg = SearchConfig()
+    all_cells: List[list] = []
+    for fc in fc_search_set:
+        if args.verbose:
+            print(f"Examining center frequency {fc / 1e6:.4g} MHz ...")
+        capbuf, fc_programmed = capture_data(
+            fc, source, save_cap=args.record, use_recorded_data=args.load,
+            data_dir=args.data_dir,
+            tuner="e4000" if not (args.load or source) else "none")
+        cells = cell_search(capbuf, f_search_set, fc, fc_programmed,
+                            FS_WORK, cfg)
+        for c in cells:
+            if args.verbose:
+                print(f"  Detected a cell! {c}")
+        all_cells.append(cells)
+    _print_cells(dedup(all_cells), args.correction)
+    return 0
+
+
+def cmd_track(args) -> int:
+    from .constants import FS_WORK
+    from .tracker import TrackerRunner
+    from .tracker.display import render
+
+    source = _make_source(args)
+    if source is None:
+        print("Error: tracker needs --load FILE(s) or --sim")
+        return 1
+
+    runner = TrackerRunner(args.freq, args.freq, FS_WORK)
+    n_blocks = 0
+    report_every = max(1, int(args.fs * 1.0) // 10000)
+    try:
+        for block in source.stream(10000):
+            runner.process_block(block)
+            n_blocks += 1
+            if n_blocks % report_every == 0:
+                print(render(runner.state, runner.cells,
+                             plots=args.expert))
+                print("-" * 70)
+            if args.duration and n_blocks * 10000 / args.fs >= args.duration:
+                break
+    except KeyboardInterrupt:
+        pass
+    print(render(runner.state, runner.cells, plots=args.expert))
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="lte-cell-scanner-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ps = sub.add_parser("search", help="scan carriers for LTE cells")
+    ps.add_argument("-s", "--freq-start", type=float, required=True)
+    ps.add_argument("-e", "--freq-end", type=float, default=None)
+    ps.add_argument("-p", "--ppm", type=float, default=120.0)
+    ps.add_argument("-c", "--correction", type=float, default=1.0)
+    ps.add_argument("-r", "--record", action="store_true")
+    ps.add_argument("-l", "--load", action="store_true",
+                    help="replay capbuf_XXXX.it files from --data-dir")
+    ps.add_argument("-d", "--data-dir", default=".")
+    ps.add_argument("-i", "--device-index", type=int, default=-1)
+    ps.add_argument("-v", "--verbose", action="count", default=1)
+    ps.add_argument("--load-files", nargs="*", default=None,
+                    help="replay specific .it or raw rtl_sdr files")
+    ps.add_argument("--sim", action="store_true",
+                    help="use the synthetic eNodeB source")
+    ps.add_argument("--sim-snr", type=float, default=10.0)
+    ps.add_argument("--sim-foff", type=float, default=0.0)
+    ps.add_argument("--noise-power", type=float, default=None)
+    ps.add_argument("--drop", type=float, default=0.0)
+    ps.add_argument("--repeat", action="store_true")
+    ps.set_defaults(func=cmd_search)
+
+    pt = sub.add_parser("track", help="realtime multi-cell tracker")
+    pt.add_argument("-f", "--freq", type=float, required=True)
+    pt.add_argument("--fs", type=float, default=1.92e6)
+    pt.add_argument("--load-files", nargs="*", default=None)
+    pt.add_argument("--sim", action="store_true")
+    pt.add_argument("--sim-snr", type=float, default=10.0)
+    pt.add_argument("--sim-foff", type=float, default=0.0)
+    pt.add_argument("--noise-power", type=float, default=None)
+    pt.add_argument("--drop", type=float, default=0.0)
+    pt.add_argument("--repeat", action="store_true")
+    pt.add_argument("--duration", type=float, default=None,
+                    help="seconds of stream to process")
+    pt.add_argument("-x", "--expert", action="store_true",
+                    help="show ASCII channel/autocorrelation plots")
+    pt.set_defaults(func=cmd_track)
+
+    args = p.parse_args(argv)
+    if not hasattr(args, "load_files") or args.load_files is None:
+        args.load_files = []
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,150 @@
+"""Capture acquisition: record/replay and pluggable sample sources.
+
+Behavioral contract: reference capture_data (/root/reference/src/
+capbuf.cpp:81-200): 80 ms capture from the dongle or from a recorded
+``capbuf_XXXX.it`` file (fields ``capbuf`` + ``fc``); ``--record`` writes
+the same files.  Raw ``rtl_sdr``-format u8 files are supported through
+utils.rtl.  Live SDR hardware is not present in this environment; the
+``CaptureSource`` protocol is the seam where a librtlsdr binding would
+plug in.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..cell import CpType
+from ..constants import CAPLENGTH, FS_WORK
+from ..utils.itfile import read_itfile, write_itfile
+from ..utils.rtl import read_rtlsdr_file
+from .e4000 import fc_programmed_with_fudge
+
+
+class CaptureSource:
+    """A source of 80 ms capture buffers."""
+
+    fs_programmed: float = FS_WORK
+
+    def capture(self, fc_requested: float) -> Tuple[np.ndarray, float]:
+        """Return (capbuf[CAPLENGTH], fc_programmed)."""
+        raise NotImplementedError
+
+    def stream(self, block: int = 10000) -> Iterator[np.ndarray]:
+        """Yield continuous sample blocks (tracker mode)."""
+        raise NotImplementedError
+
+
+class FileSource(CaptureSource):
+    """Replay recorded captures: .it containers or raw rtl_sdr u8 files."""
+
+    def __init__(self, paths, drop_seconds: float = 0.0,
+                 repeat: bool = False, noise_power: Optional[float] = None,
+                 rng: Optional[np.random.Generator] = None):
+        self.paths = list(paths)
+        self.drop_seconds = drop_seconds
+        self.repeat = repeat
+        self.noise_power = noise_power
+        self.rng = rng or np.random.default_rng()
+        self._idx = 0
+
+    def _load(self, path: str) -> Tuple[np.ndarray, Optional[float]]:
+        if path.endswith(".it"):
+            d = read_itfile(path)
+            fc = float(d["fc"][0]) if "fc" in d else None
+            return d["capbuf"], fc
+        return read_rtlsdr_file(path, self.drop_seconds), None
+
+    def capture(self, fc_requested: float) -> Tuple[np.ndarray, float]:
+        if self._idx >= len(self.paths):
+            if not self.repeat:
+                raise StopIteration("no more recorded captures")
+            self._idx = 0
+        buf, fc = self._load(self.paths[self._idx])
+        self._idx += 1
+        buf = buf[:CAPLENGTH]
+        if self.noise_power is not None:
+            n = (self.rng.normal(size=len(buf))
+                 + 1j * self.rng.normal(size=len(buf))) \
+                * np.sqrt(self.noise_power / 2)
+            buf = buf + n
+        return buf, fc_requested
+
+    def stream(self, block: int = 10000) -> Iterator[np.ndarray]:
+        while True:
+            for path in self.paths:
+                buf, _ = self._load(path)
+                if self.noise_power is not None:
+                    n = (self.rng.normal(size=len(buf))
+                         + 1j * self.rng.normal(size=len(buf))) \
+                        * np.sqrt(self.noise_power / 2)
+                    buf = buf + n
+                for i in range(0, len(buf), block):
+                    yield buf[i: i + block]
+            if not self.repeat:
+                return
+
+
+class SimSource(CaptureSource):
+    """Synthetic eNodeB source (fault injection / self-test)."""
+
+    def __init__(self, n_id_1: int = 92, n_id_2: int = 1,
+                 cp_type: CpType = CpType.NORMAL, n_ports: int = 2,
+                 snr_db: float = 10.0, freq_offset: float = 0.0,
+                 load_factor: float = 0.5, seed: int = 0):
+        from ..sim import apply_freq_offset, awgn, create_dl_sig
+        self._make = lambda ms, rng: awgn(
+            apply_freq_offset(
+                create_dl_sig(cp_type, ms, 0, n_id_1, n_id_2, load_factor,
+                              rng=rng, n_ports=n_ports),
+                freq_offset),
+            snr_db, rng=rng)
+        self.rng = np.random.default_rng(seed)
+
+    def capture(self, fc_requested: float) -> Tuple[np.ndarray, float]:
+        return self._make(80, self.rng), fc_requested
+
+    def stream(self, block: int = 10000) -> Iterator[np.ndarray]:
+        while True:
+            buf = self._make(200, self.rng)
+            for i in range(0, len(buf), block):
+                yield buf[i: i + block]
+
+
+_capture_counter = [0]
+
+
+def capture_data(fc_requested: float, source: Optional[CaptureSource],
+                 save_cap: bool = False, use_recorded_data: bool = False,
+                 data_dir: str = ".", tuner: str = "e4000"
+                 ) -> Tuple[np.ndarray, float]:
+    """The reference capture_data flow: capture or replay, optional record.
+
+    Returns (capbuf, fc_programmed).  With an E4000-style tuner the
+    programmed frequency follows the PLL model (+58 Hz fudge).
+    """
+    filename = os.path.join(data_dir,
+                            f"capbuf_{_capture_counter[0]:04d}.it")
+    if use_recorded_data:
+        d = read_itfile(filename)
+        capbuf = d["capbuf"]
+        fc_file = float(d["fc"][0])
+        if fc_file != fc_requested:
+            print(f"Warning: capture {filename} was taken at "
+                  f"{fc_file / 1e6:.3f} MHz, not {fc_requested / 1e6:.3f}")
+        fc_programmed = fc_requested
+    else:
+        if source is None:
+            raise RuntimeError("no capture source available")
+        capbuf, fc_programmed = source.capture(fc_requested)
+        if fc_programmed is None or fc_programmed == fc_requested:
+            fc_programmed = fc_programmed_with_fudge(fc_requested) \
+                if tuner == "e4000" else fc_requested
+    if save_cap:
+        write_itfile(filename, {
+            "capbuf": np.asarray(capbuf, dtype=np.complex128),
+            "fc": np.array([int(fc_requested)], dtype=np.int32)})
+    _capture_counter[0] += 1
+    return capbuf, fc_programmed

@@ -1,20 +1,21 @@
 """Pallas TPU kernel: fused PSS correlation + squared magnitude.
 
-The production hot path.  Differences from the portable XLA versions in
-ops/corr.py:
+The production hot-path kernel.  Key design point: the sliding-window
+(im2col) formulation needs unaligned vector slices, which the TPU vector
+ISA dislikes; instead the correlation is cast as a *block-Toeplitz* matmul
+that needs no in-kernel slicing at all:
 
-- the complex im2col + matmul + |.|^2 chain is fused in VMEM: the 114 MB
-  complex correlation tensor never round-trips through HBM -- each lag
-  block builds its windows in VMEM, runs the 4 real MXU matmuls, squares,
-  and writes only the float32 power output;
-- the 136-sample window overlap between lag blocks is expressed as a
-  second, offset BlockSpec view of the same capture array (no manual DMA
-  needed): block i reads [i*BL, i*BL+BL) plus the leading 256 samples of
-  block i+1.
+    xc[128 r + c, t] = sum_{p=0..2} sum_d X[r+p, d] * G_p[d, c, t]
 
-Layout: capture as [rows, 128] float32 planes (re, im); templates
-[137, T] planes; output xc2 [n_lag_blocks * BL, T] float32, transposed and
-truncated by the caller.
+where X is the capture reshaped [rows, 128] and G_p[d, c, t] =
+template[t, 128 p + d - c] (three constant banded 128x128 matrices per
+template).  The three row-shifted views X[r+p] are materialized as three
+offset arrays outside the kernel, so each grid step is just 12 dense MXU
+matmuls (4 real combos x 3 row shifts) followed by the fused |.|^2 --
+the complex correlation tensor never touches HBM.
+
+Costs ~2.8x the minimal FLOPs (the band's zeros), which the MXU absorbs;
+in exchange HBM traffic drops to the float32 power output only.
 """
 
 from __future__ import annotations
@@ -29,74 +30,104 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import PSS_TD_LEN
 
-BL = 1024          # lags per program (8 sublane rows of 128)
-_HALO = 256        # >= 136 halo samples taken from the next block
+ROWS_PER_BLOCK = 8          # 1024 lags per grid step
+T_CHUNK = 16                # templates per grid step
 
 
-def _corr_kernel(a_re, a_im, b_re, b_im, t_re, t_im, out_ref):
-    # b_* is the full next block; only its leading _HALO samples are used
-    cap_re = jnp.concatenate([a_re[:].reshape(-1),
-                              b_re[:].reshape(-1)[:_HALO]])
-    cap_im = jnp.concatenate([a_im[:].reshape(-1),
-                              b_im[:].reshape(-1)[:_HALO]])
+def _toeplitz_blocks(templates: np.ndarray) -> np.ndarray:
+    """[3, 128, 128, T] complex band matrices from [T, 137] templates."""
+    t_count = templates.shape[0]
+    g = np.zeros((3, 128, 128, t_count), dtype=templates.dtype)
+    for p in range(3):
+        for d in range(128):
+            lo = max(0, 128 * p + d - (PSS_TD_LEN - 1))
+            hi = min(127, 128 * p + d)
+            for c in range(lo, hi + 1):
+                g[p, d, c] = templates[:, 128 * p + d - c]
+    return g
 
-    win_re = jnp.stack([cap_re[m: m + BL] for m in range(PSS_TD_LEN)], axis=1)
-    win_im = jnp.stack([cap_im[m: m + BL] for m in range(PSS_TD_LEN)], axis=1)
 
-    tr = t_re[:]
-    ti = t_im[:]
-    xr = jnp.dot(win_re, tr, preferred_element_type=jnp.float32) \
-        - jnp.dot(win_im, ti, preferred_element_type=jnp.float32)
-    xi = jnp.dot(win_re, ti, preferred_element_type=jnp.float32) \
-        + jnp.dot(win_im, tr, preferred_element_type=jnp.float32)
+def _corr_kernel(x0r, x0i, x1r, x1i, x2r, x2i, g_re, g_im, out_ref):
+    gr = g_re[0]            # [384, 128*T_CHUNK]
+    gi = g_im[0]
+
+    def mm(a, sl, b):
+        return jnp.dot(a[:], b[sl], preferred_element_type=jnp.float32)
+
+    s0 = slice(0, 128)
+    s1 = slice(128, 256)
+    s2 = slice(256, 384)
+    xr = mm(x0r, s0, gr) + mm(x1r, s1, gr) + mm(x2r, s2, gr) \
+        - mm(x0i, s0, gi) - mm(x1i, s1, gi) - mm(x2i, s2, gi)
+    xi = mm(x0r, s0, gi) + mm(x1r, s1, gi) + mm(x2r, s2, gi) \
+        + mm(x0i, s0, gr) + mm(x1i, s1, gr) + mm(x2i, s2, gr)
     out_ref[:] = xr * xr + xi * xi
 
 
-@partial(jax.jit, static_argnames=("n_lags",))
 def correlate_pow_pallas(capbuf, templates, n_lags: int):
     """|correlation|^2 of capbuf against templates at every lag.
 
-    capbuf [n_cap] complex64; templates [T, 137] complex64.
+    capbuf [n_cap] complex64; templates [T, 137] complex64 (host/numpy --
+    the Toeplitz band matrices are built on host once per template set).
     Returns xc2 [T, n_lags] float32.
     """
+    templates = np.asarray(templates)
     t_count = templates.shape[0]
-    n_blocks = int(np.ceil(n_lags / BL))
-    # pad so every block plus its full next-block halo view is in range
-    n_pad_rows = (n_blocks + 1) * (BL // 128)
-    cap = jnp.zeros(n_pad_rows * 128, jnp.complex64).at[: capbuf.shape[0]] \
-        .set(capbuf.astype(jnp.complex64))
-    cap_re = jnp.real(cap).reshape(n_pad_rows, 128)
-    cap_im = jnp.imag(cap).reshape(n_pad_rows, 128)
+    t_pad = int(np.ceil(t_count / T_CHUNK)) * T_CHUNK
+    n_tc = t_pad // T_CHUNK
 
-    t_re = jnp.real(templates).astype(jnp.float32).T   # [137, T]
-    t_im = jnp.imag(templates).astype(jnp.float32).T
+    n_row_blocks = int(np.ceil(n_lags / (ROWS_PER_BLOCK * 128)))
+    n_rows = n_row_blocks * ROWS_PER_BLOCK
 
-    rows_per_block = BL // 128
-    grid = (n_blocks,)
+    tmpl = np.zeros((t_pad, PSS_TD_LEN), dtype=np.complex64)
+    tmpl[:t_count] = templates
+    g = _toeplitz_blocks(tmpl)                     # [3, 128, 128, t_pad]
+    g = g.reshape(3, 128, 128, n_tc, T_CHUNK)
+    g = np.transpose(g, (3, 0, 1, 2, 4))           # [n_tc, 3, 128, 128, Tc]
+    # stack the 3 p-planes along rows; flatten (c, tc) columns c-major
+    g = g.reshape(n_tc, 3 * 128, 128 * T_CHUNK)
+    g_re = jnp.asarray(np.ascontiguousarray(g.real), jnp.float32)
+    g_im = jnp.asarray(np.ascontiguousarray(g.imag), jnp.float32)
+    return _corr_pow_jit(capbuf, g_re, g_im, n_lags, t_count, t_pad,
+                         n_tc, n_rows, n_row_blocks)
+
+
+@partial(jax.jit, static_argnames=("n_lags", "t_count", "t_pad", "n_tc",
+                                   "n_rows", "n_row_blocks"))
+def _corr_pow_jit(capbuf, g_re, g_im, n_lags, t_count, t_pad, n_tc,
+                  n_rows, n_row_blocks):
+    cap = jnp.zeros((n_rows + 2) * 128, jnp.complex64) \
+        .at[: capbuf.shape[0]].set(capbuf.astype(jnp.complex64))
+
+    # three row-shifted views of the capture, [n_rows, 128] each
+    xs = []
+    for p in range(3):
+        v = jax.lax.dynamic_slice_in_dim(cap, p * 128, n_rows * 128)
+        x = v.reshape(n_rows, 128)
+        xs.extend([jnp.real(x), jnp.imag(x)])
+
+    grid = (n_tc, n_row_blocks)
+    x_spec = pl.BlockSpec((ROWS_PER_BLOCK, 128), lambda j, i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, 3 * 128, 128 * T_CHUNK), lambda j, i: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         _corr_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows_per_block, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_block, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_block, 128), lambda i: (i + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_block, 128), lambda i: (i + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PSS_TD_LEN, t_count), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PSS_TD_LEN, t_count), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BL, t_count), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * BL, t_count), jnp.float32),
+        in_specs=[x_spec] * 6 + [g_spec, g_spec],
+        out_specs=pl.BlockSpec((ROWS_PER_BLOCK, 128 * T_CHUNK),
+                               lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, 128 * t_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=8 * n_blocks * BL * PSS_TD_LEN * t_count,
-            bytes_accessed=(n_blocks * BL * 8 + n_blocks * BL * t_count * 4),
+            flops=12 * n_rows * 128 * 128 * t_pad,
+            bytes_accessed=n_rows * 128 * (8 + 4 * t_pad),
             transcendentals=0,
         ),
-    )(cap_re, cap_im, cap_re, cap_im, t_re, t_im)
-    return out[:n_lags].T
+    )(*xs, g_re, g_im)
+
+    # per chunk j, columns hold (c, tc) c-major
+    out = out.reshape(n_rows, n_tc, 128, T_CHUNK)
+    out = jnp.transpose(out, (1, 3, 0, 2))          # [n_tc, Tc, rows, 128]
+    out = out.reshape(t_pad, n_rows * 128)
+    return out[:t_count, :n_lags]
