@@ -143,6 +143,9 @@ def cmd_track(args) -> int:
 
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="lte-cell-scanner-tpu")
+    p.add_argument("--platform", choices=["tpu", "cpu", "default"],
+                   default="default",
+                   help="JAX backend (cpu also enables float64)")
     sub = p.add_subparsers(dest="command", required=True)
 
     ps = sub.add_parser("search", help="scan carriers for LTE cells")
@@ -184,6 +187,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.set_defaults(func=cmd_track)
 
     args = p.parse_args(argv)
+    if args.platform != "default":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            jax.config.update("jax_enable_x64", True)
     if not hasattr(args, "load_files") or args.load_files is None:
         args.load_files = []
     return args.func(args)

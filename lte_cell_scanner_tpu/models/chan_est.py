@@ -231,6 +231,52 @@ def ce_interp_hex(ce_filt, rs_set, shifts, n_ofdm: int, n_symb_dl: int,
     return jnp.sum(vals, axis=-1).reshape(n_ofdm, 72)
 
 
+def ce_interp_2stage(ce_filt, rs_set, shifts, n_ofdm: int):
+    """Uniform-grid 2-stage interpolation (reference searcher.cpp:1125-1196).
+
+    Stage 1 synthesizes the missing staggered lattice points by 4-neighbor
+    averaging, giving a uniform grid with 3-subcarrier spacing; stage 2 is
+    separable linear interpolation in frequency then time.
+    """
+    from ..ops.dsp import interp1
+    n_rs = ce_filt.shape[0]
+    shift0, shift1 = int(shifts[0]), int(shifts[1])
+    min_shift = min(shift0, shift1)
+
+    # neighbor sums with edge masking, vectorized over the [n_rs, 12] grid
+    up = jnp.concatenate([jnp.zeros_like(ce_filt[:1]), ce_filt[:-1]], axis=0)
+    up_n = np.concatenate([[0.0], np.ones(n_rs - 1)])
+    down = jnp.concatenate([ce_filt[1:], jnp.zeros_like(ce_filt[:1])], axis=0)
+    down_n = np.concatenate([np.ones(n_rs - 1), [0.0]])
+
+    exp = jnp.zeros((n_rs, 24), dtype=ce_filt.dtype)
+    row_leftmost = (np.arange(n_rs) % 2 == 0) == (shift0 < shift1)
+    for k in range(24):
+        half = k >> 1
+        # synthesized at this k when (k&1) == current_row_leftmost
+        is_synth = jnp.asarray((k % 2) == row_leftmost.astype(int))[:, None]
+        total = up[:, half] + down[:, half]
+        count = up_n + down_n
+        if (k - 1) >> 1 >= 0:
+            total = total + ce_filt[:, (k - 1) >> 1]
+            count = count + 1
+        if (k + 1) >> 1 < 12:
+            total = total + ce_filt[:, (k + 1) >> 1]
+            count = count + 1
+        avg = total / jnp.asarray(count, ce_filt.real.dtype)
+        exp = exp.at[:, k].set(jnp.where(is_synth[:, 0], avg,
+                                         ce_filt[:, half]))
+
+    exp_x = jnp.asarray(np.arange(min_shift, 72, 3, dtype=np.float64)[:24])
+    x_all = jnp.arange(72.0)
+    rows = [interp1(exp_x, exp[t], x_all) for t in range(n_rs)]
+    frq = jnp.stack(rows)
+    t_all = jnp.arange(float(n_ofdm))
+    cols = [interp1(jnp.asarray(rs_set.astype(np.float64)), frq[:, c], t_all)
+            for c in range(72)]
+    return jnp.stack(cols, axis=1)
+
+
 def ce_interp_freq_time(ce_filt, rs_set, shifts, n_ofdm: int):
     """1-D frequency interpolation then 1-D time interpolation
     (reference searcher.cpp:1089-1119)."""
@@ -267,6 +313,8 @@ def chan_est(cell: Cell, rs_dl: RsDl, tfg, port: int,
                                port)
     elif interp == "freq_time":
         ce_tfg = ce_interp_freq_time(ce_filt, rs_set, shifts, n_ofdm)
+    elif interp == "2stage":
+        ce_tfg = ce_interp_2stage(ce_filt, rs_set, shifts, n_ofdm)
     else:
         raise ValueError(f"unknown interpolator {interp!r}")
     return ce_tfg, np_est

@@ -67,3 +67,20 @@ def test_no_false_alarm_on_pure_noise():
     cells = cell_search(noise, f_search_set, FC, FC, FS,
                         SearchConfig(decode=False))
     assert cells == []
+
+
+@pytest.mark.parametrize("interp", ["hex", "freq_time", "2stage"])
+def test_all_ce_interpolators_decode(interp):
+    """All three channel-estimate interpolators support MIB decode
+    (reference keeps ce_interp_hex/freq_time/2stage interchangeable,
+    searcher.cpp:1472-1476)."""
+    cells = _run(CpType.NORMAL, 92, 1, 2, 0, snr_db=10.0, f_off=0.0, seed=6)
+    # rerun decode with the chosen interpolator via SearchConfig
+    rng = np.random.default_rng(6)
+    sig = create_dl_sig(CpType.NORMAL, 80, 0, 92, 1, 0.5, rng=rng,
+                        n_ports=2, sfn=0)
+    sig = awgn(sig, 10.0, rng=rng)
+    f_search_set = np.arange(-10e3, 10e3 + 1, 5e3)
+    cells = cell_search(sig, f_search_set, FC, FC, FS,
+                        SearchConfig(interp=interp))
+    assert any(c.n_id_cell() == 277 and c.n_rb_dl == 6 for c in cells)
