@@ -48,8 +48,8 @@ def _toeplitz_blocks(templates: np.ndarray) -> np.ndarray:
 
 
 def _corr_kernel(x0r, x0i, x1r, x1i, x2r, x2i, g_re, g_im, out_ref):
-    gr = g_re[0]            # [384, 128*T_CHUNK]
-    gi = g_im[0]
+    gr = g_re[:]            # [384, 128*T_CHUNK]
+    gi = g_im[:]
 
     def mm(a, sl, b):
         return jnp.dot(a[:], b[sl], preferred_element_type=jnp.float32)
@@ -84,8 +84,9 @@ def correlate_pow_pallas(capbuf, templates, n_lags: int):
     g = _toeplitz_blocks(tmpl)                     # [3, 128, 128, t_pad]
     g = g.reshape(3, 128, 128, n_tc, T_CHUNK)
     g = np.transpose(g, (3, 0, 1, 2, 4))           # [n_tc, 3, 128, 128, Tc]
-    # stack the 3 p-planes along rows; flatten (c, tc) columns c-major
-    g = g.reshape(n_tc, 3 * 128, 128 * T_CHUNK)
+    # stack the 3 p-planes along rows; flatten (c, tc) columns c-major;
+    # 2-D overall layout [n_tc*384, 128*T_CHUNK] so blocks stay 2-D
+    g = g.reshape(n_tc * 3 * 128, 128 * T_CHUNK)
     g_re = jnp.asarray(np.ascontiguousarray(g.real), jnp.float32)
     g_im = jnp.asarray(np.ascontiguousarray(g.imag), jnp.float32)
     return _corr_pow_jit(capbuf, g_re, g_im, n_lags, t_count, t_pad,
@@ -109,7 +110,7 @@ def _corr_pow_jit(capbuf, g_re, g_im, n_lags, t_count, t_pad, n_tc,
     grid = (n_tc, n_row_blocks)
     x_spec = pl.BlockSpec((ROWS_PER_BLOCK, 128), lambda j, i: (i, 0),
                           memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, 3 * 128, 128 * T_CHUNK), lambda j, i: (j, 0, 0),
+    g_spec = pl.BlockSpec((3 * 128, 128 * T_CHUNK), lambda j, i: (j, 0),
                           memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
