@@ -249,12 +249,12 @@ def ce_interp_2stage(ce_filt, rs_set, shifts, n_ofdm: int):
     down = jnp.concatenate([ce_filt[1:], jnp.zeros_like(ce_filt[:1])], axis=0)
     down_n = np.concatenate([np.ones(n_rs - 1), [0.0]])
 
-    exp = jnp.zeros((n_rs, 24), dtype=ce_filt.dtype)
     row_leftmost = (np.arange(n_rs) % 2 == 0) == (shift0 < shift1)
+    cols = []
     for k in range(24):
         half = k >> 1
         # synthesized at this k when (k&1) == current_row_leftmost
-        is_synth = jnp.asarray((k % 2) == row_leftmost.astype(int))[:, None]
+        is_synth = jnp.asarray((k % 2) == row_leftmost.astype(int))
         total = up[:, half] + down[:, half]
         count = up_n + down_n
         if (k - 1) >> 1 >= 0:
@@ -264,8 +264,8 @@ def ce_interp_2stage(ce_filt, rs_set, shifts, n_ofdm: int):
             total = total + ce_filt[:, (k + 1) >> 1]
             count = count + 1
         avg = total / jnp.asarray(count, ce_filt.real.dtype)
-        exp = exp.at[:, k].set(jnp.where(is_synth[:, 0], avg,
-                                         ce_filt[:, half]))
+        cols.append(jnp.where(is_synth, avg, ce_filt[:, half]))
+    exp = jnp.stack(cols, axis=1)
 
     exp_x = jnp.asarray(np.arange(min_shift, 72, 3, dtype=np.float64)[:24])
     x_all = jnp.arange(72.0)

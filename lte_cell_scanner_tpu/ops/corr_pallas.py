@@ -97,8 +97,10 @@ def correlate_pow_pallas(capbuf, templates, n_lags: int):
                                    "n_rows", "n_row_blocks"))
 def _corr_pow_jit(capbuf, g_re, g_im, n_lags, t_count, t_pad, n_tc,
                   n_rows, n_row_blocks):
-    cap = jnp.zeros((n_rows + 2) * 128, jnp.complex64) \
-        .at[: capbuf.shape[0]].set(capbuf.astype(jnp.complex64))
+    # concatenate-pad: complex scatter is not implemented on all TPU
+    # runtimes, so avoid .at[].set on complex arrays
+    pad = jnp.zeros((n_rows + 2) * 128 - capbuf.shape[0], jnp.complex64)
+    cap = jnp.concatenate([capbuf.astype(jnp.complex64), pad])
 
     # three row-shifted views of the capture, [n_rows, 128] each
     xs = []

@@ -157,12 +157,16 @@ def interpft(x, n_y: int):
     head = X[..., :nyqst]
     tail = X[..., nyqst:]
     pad = jnp.zeros(x.shape[:-1] + (n_up - n_x,), dtype=X.dtype)
-    Xup = jnp.concatenate([head, pad, tail], axis=-1)
-    # Split the Nyquist bin if n_x is even (matlab interpft contract)
+    # Split the Nyquist bin if n_x is even (matlab interpft contract).
+    # Built by concatenation (not scatter: complex scatter is unimplemented
+    # on some TPU runtimes).
     if n_x % 2 == 0:
         nyq = X[..., nyqst: nyqst + 1] / 2.0
-        Xup = Xup.at[..., nyqst].set(nyq[..., 0])
-        Xup = Xup.at[..., n_up - n_x + nyqst].set(nyq[..., 0])
+        Xup = jnp.concatenate(
+            [head[..., :nyqst], nyq, pad[..., :-1], nyq,
+             tail[..., 1:]], axis=-1)
+    else:
+        Xup = jnp.concatenate([head, pad, tail], axis=-1)
     y = jnp.fft.ifft(Xup, axis=-1) * (n_up / n_x)
     step = n_up // n_y if n_up % n_y == 0 else 1
     if n_up != n_y and n_up % n_y == 0:
