@@ -94,20 +94,48 @@ def cmd_search(args) -> int:
     f_search_set = default_f_search_set(freq_start, args.ppm)
     fc_search_set = np.arange(freq_start, freq_end + 1, 100e3)
     cfg = SearchConfig()
-    all_cells: List[list] = []
-    for fc in fc_search_set:
-        if args.verbose:
-            print(f"Examining center frequency {fc / 1e6:.4g} MHz ...")
-        capbuf, fc_programmed = capture_data(
-            fc, source, save_cap=args.record, use_recorded_data=args.load,
-            data_dir=args.data_dir,
-            tuner="e4000" if not (args.load or source) else "none")
-        cells = cell_search(capbuf, f_search_set, fc, fc_programmed,
-                            FS_WORK, cfg)
-        for c in cells:
+
+    import jax
+    shard_carriers = args.shard_carriers
+    if shard_carriers is None:
+        shard_carriers = jax.device_count() > 1 and len(fc_search_set) > 1
+
+    if shard_carriers:
+        # capture every carrier first, then scan the whole band as one
+        # carrier-sharded SPMD program (parallel/carriers.py)
+        from .parallel.carriers import scan_band
+        captures = []
+        for fc in fc_search_set:
             if args.verbose:
-                print(f"  Detected a cell! {c}")
-        all_cells.append(cells)
+                print(f"Capturing center frequency {fc / 1e6:.4g} MHz ...")
+            capbuf, fc_programmed = capture_data(
+                fc, source, save_cap=args.record,
+                use_recorded_data=args.load, data_dir=args.data_dir,
+                tuner="e4000" if not (args.load or source) else "none")
+            captures.append((capbuf, fc, fc_programmed))
+        if args.verbose:
+            print(f"Scanning {len(captures)} carriers across "
+                  f"{jax.device_count()} devices ...")
+        all_cells = scan_band(captures, f_search_set, FS_WORK, cfg)
+        for cells in all_cells:
+            for c in cells:
+                if args.verbose:
+                    print(f"  Detected a cell! {c}")
+    else:
+        all_cells = []
+        for fc in fc_search_set:
+            if args.verbose:
+                print(f"Examining center frequency {fc / 1e6:.4g} MHz ...")
+            capbuf, fc_programmed = capture_data(
+                fc, source, save_cap=args.record,
+                use_recorded_data=args.load, data_dir=args.data_dir,
+                tuner="e4000" if not (args.load or source) else "none")
+            cells = cell_search(capbuf, f_search_set, fc, fc_programmed,
+                                FS_WORK, cfg)
+            for c in cells:
+                if args.verbose:
+                    print(f"  Detected a cell! {c}")
+            all_cells.append(cells)
     _print_cells(dedup(all_cells), args.correction)
     return 0
 
@@ -168,6 +196,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("--noise-power", type=float, default=None)
     ps.add_argument("--drop", type=float, default=0.0)
     ps.add_argument("--repeat", action="store_true")
+    ps.add_argument("--shard-carriers", action="store_true", default=None,
+                    help="scan all carriers as one carrier-sharded SPMD "
+                         "program (auto when >1 device is visible)")
     ps.set_defaults(func=cmd_search)
 
     pt = sub.add_parser("track", help="realtime multi-cell tracker")

@@ -54,22 +54,12 @@ class SearchConfig:
     decode: bool = True          # run the tfg/tfoec/MIB back half
 
 
-def cell_search(capbuf, f_search_set, fc_requested: float,
-                fc_programmed: float, fs_programmed: float,
-                config: Optional[SearchConfig] = None) -> List[Cell]:
-    """Search one carrier: detect, refine, and (optionally) decode cells."""
-    cfg = config or SearchConfig()
-    capbuf = np.asarray(capbuf)
-
-    res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
-                    fc_programmed, fs_programmed)
-    Z_th1 = compute_z_th1(res.sp_incoherent, res.n_comb_xc, cfg.ds_comb_arm,
-                          cfg.thresh1_n_nines)
-    peaks = peak_search(res.xc_incoherent_collapsed_pow,
-                        res.xc_incoherent_collapsed_frq,
-                        Z_th1, f_search_set, fc_requested, fc_programmed,
-                        res.xc_incoherent_single, cfg.ds_comb_arm)
-
+def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
+                 fc_programmed: float, fs_programmed: float,
+                 cfg: SearchConfig) -> List[Cell]:
+    """Per-peak back half of the pipeline: SSS detection, fine FOE, OFDM
+    demod, superfine TOE/FOE, channel estimation, and blind MIB decode
+    (reference CellSearch.cpp:514-570)."""
     detected: List[Cell] = []
     for cell in peaks:
         cell = sss_detect(cell, capbuf, cfg.thresh2_n_sigma, fc_requested,
@@ -91,6 +81,25 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
             continue
         detected.append(cell)
     return detected
+
+
+def cell_search(capbuf, f_search_set, fc_requested: float,
+                fc_programmed: float, fs_programmed: float,
+                config: Optional[SearchConfig] = None) -> List[Cell]:
+    """Search one carrier: detect, refine, and (optionally) decode cells."""
+    cfg = config or SearchConfig()
+    capbuf = np.asarray(capbuf)
+
+    res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
+                    fc_programmed, fs_programmed)
+    Z_th1 = compute_z_th1(res.sp_incoherent, res.n_comb_xc, cfg.ds_comb_arm,
+                          cfg.thresh1_n_nines)
+    peaks = peak_search(res.xc_incoherent_collapsed_pow,
+                        res.xc_incoherent_collapsed_frq,
+                        Z_th1, f_search_set, fc_requested, fc_programmed,
+                        res.xc_incoherent_single, cfg.ds_comb_arm)
+    return refine_peaks(peaks, capbuf, fc_requested, fc_programmed,
+                        fs_programmed, cfg)
 
 
 def dedup(cell_lists: List[List[Cell]]) -> List[Cell]:

@@ -1,0 +1,143 @@
+"""Carrier-axis sharding: wide-band scans data-parallel over the mesh.
+
+The reference scans each 100 kHz carrier serially in the CellSearch main
+loop (/root/reference/src/CellSearch.cpp:469-471) -- an embarrassingly
+parallel outer loop (SURVEY.md section 2.4 "Per-carrier outer loop").
+TPU-native design: carriers become a leading batch axis sharded over a
+1-D "c" device mesh; the whole front end (template correlation, k_factor
+fold, delay-spread combining, hypothesis collapse, signal-power estimate)
+runs as ONE jitted SPMD program with zero collectives -- each device owns
+a contiguous slab of carriers, and only the tiny collapsed peak maps
+([3, 9600] per carrier) come back to the host for the greedy peak search
+and the per-peak decode.
+
+Multi-host story: on a multi-host platform the same program spans all
+hosts' devices (jax.Array global sharding over DCN); each host feeds the
+captures for its local carriers and the final `dedup` of decoded cell
+lists happens on host 0.  Composes with the time/hypothesis sharding in
+parallel/sharded.py: use that layout when ONE carrier must go faster than
+a single chip; use this one to scan a band N carriers at a time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..cell import Cell
+from ..constants import HALF_FRAME_LEN, PSS_TD_LEN
+from ..models.search import SearchConfig, compute_z_th1, refine_peaks
+from ..models.peaks import peak_search
+from ..models.xcorr import _xcorr_core, combine_start_indices, pss_templates
+
+
+def make_carrier_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("c",))
+
+
+def _front_one(capbuf, templates, start_idx, ds_comb_arm: int):
+    """One carrier's front end; only the host-needed outputs survive."""
+    xc_single, _xc_inc, pow_c, frq_c, _sp, sp_inc, _xc = _xcorr_core(
+        capbuf, templates, start_idx, ds_comb_arm)
+    return xc_single, pow_c, frq_c, sp_inc
+
+
+@partial(jax.jit, static_argnames=("mesh", "ds_comb_arm"))
+def _front_sharded(mesh: Mesh, capbufs, templates, start_idx,
+                   ds_comb_arm: int):
+    shard = NamedSharding(mesh, P("c"))
+    capbufs = jax.lax.with_sharding_constraint(capbufs, shard)
+    templates = jax.lax.with_sharding_constraint(templates, shard)
+    start_idx = jax.lax.with_sharding_constraint(start_idx, shard)
+    return jax.vmap(_front_one, in_axes=(0, 0, 0, None))(
+        capbufs, templates, start_idx, ds_comb_arm)
+
+
+def plan_carrier_inputs(capbufs: Sequence[np.ndarray],
+                        fc_list: Sequence[float],
+                        f_search_set: np.ndarray,
+                        fc_programmed_list: Sequence[float],
+                        fs_programmed: float, n_devices: int,
+                        dtype=np.complex64):
+    """Stack per-carrier captures + template/fold plans, padded so the
+    carrier count divides the mesh.
+
+    Templates and fold start indices differ per carrier because k_factor
+    depends on fc (searcher.cpp:145-151, 296-298).  Returns
+    (capbufs [C, n_cap], templates [C, 3, n_f, 137],
+     start_idx [C, n_f, n_comb], n_comb_xc, c_real).
+    """
+    c_real = len(capbufs)
+    n_cap = len(capbufs[0])
+    if any(len(c) != n_cap for c in capbufs):
+        raise ValueError("all captures must have equal length")
+    n_lags = n_cap - (PSS_TD_LEN - 1)
+    n_comb_xc = (n_lags - 100) // HALF_FRAME_LEN
+
+    c_pad = -c_real % n_devices
+    cap = np.zeros((c_real + c_pad, n_cap), dtype=dtype)
+    tmpl = np.zeros((c_real + c_pad, 3, len(f_search_set), PSS_TD_LEN),
+                    dtype=dtype)
+    starts = np.zeros((c_real + c_pad, len(f_search_set), n_comb_xc),
+                      dtype=np.int32)
+    for i in range(c_real + c_pad):
+        j = min(i, c_real - 1)
+        cap[i] = np.asarray(capbufs[j], dtype=dtype)
+        tmpl[i] = pss_templates(f_search_set, fc_list[j],
+                                fc_programmed_list[j], fs_programmed, dtype)
+        starts[i] = combine_start_indices(
+            f_search_set, fc_list[j], fc_programmed_list[j], fs_programmed,
+            n_comb_xc)
+    return cap, tmpl, starts, n_comb_xc, c_real
+
+
+def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
+              f_search_set: np.ndarray, fs_programmed: float,
+              config: Optional[SearchConfig] = None,
+              mesh: Optional[Mesh] = None,
+              dtype=np.complex64) -> List[List[Cell]]:
+    """Scan many carriers at once, carriers sharded across the mesh.
+
+    captures: sequence of (capbuf, fc_requested, fc_programmed).
+    Returns one decoded-cell list per carrier (feed to models.search.dedup).
+    The device front end runs for ALL carriers in one SPMD program; the
+    tiny per-carrier peak search + per-peak decode stay on host
+    (reference CellSearch.cpp:497-570 semantics per carrier).
+    """
+    cfg = config or SearchConfig()
+    mesh = mesh or make_carrier_mesh()
+    n_dev = mesh.devices.size
+
+    capbufs = [c[0] for c in captures]
+    fc_list = [c[1] for c in captures]
+    fcp_list = [c[2] for c in captures]
+    cap, tmpl, starts, n_comb_xc, c_real = plan_carrier_inputs(
+        capbufs, fc_list, f_search_set, fcp_list, fs_programmed, n_dev,
+        dtype)
+
+    xc_single, pow_c, frq_c, sp_inc = _front_sharded(
+        mesh, cap, tmpl, starts, cfg.ds_comb_arm)
+    xc_single = np.asarray(xc_single)
+    pow_c = np.asarray(pow_c)
+    frq_c = np.asarray(frq_c)
+    sp_inc = np.asarray(sp_inc)
+
+    results: List[List[Cell]] = []
+    for i in range(c_real):
+        Z_th1 = compute_z_th1(sp_inc[i], n_comb_xc, cfg.ds_comb_arm,
+                              cfg.thresh1_n_nines)
+        peaks = peak_search(pow_c[i], frq_c[i], Z_th1, f_search_set,
+                            fc_list[i], fcp_list[i], xc_single[i],
+                            cfg.ds_comb_arm)
+        results.append(refine_peaks(peaks, np.asarray(capbufs[i]),
+                                    fc_list[i], fcp_list[i], fs_programmed,
+                                    cfg))
+    return results
