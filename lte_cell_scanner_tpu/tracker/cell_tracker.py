@@ -409,14 +409,26 @@ class TrackedCellProcessor:
         return True
 
     # ------------------------------------------------------------------
-    def process(self, pdus: Deque[SymbolPdu]) -> None:
+    def process(self, pdus: Deque[SymbolPdu],
+                fd_syms: Optional[np.ndarray] = None) -> None:
         """Consume all pending symbol PDUs (one reference loop iteration
-        per PDU, tracker_thread.cpp:856-1067)."""
+        per PDU, tracker_thread.cpp:856-1067).
+
+        fd_syms, when given, carries the precomputed frequency-domain
+        symbols for the first len(fd_syms) PDUs (the batched device
+        get_fd, tracker/batched.py); the host _get_fd is skipped and
+        bulk_phase_offset is assumed already advanced.
+        """
         c = self.cell
         n_ports = c.n_ports
+        fd_idx = 0
         while pdus and not c.kill_me:
             pdu = pdus.popleft()
-            syms = self._get_fd(pdu)
+            if fd_syms is not None and fd_idx < len(fd_syms):
+                syms = fd_syms[fd_idx]
+                fd_idx += 1
+            else:
+                syms = self._get_fd(pdu)
             self.data_fifo.append((self.slot_num, self.sym_num, syms))
 
             for port in range(n_ports):

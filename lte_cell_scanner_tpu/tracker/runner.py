@@ -47,7 +47,8 @@ class TrackerRunner:
 
     def __init__(self, fc_requested: float, fc_programmed: float,
                  fs_programmed: float, initial_fo: float = 0.0,
-                 search_config: Optional[SearchConfig] = None):
+                 search_config: Optional[SearchConfig] = None,
+                 device_fd: bool = True):
         self.state = GlobalState(fc_requested=fc_requested,
                                  fc_programmed=fc_programmed,
                                  fs_programmed=fs_programmed,
@@ -57,6 +58,9 @@ class TrackerRunner:
         self.processors = {}
         self.search_config = search_config or SearchConfig()
         self._search_enabled = True
+        # batched device get_fd over all cells' pending symbols
+        # (tracker/batched.py); False = per-symbol host path
+        self.device_fd = device_fd
 
     # ------------------------------------------------------------------
     def add_cell(self, tc: TrackedCell) -> None:
@@ -71,12 +75,24 @@ class TrackerRunner:
         """Feed one block of complex samples through the whole graph."""
         self.producer.process(samples, self.cells)
 
-        # drive the per-cell trackers
+        # drive the per-cell trackers; with device_fd, the get_fd stage
+        # (mixer + DFT + phase compensation) of every cell's pending
+        # symbols runs as ONE jitted [n_cells, n_sym, 128] batch first
+        fd_map = {}
+        if self.device_fd:
+            work = [(self.processors[tc.n_id_cell],
+                     list(self.producer.fifos.get(tc.n_id_cell) or ()))
+                    for tc in self.cells]
+            work = [(p, pdus) for p, pdus in work if pdus]
+            if work:
+                from .batched import batched_get_fd
+                outs = batched_get_fd(work, self.state)
+                fd_map = {id(p): o for (p, _), o in zip(work, outs)}
         for tc in list(self.cells):
             proc = self.processors[tc.n_id_cell]
             fifo = self.producer.fifos.get(tc.n_id_cell)
             if fifo:
-                proc.process(fifo)
+                proc.process(fifo, fd_syms=fd_map.get(id(proc)))
             if tc.kill_me:
                 self.cells.remove(tc)
                 self.processors.pop(tc.n_id_cell)

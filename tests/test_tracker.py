@@ -58,6 +58,49 @@ def test_frequency_offset_converges(tracked_run):
     assert abs(fo - F_OFF) < 50.0, fo
 
 
+def test_batched_get_fd_matches_host():
+    """The jitted [cells, symbols, 128] get_fd batch (tracker/batched.py)
+    must reproduce the per-symbol host path bit-close, including the
+    bulk-phase accumulator carried across symbols."""
+    from lte_cell_scanner_tpu.tracker.batched import batched_get_fd
+    from lte_cell_scanner_tpu.tracker.cell_tracker import \
+        TrackedCellProcessor
+    from lte_cell_scanner_tpu.tracker.producer import SymbolPdu
+    from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
+    from lte_cell_scanner_tpu.cell import Cell
+
+    rng = np.random.default_rng(5)
+    state = GlobalState(fc_requested=FC, fc_programmed=FC,
+                        fs_programmed=FS, frequency_offset=250.0)
+
+    def make(n_id_cell, cp, n_sym):
+        cell = TrackedCell(n_id_cell=n_id_cell, n_id_1=n_id_cell // 3,
+                           n_id_2=n_id_cell % 3, cp_type=cp, n_ports=2,
+                           n_rb_dl=6, frame_timing=0.0)
+        proc_a = TrackedCellProcessor(cell, state)
+        proc_b = TrackedCellProcessor(cell, state)
+        proc_a.bulk_phase_offset = proc_b.bulk_phase_offset = 0.3
+        pdus = []
+        for s in range(n_sym):
+            pdus.append(SymbolPdu(
+                data=rng.normal(size=128) + 1j * rng.normal(size=128),
+                slot_num=0, sym_num=s % cell.n_symb_dl(),
+                late=float(rng.uniform(-0.5, 2.0)),
+                frequency_offset=250.0 + 10 * s, frame_timing=0.0))
+        return proc_a, proc_b, pdus
+
+    a1, b1, p1 = make(277, CpType.NORMAL, 7)
+    a2, b2, p2 = make(100, CpType.EXTENDED, 13)
+
+    outs = batched_get_fd([(a1, p1), (a2, p2)], state)
+    for proc_b, pdus, out in ((b1, p1, outs[0]), (b2, p2, outs[1])):
+        host = np.stack([proc_b._get_fd(p) for p in pdus])
+        assert np.allclose(out, host, atol=1e-10), \
+            np.abs(out - host).max()
+    assert np.isclose(a1.bulk_phase_offset, b1.bulk_phase_offset)
+    assert np.isclose(a2.bulk_phase_offset, b2.bulk_phase_offset)
+
+
 def test_measurements_populated(tracked_run):
     tc = tracked_run.cells[0]
     # CRS and sync-channel measurements flow to the dashboard state
