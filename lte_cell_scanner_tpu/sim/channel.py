@@ -36,6 +36,26 @@ def apply_freq_offset(sig: np.ndarray, f_off: float,
     return sig * np.exp(1j * 2 * np.pi * f_off * t / fs)
 
 
+def multipath_channel(sig: np.ndarray, n_taps: int = 4,
+                      delay_spread: float = 1.5,
+                      rng: Optional[np.random.Generator] = None
+                      ) -> np.ndarray:
+    """Random static multipath FIR channel.
+
+    Rayleigh taps with an exponential power-delay profile
+    (tap k power ~ e^{-k/delay_spread}), normalized to unit average
+    gain.  Stands in for the external ``channel_gen`` the reference's
+    Monte-Carlo harness uses (Matlab/pss_search_final.m:143-156,
+    Matlab/README:5-6) for frequency-selective fading trials.
+    """
+    rng = rng or np.random.default_rng()
+    pdp = np.exp(-np.arange(n_taps) / delay_spread)
+    pdp = pdp / pdp.sum()
+    taps = (rng.normal(size=n_taps) + 1j * rng.normal(size=n_taps)) \
+        * np.sqrt(pdp / 2.0)          # E[sum |h_k|^2] = sum pdp = 1
+    return np.convolve(sig, taps)[: len(sig)]
+
+
 def apply_clock_offset(sig: np.ndarray, k_factor: float) -> np.ndarray:
     """Resample by the crystal scale factor (receiver samples at fs*k).
 

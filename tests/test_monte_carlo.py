@@ -1,0 +1,47 @@
+"""Monte-Carlo detection statistics (reference pss_search_final.m).
+
+Small fixed-seed configurations keep the run fast; the full sweeps are
+run manually via tools/monte_carlo.py.
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                       / "tools"))
+
+from monte_carlo import run_config, run_trial  # noqa: E402
+
+
+def test_high_snr_all_detected():
+    out = run_config(trials=4, snr_db=0.0, fading=False, seed=10)
+    assert out["success"] == 1.0
+    assert out["false_alarm"] == 0.0
+    assert out["timing_rmse"] < 1.0
+    assert out["freq_rmse"] < 300.0
+
+
+def test_fading_channel_detected():
+    out = run_config(trials=3, snr_db=-5.0, fading=True, seed=11)
+    assert out["success"] >= 2 / 3
+    assert out["false_alarm"] == 0.0
+
+
+def test_noise_floor_rejects_cleanly():
+    """Deep below sensitivity every trial must fail the chi-squared gate
+    (false-alarm design point 1e-12 per lag, CellSearch.cpp:500-503)."""
+    out = run_config(trials=3, snr_db=-30.0, fading=False, seed=12)
+    assert out["success"] == 0.0
+    assert out["false_alarm"] == 0.0
+    assert out["thresh1_fail"] == 1.0
+
+
+def test_trial_with_full_decode():
+    """--decode runs the whole chain incl. blind MIB decode inside the
+    harness (beyond the reference harness, which stopped at SSS)."""
+    rng = np.random.default_rng(13)
+    r = run_trial(rng, snr_db=5.0, fading=False, decode=True)
+    assert r.outcome == "success"
+    assert abs(r.timing_err) < 1.0

@@ -1,0 +1,169 @@
+"""Monte-Carlo detection-statistics harness.
+
+Re-creation of the reference's statistical test driver
+(/root/reference/Matlab/pss_search_final.m:1-367): each trial draws a
+random cell (ID, CP type, frame phase, load factor), a random channel
+(AWGN; optional multipath fading; frequency + coupled clock offset),
+runs the detection chain (xcorr_pss -> threshold -> peak_search ->
+sss_detect -> pss_sss_foe), and classifies the outcome exactly as the
+MATLAB harness does (pss_search_final.m:341-363):
+
+  success      -- correct cell ID + CP type + frame timing within tol
+  thresh1_fail -- no correlation peak cleared the chi-squared Z_th1 gate
+  thresh2_fail -- peak(s) found but the SSS log-likelihood gate rejected
+  false_alarm  -- an accepted detection with the wrong cell identity
+
+Usage:
+  python tools/monte_carlo.py --trials 50 --snr -8 --fading --seed 0
+  python tools/monte_carlo.py --trials 20 --snr-sweep -12 -4 2
+
+Prints one JSON line per configuration with the rates, plus per-trial
+lines with --verbose.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+@dataclass
+class TrialResult:
+    outcome: str
+    n_id_cell: int
+    detected_id: int = -1
+    timing_err: float = float("nan")
+    freq_err: float = float("nan")
+
+
+def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
+              f_off_max: float = 7.5e3, n_subframes: int = 80,
+              decode: bool = False) -> TrialResult:
+    from lte_cell_scanner_tpu.cell import CpType
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.search import SearchConfig, cell_search
+    from lte_cell_scanner_tpu.sim import (apply_freq_offset, awgn,
+                                          create_dl_sig, multipath_channel)
+
+    fs = FS_LTE / 16
+    fc = 739e6
+
+    n_id_1 = int(rng.integers(0, 168))
+    n_id_2 = int(rng.integers(0, 3))
+    n_id_cell = 3 * n_id_1 + n_id_2
+    cp_type = CpType.NORMAL if rng.random() < 0.5 else CpType.EXTENDED
+    slot_start = int(rng.integers(0, 20))
+    load_factor = float(rng.uniform(0.1, 0.9))
+    f_off = float(rng.uniform(-f_off_max, f_off_max))
+
+    sig = create_dl_sig(cp_type, n_subframes, slot_start, n_id_1, n_id_2,
+                        load_factor, rng=rng, n_ports=2 if decode else 0)
+    if fading:
+        sig = multipath_channel(sig, rng=rng)
+    sig = apply_freq_offset(sig, f_off, fs)
+    sig = awgn(sig, snr_db, rng=rng)
+
+    f_search_set = np.arange(-10e3, 10e3 + 1, 5e3)
+    cfg = SearchConfig(decode=decode)
+    cells = cell_search(sig, f_search_set, fc, fc, fs, cfg)
+
+    # classification (pss_search_final.m:341-363 semantics)
+    if not cells:
+        # distinguish thresh1 vs thresh2 by re-running the front half
+        from lte_cell_scanner_tpu.models.peaks import peak_search
+        from lte_cell_scanner_tpu.models.search import compute_z_th1
+        from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
+        res = xcorr_pss(sig, f_search_set, cfg.ds_comb_arm, fc, fc, fs)
+        z = compute_z_th1(res.sp_incoherent, res.n_comb_xc,
+                          cfg.ds_comb_arm, cfg.thresh1_n_nines)
+        peaks = peak_search(res.xc_incoherent_collapsed_pow,
+                            res.xc_incoherent_collapsed_frq, z,
+                            f_search_set, fc, fc,
+                            res.xc_incoherent_single, cfg.ds_comb_arm)
+        return TrialResult("thresh1_fail" if not peaks else "thresh2_fail",
+                           n_id_cell)
+
+    best = max(cells, key=lambda c: c.pss_pow)
+    if best.n_id_cell() != n_id_cell or best.cp_type is not cp_type:
+        return TrialResult("false_alarm", n_id_cell,
+                           detected_id=best.n_id_cell())
+
+    # ground-truth frame boundary: the signal starts at slot_start, so
+    # slot 0 lands ((20 - slot_start) % 20) * 960 samples in; the chain
+    # reports frame_start with its 2-sample extraction margin
+    expect = (((20 - slot_start) % 20) * 960 - 2.0) % 19200.0
+    err = (best.frame_start - expect + 9600.0) % 19200.0 - 9600.0
+    ferr = best.freq_fine - f_off
+    if abs(err) > 4.0:
+        return TrialResult("false_alarm", n_id_cell,
+                           detected_id=best.n_id_cell(), timing_err=err)
+    return TrialResult("success", n_id_cell, detected_id=best.n_id_cell(),
+                       timing_err=err, freq_err=ferr)
+
+
+def run_config(trials: int, snr_db: float, fading: bool, seed: int,
+               verbose: bool = False, decode: bool = False) -> dict:
+    rng = np.random.default_rng(seed)
+    counts = {"success": 0, "thresh1_fail": 0, "thresh2_fail": 0,
+              "false_alarm": 0}
+    terrs, ferrs = [], []
+    for t in range(trials):
+        r = run_trial(rng, snr_db, fading, decode=decode)
+        counts[r.outcome] += 1
+        if r.outcome == "success":
+            terrs.append(r.timing_err)
+            ferrs.append(r.freq_err)
+        if verbose:
+            print(json.dumps({"trial": t, "outcome": r.outcome,
+                              "cell": r.n_id_cell,
+                              "detected": r.detected_id,
+                              "timing_err": round(r.timing_err, 3)
+                              if np.isfinite(r.timing_err) else None}),
+                  file=sys.stderr)
+    out = {"snr_db": snr_db, "fading": fading, "trials": trials,
+           **{k: v / trials for k, v in counts.items()}}
+    if terrs:
+        out["timing_rmse"] = float(np.sqrt(np.mean(np.square(terrs))))
+        out["freq_rmse"] = float(np.sqrt(np.mean(np.square(ferrs))))
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--snr", type=float, default=-6.0)
+    ap.add_argument("--snr-sweep", nargs=3, type=float, default=None,
+                    metavar=("START", "STOP", "STEP"))
+    ap.add_argument("--fading", action="store_true")
+    ap.add_argument("--decode", action="store_true",
+                    help="run the full chain incl. MIB decode")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--platform", choices=["tpu", "cpu", "default"],
+                    default="default")
+    args = ap.parse_args(argv)
+
+    if args.platform != "default":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            jax.config.update("jax_enable_x64", True)
+
+    snrs = [args.snr] if args.snr_sweep is None else list(
+        np.arange(args.snr_sweep[0], args.snr_sweep[1] + 1e-9,
+                  args.snr_sweep[2]))
+    for snr in snrs:
+        print(json.dumps(run_config(args.trials, float(snr), args.fading,
+                                    args.seed, args.verbose, args.decode)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
