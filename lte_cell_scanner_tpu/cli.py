@@ -74,6 +74,8 @@ def cmd_search(args) -> int:
     from .io.capture import capture_data
     from .models.search import (SearchConfig, cell_search, dedup,
                                 default_f_search_set)
+    from .utils.debug import set_verbosity
+    set_verbosity(args.verbose)
 
     freq_start = args.freq_start
     freq_end = args.freq_end if args.freq_end else freq_start

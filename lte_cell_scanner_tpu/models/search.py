@@ -17,6 +17,7 @@ from ..cell import Cell, CpType
 from ..constants import (DS_COMB_ARM, FS_LTE, THRESH1_N_NINES,
                          THRESH2_N_SIGMA)
 from ..ops.dsp import chi2cdf_inv, matlab_range
+from ..utils.debug import debug_export
 from .mib import decode_mib
 from .peaks import peak_search
 from .rs import RsDl
@@ -98,6 +99,18 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
                         res.xc_incoherent_collapsed_frq,
                         Z_th1, f_search_set, fc_requested, fc_programmed,
                         res.xc_incoherent_single, cfg.ds_comb_arm)
+    # intermediate-array tracing for offline diffing (the reference's
+    # ITPP_DEBUG_EXPORT convention, macros.h:55-72); no-op unless a dump
+    # is active
+    debug_export("xc_incoherent_collapsed_pow",
+                 res.xc_incoherent_collapsed_pow)
+    debug_export("xc_incoherent_collapsed_frq",
+                 res.xc_incoherent_collapsed_frq)
+    debug_export("sp_incoherent", res.sp_incoherent)
+    debug_export("Z_th1", Z_th1)
+    if peaks:
+        debug_export("peak_ind", np.array([p.ind for p in peaks]))
+        debug_export("peak_n_id_2", np.array([p.n_id_2 for p in peaks]))
     return refine_peaks(peaks, capbuf, fc_requested, fc_programmed,
                         fs_programmed, cfg)
 
