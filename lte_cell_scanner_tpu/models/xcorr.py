@@ -69,12 +69,18 @@ def combine_start_indices(f_search_set: np.ndarray, fc_requested: float,
     return round_i(m[None, :] * 0.005 * k_factor[:, None] * fs_programmed)
 
 
-@partial(jax.jit, static_argnames=("ds_comb_arm",))
-def _xcorr_core(capbuf, templates, start_idx, ds_comb_arm: int):
+@partial(jax.jit, static_argnames=("ds_comb_arm", "keep_xc"))
+def _xcorr_core(capbuf, templates, start_idx, ds_comb_arm: int,
+                keep_xc: bool = True):
     """Jitted device portion of xcorr_pss.
 
     Returns (xc_incoherent_single [3,n_f,9600], xc_incoherent [3,n_f,9600],
              pow [3,9600], frq [3,9600], sp [n_sp], sp_incoherent [9600], xc).
+
+    keep_xc=False drops the raw complex correlation from the outputs so
+    XLA fuses the |.|^2 into the matmul epilogue and never materializes
+    the [3, n_f, n_lags] complex array (~114 MB at the default grid) --
+    the production scan path only needs the folded powers.
     """
     n_f = templates.shape[1]
     rdt = jnp.real(capbuf).dtype
@@ -85,6 +91,10 @@ def _xcorr_core(capbuf, templates, start_idx, ds_comb_arm: int):
 
     # --- xc_combine: k_factor-aware fold mod one half frame ----------------
     xc2 = jnp.real(xc) ** 2 + jnp.imag(xc) ** 2        # [3, n_f, n_lags]
+    # materialize xc2 once: without this barrier XLA fuses the matmul into
+    # every fold-slice consumer and recomputes the correlation ~n_comb
+    # times (measured 18x slowdown when xc is not an output)
+    xc2 = jax.lax.optimization_barrier(xc2)
     n_comb_xc = start_idx.shape[1]
     base = jnp.arange(HALF_FRAME_LEN)
 
@@ -121,7 +131,8 @@ def _xcorr_core(capbuf, templates, start_idx, ds_comb_arm: int):
     sp_incoherent = jnp.roll(sp_incoherent, 137)
 
     del base
-    return xc_single, xc_inc, pow_collapsed, frq_collapsed, sp, sp_incoherent, xc
+    return (xc_single, xc_inc, pow_collapsed, frq_collapsed, sp,
+            sp_incoherent, xc if keep_xc else None)
 
 
 @dataclass
@@ -151,7 +162,7 @@ def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
         f_search_set, fc_requested, fc_programmed, fs_programmed, n_comb_xc))
 
     (xc_single, xc_inc, pow_c, frq_c, sp, sp_inc, xc) = _xcorr_core(
-        capbuf, templates, start_idx, ds_comb_arm)
+        capbuf, templates, start_idx, ds_comb_arm, keep_xc)
 
     n_comb_sp = (capbuf.shape[0] - 136 - 137) // HALF_FRAME_LEN
     res = XcorrResult(
