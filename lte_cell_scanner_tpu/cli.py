@@ -171,6 +171,38 @@ def cmd_track(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Capture-integrity diagnostics (the reference rtl_sdr_check binary,
+    /root/reference/src/rtl_sdr_check.cpp:280-424)."""
+    from .diag import check_capture
+    from .utils.itfile import read_itfile
+    from .utils.rtl import read_rtlsdr_file
+
+    if args.file.endswith(".it"):
+        cap = read_itfile(args.file)["capbuf"]
+    else:
+        cap = read_rtlsdr_file(args.file)
+    res = check_capture(cap, args.freq, args.foff, args.fs, args.cell_id,
+                        drop_seconds=args.drop)
+    print(f"Samples: {res.n_samples}  peak {res.peak_power_db:.1f} dB  "
+          f"peak/avg {res.peak_to_average:.0f}  "
+          f"expected period {res.expected_period:.3f}")
+    if not res.sync_found():
+        print("No sync-signal correlation found -- wrong cell ID / freq "
+              "offset, or no such cell in this capture.")
+        return 1
+    print(f"{'location':>10} {'diff':>8} {'dropped':>8}  flag")
+    for p in res.peaks:
+        print(f"{p.location:>10} {p.diff_with_prev:>8} {p.n_dropped:>8}  "
+              f"{p.severity}")
+    if res.missing:
+        print(f"Missing peaks near: {res.missing}")
+    worst = res.worst_drop()
+    print(f"Worst drop: {worst} samples"
+          + ("  (capture is CLEAN)" if worst <= 2 else ""))
+    return 0 if worst <= 2 and not res.missing else 2
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="lte-cell-scanner-tpu")
     p.add_argument("--platform", choices=["tpu", "cpu", "default"],
@@ -218,6 +250,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.add_argument("-x", "--expert", action="store_true",
                     help="show ASCII channel/autocorrelation plots")
     pt.set_defaults(func=cmd_track)
+
+    pc = sub.add_parser("check", help="scan a capture for dropped samples")
+    pc.add_argument("file", help=".it capture or raw rtl_sdr u8 file")
+    pc.add_argument("-f", "--freq", type=float, required=True)
+    pc.add_argument("--cell-id", type=int, required=True,
+                    help="known cell ID whose sync signals to correlate")
+    pc.add_argument("--foff", type=float, default=0.0)
+    pc.add_argument("--fs", type=float, default=1.92e6)
+    pc.add_argument("--drop", type=float, default=0.0,
+                    help="seconds to skip at the start (AGC settle)")
+    pc.set_defaults(func=cmd_check)
 
     args = p.parse_args(argv)
     if args.platform != "default":

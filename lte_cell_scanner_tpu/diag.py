@@ -42,6 +42,15 @@ class CaptureCheckResult:
     expected_period: float
     peaks: List[PeakReport]
     missing: List[int]
+    peak_to_average: float = float("inf")
+
+    # Below this peak-to-average correlation ratio the "peaks" are noise:
+    # the matched filter against the wrong cell/offset measures ~30 on
+    # the shipped air capture vs ~550 for the true cell.
+    PAR_FLOOR = 60.0
+
+    def sync_found(self) -> bool:
+        return self.peak_to_average >= self.PAR_FLOOR and bool(self.peaks)
 
     def worst_drop(self) -> int:
         return max((abs(p.n_dropped) for p in self.peaks), default=0)
@@ -113,4 +122,5 @@ def check_capture(cap_data: np.ndarray, fc: float, f_off: float, fs: float,
 
     return CaptureCheckResult(
         n_samples=n_samp, peak_power_db=float(10 * np.log10(peak)),
-        expected_period=expected_period, peaks=peaks, missing=missing)
+        expected_period=expected_period, peaks=peaks, missing=missing,
+        peak_to_average=float(peak / xc.mean()))

@@ -21,6 +21,29 @@ def test_clean_capture_has_periodic_peaks():
     assert not res.missing
 
 
+def test_wrong_cell_id_rejected():
+    """Correlating the wrong cell's sync template must fail the
+    peak-to-average gate instead of reporting noise peaks as drops."""
+    sig = _make_sig(seed=2)
+    good = check_capture(sig, 739e6, 0.0, 1.92e6, 277)
+    bad = check_capture(sig, 739e6, 0.0, 1.92e6, 42)
+    assert good.sync_found()
+    assert not bad.sync_found()
+
+
+def test_check_cli_subcommand(tmp_path):
+    """`cli check` end-to-end: clean .it capture -> exit 0, wrong cell
+    -> exit 1 (reference rtl_sdr_check binary surface)."""
+    from lte_cell_scanner_tpu.cli import main
+    from lte_cell_scanner_tpu.utils.itfile import write_itfile
+
+    p = str(tmp_path / "cap.it")
+    write_itfile(p, {"capbuf": _make_sig(ms=80, seed=3),
+                     "fc": np.array([739000000])})
+    assert main(["check", p, "-f", "739e6", "--cell-id", "277"]) == 0
+    assert main(["check", p, "-f", "739e6", "--cell-id", "42"]) == 1
+
+
 def test_dropped_samples_detected():
     sig = _make_sig(seed=1)
     # drop 50 samples mid-capture (a USB glitch)
