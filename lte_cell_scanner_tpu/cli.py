@@ -270,7 +270,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             jax.config.update("jax_enable_x64", True)
     if not hasattr(args, "load_files") or args.load_files is None:
         args.load_files = []
-    return args.func(args)
+    try:
+        return args.func(args)
+    except FileNotFoundError as e:
+        print(f"Error: file not found: {e.filename}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
