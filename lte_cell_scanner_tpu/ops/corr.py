@@ -18,8 +18,10 @@ that the MXU executes directly.  Three interchangeable strategies:
           padded length).
 
 All return xc with shape [T, n_lags] in the complex dtype of the inputs.
-The Pallas kernel (corr_pallas.py) is the production TPU path; these are
-the portable references it is verified against.
+"dot" with a fused |.|^2 consumer is the production TPU path (measured
+fastest on the target chip); the hand-written Pallas kernel
+(corr_pallas.py) is the explicit-kernel alternative verified against
+these.
 """
 
 from __future__ import annotations
