@@ -21,7 +21,7 @@ reference's probe trick) and become gather/scatter index plans.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Tuple
 
 import numpy as np
@@ -80,12 +80,15 @@ def _trellis(n_states: int = 64):
     return next_state, out_bits
 
 
+@jax.jit
 def conv_decode_tailbite(d_llr) -> jnp.ndarray:
     """Soft tail-biting Viterbi decode: LLRs [3, n] -> bits [n] (int32).
 
     d_llr[i, k] = ln(P(d==0)/P(d==1)).  All 64 start-state hypotheses run
     in one vectorized pass; the winner is the best path with start == end
-    state (IT++ Convolutional_Code::decode_tailbite contract).
+    state (IT++ Convolutional_Code::decode_tailbite contract).  Jitted:
+    the MIB shape [3, 40] compiles once per process (recompiles were the
+    tracker's dominant cost before).
     """
     d_llr = jnp.asarray(d_llr)
     n = d_llr.shape[1]
@@ -186,6 +189,20 @@ def conv_ratematch(d: np.ndarray, n_e: int) -> np.ndarray:
     return d[m[:, 0], m[:, 1]]
 
 
+@partial(jax.jit, static_argnames=("n_c",))
+def _deratematch_core(e_llr, flat_idx, n_c: int):
+    sums = jnp.zeros(3 * n_c, e_llr.dtype).at[flat_idx].add(e_llr)
+    counts = jnp.zeros(3 * n_c, e_llr.dtype).at[flat_idx].add(1.0)
+    avg = jnp.where(counts > 1, sums / jnp.maximum(counts, 1), sums)
+    return avg.reshape(3, n_c)
+
+
+@lru_cache(maxsize=None)
+def _ratematch_flat_idx(n_c: int, n_e: int):
+    m = ratematch_map(n_c, n_e)
+    return np.ascontiguousarray(m[:, 0] * n_c + m[:, 1])
+
+
 def conv_deratematch(e_llr, n_c: int) -> jnp.ndarray:
     """Invert rate matching, averaging repeated LLR observations.
 
@@ -194,13 +211,8 @@ def conv_deratematch(e_llr, n_c: int) -> jnp.ndarray:
     averaged; unseen positions are 0 = erasure).
     """
     e_llr = jnp.asarray(e_llr)
-    n_e = e_llr.shape[0]
-    m = ratematch_map(n_c, n_e)
-    flat_idx = jnp.asarray(m[:, 0] * n_c + m[:, 1])
-    sums = jnp.zeros(3 * n_c, e_llr.dtype).at[flat_idx].add(e_llr)
-    counts = jnp.zeros(3 * n_c, e_llr.dtype).at[flat_idx].add(1.0)
-    avg = jnp.where(counts > 1, sums / jnp.maximum(counts, 1), sums)
-    return avg.reshape(3, n_c)
+    flat_idx = jnp.asarray(_ratematch_flat_idx(n_c, int(e_llr.shape[0])))
+    return _deratematch_core(e_llr, flat_idx, n_c)
 
 
 # ---------------------------------------------------------------------------

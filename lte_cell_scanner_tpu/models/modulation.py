@@ -13,9 +13,10 @@ logsumexp over the constellation, batched over symbols, jit/vmap-friendly.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
@@ -60,12 +61,14 @@ def lte_modulate(bits: np.ndarray, modulation: str = "qpsk") -> np.ndarray:
     return mod_map(modulation)[idx]
 
 
+@partial(jax.jit, static_argnames=("modulation",))
 def lte_demodulate(syms, np_vec, modulation: str = "qpsk") -> jnp.ndarray:
     """Exact log-MAP soft bits: ln(P(b==0|r)/P(b==1|r)), [n_sym*bps].
 
     syms: channel-compensated symbols; np_vec: per-symbol noise power.
     Matches IT++ demodulate_soft_bits(syms/sqrt(np), 1/sqrt(np), 1, LOGMAP)
-    as called at reference lte_lib.cpp:630-631.
+    as called at reference lte_lib.cpp:630-631.  Jitted (one compile per
+    shape/modulation).
     """
     syms = jnp.asarray(syms)
     np_vec = jnp.asarray(np_vec)

@@ -89,7 +89,8 @@ class TrackedCellProcessor:
         self.ce_filt_fifo: List[Deque[_FiltPdu]] = [deque() for _ in range(n_ports)]
         self.ce_interp_fifo: List[Deque[_InterpPdu]] = [deque() for _ in range(n_ports)]
         self.ce_interp_init = [False] * n_ports
-        self.ce_history: List[Deque[np.ndarray]] = [deque() for _ in range(n_ports)]
+        self.ce_history = [(np.zeros((72, 12), np.complex128), [0])
+                           for _ in range(n_ports)]
         self.mib_fifo: Deque = deque()
         self.mib_fifo_synchronized = False
         self.sss_sym: Optional[np.ndarray] = None
@@ -122,20 +123,22 @@ class TrackedCellProcessor:
 
     # ------------------------------------------------------------------
     def _filter_ce(self, prev: _RsPdu, curr: _RsPdu, nxt: _RsPdu):
-        """3-symbol hex filtering (reference filter_ce)."""
-        out = np.empty(12, dtype=np.complex128)
-        for t in range(12):
-            lo, hi = max(0, t - 1), min(11, t + 1)
-            total = curr.ce[lo: hi + 1].sum()
-            n_total = hi - lo + 1
-            if prev.shift < curr.shift:
-                lo2, hi2 = t, min(11, t + 1)
-            else:
-                lo2, hi2 = max(0, t - 1), t
-            total += prev.ce[lo2: hi2 + 1].sum() + nxt.ce[lo2: hi2 + 1].sum()
-            n_total += 2 * (hi2 - lo2 + 1)
-            out[t] = total / n_total
-        return out
+        """3-symbol hex filtering (reference filter_ce), vectorized:
+        the clamped neighbor-window sums are 'same'-mode convolutions
+        (out-of-range taps contribute 0, counts tracked separately)."""
+        one3 = np.ones(3)
+        cur_sum = np.convolve(curr.ce, one3, "same")       # [t-1, t+1] clamped
+        n_cur = np.convolve(np.ones(12), one3, "same")
+        pn = prev.ce + nxt.ce
+        if prev.shift < curr.shift:
+            # window [t, t+1]
+            side = pn + np.concatenate([pn[1:], [0.0]])
+            n_side = np.concatenate([np.full(11, 2.0), [1.0]])
+        else:
+            # window [t-1, t]
+            side = pn + np.concatenate([[0.0], pn[:-1]])
+            n_side = np.concatenate([[1.0], np.full(11, 2.0)])
+        return (cur_sum + side) / (n_cur + 2 * n_side)
 
     def _do_foe(self, prev: _RsPdu, nxt: _RsPdu, np_curr: float,
                 ce_filt: np.ndarray) -> None:
@@ -178,8 +181,11 @@ class TrackedCellProcessor:
 
     def _do_ac_fd(self, curr: _RsPdu, sp: float, np_curr: float) -> None:
         ce = curr.ce
-        ac = np.array([np.mean(np.conj(ce[: 12 - d]) * ce[d:]) if d < 12
-                       else 0 for d in range(12)])
+        # ac[d] = mean(conj(ce[:12-d]) * ce[d:]) via one correlation
+        # (np.correlate conjugates its second argument)
+        full = np.correlate(ce, ce, "full")        # full[11+d] = sum_t ce[t+d] conj(ce[t])
+        counts = np.arange(12.0, 0.0, -1.0)
+        ac = full[11:] / counts
         ac = ac / sp
         counts = np.arange(12.0, 0.0, -1.0)
         ac_np = (np_curr ** 2 / sp ** 2 + 2 * np_curr / sp) / counts
@@ -187,35 +193,32 @@ class TrackedCellProcessor:
         self.cell.ac_fd = (self.cell.ac_fd * w_old + ac / ac_np) \
             / (w_old + 1.0 / ac_np)
 
-    def _do_ac_td(self, curr: _RsPdu, sp: float, hist: Deque) -> None:
-        hist.append(curr.ce)
-        if len(hist) > 72:
-            hist.popleft()
-        if len(hist) == 72:
-            last = hist[71]
-            xc = np.array([np.sum(np.conj(last) * hist[71 - t]) / 12
-                           for t in range(72)]) / sp
+    def _do_ac_td(self, curr: _RsPdu, sp: float, hist) -> None:
+        """72-symbol time autocorrelation over a preallocated ring
+        (reference do_ac_td, tracker_thread.cpp:343-370)."""
+        buf, pos = hist
+        buf[pos[0] % 72] = curr.ce
+        pos[0] += 1
+        if pos[0] >= 72:
+            # chronological view: oldest..newest, then reverse for lags
+            order = (pos[0] + np.arange(72)) % 72
+            h = buf[order]                        # [72, 12] oldest-first
+            last = h[71]
+            xc = (h[::-1] @ np.conj(last)) / 12 / sp
             w_old = 1 / 0.00001
             self.cell.ac_td = (self.cell.ac_td * w_old + xc) / (w_old + 1)
 
     # ------------------------------------------------------------------
     def _interp72(self, pdu: _FiltPdu) -> np.ndarray:
         """Linear 12 -> 72 interpolation with edge extrapolation
-        (reference interp72, tracker_thread.cpp:372-393)."""
-        out = np.empty(72, dtype=np.complex128)
-        l_x = pdu.shift
-        l_y = pdu.ce_filt[0]
-        r_x = pdu.shift + 6
-        r_y = pdu.ce_filt[1]
-        ptr = 1
-        for t in range(72):
-            if t > r_x and ptr < 11:
-                l_x, l_y = r_x, r_y
-                r_x += 6
-                ptr += 1
-                r_y = pdu.ce_filt[ptr]
-            out[t] = (r_y - l_y) / (r_x - l_x) * (t - l_x) + l_y
-        return out
+        (reference interp72, tracker_thread.cpp:372-393), vectorized:
+        segment k(t) advances when t passes the right knot shift+6(k+1)."""
+        t = np.arange(72)
+        y = pdu.ce_filt
+        k = np.clip(np.ceil((t - pdu.shift) / 6.0).astype(np.int64) - 1,
+                    0, 10)
+        l_x = pdu.shift + 6 * k
+        return (y[k + 1] - y[k]) / 6.0 * (t - l_x) + y[k]
 
     def _interp2d(self, port: int, prev: _FiltPdu, curr: _FiltPdu) -> None:
         n_symb = self.cell.n_symb_dl()

@@ -101,6 +101,71 @@ def test_batched_get_fd_matches_host():
     assert np.isclose(a2.bulk_phase_offset, b2.bulk_phase_offset)
 
 
+def test_vectorized_per_symbol_math_matches_loops():
+    """The vectorized CE filter / interp72 / freq-autocorrelation must
+    match the reference's scalar-loop semantics exactly
+    (tracker_thread.cpp:176-202, 318-340, 372-393)."""
+    from lte_cell_scanner_tpu.tracker.cell_tracker import (
+        TrackedCellProcessor, _RsPdu, _FiltPdu)
+    from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
+
+    rng = np.random.default_rng(7)
+    state = GlobalState(fc_requested=FC, fc_programmed=FC, fs_programmed=FS)
+    cell = TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
+                       cp_type=CpType.NORMAL, n_ports=2, frame_timing=0.0)
+    proc = TrackedCellProcessor(cell, state)
+
+    def rs(shift):
+        return _RsPdu(shift, 0, 0,
+                      rng.normal(size=12) + 1j * rng.normal(size=12),
+                      100.0, 0.0)
+
+    for sh_prev, sh_cur in ((0, 3), (3, 0)):
+        prev, curr, nxt = rs(sh_prev), rs(sh_cur), rs(sh_prev)
+        got = proc._filter_ce(prev, curr, nxt)
+        want = np.empty(12, complex)
+        for t in range(12):
+            lo, hi = max(0, t - 1), min(11, t + 1)
+            tot = curr.ce[lo:hi + 1].sum()
+            n = hi - lo + 1
+            if prev.shift < curr.shift:
+                lo2, hi2 = t, min(11, t + 1)
+            else:
+                lo2, hi2 = max(0, t - 1), t
+            tot += prev.ce[lo2:hi2 + 1].sum() + nxt.ce[lo2:hi2 + 1].sum()
+            n += 2 * (hi2 - lo2 + 1)
+            want[t] = tot / n
+        assert np.allclose(got, want, atol=1e-14)
+
+    for shift in range(6):
+        y = rng.normal(size=12) + 1j * rng.normal(size=12)
+        pdu = _FiltPdu(shift=shift, slot_num=0, sym_num=0, tp=1.0, sp=1.0,
+                       sp_raw=1.0, np=0.1, ce_filt=y)
+        got = proc._interp72(pdu)
+        want = np.empty(72, complex)
+        l_x, l_y, r_x, r_y, ptr = shift, y[0], shift + 6, y[1], 1
+        for t in range(72):
+            if t > r_x and ptr < 11:
+                l_x, l_y = r_x, r_y
+                r_x += 6
+                ptr += 1
+                r_y = y[ptr]
+            want[t] = (r_y - l_y) / (r_x - l_x) * (t - l_x) + l_y
+        assert np.allclose(got, want, atol=1e-13), shift
+
+    ce = rng.normal(size=12) + 1j * rng.normal(size=12)
+    curr = _RsPdu(0, 0, 0, ce, 100.0, 0.0)
+    proc._do_ac_fd(curr, 1.3, 0.2)
+    got = cell.ac_fd.copy()
+    want_ac = np.array([np.mean(np.conj(ce[:12 - d]) * ce[d:])
+                        for d in range(12)]) / 1.3
+    counts = np.arange(12.0, 0.0, -1.0)
+    ac_np = (0.2 ** 2 / 1.3 ** 2 + 2 * 0.2 / 1.3) / counts
+    w_old = 1 / 0.00001
+    want = (np.zeros(12) * w_old + want_ac / ac_np) / (w_old + 1.0 / ac_np)
+    assert np.allclose(got, want, atol=1e-13)
+
+
 def test_measurements_populated(tracked_run):
     tc = tracked_run.cells[0]
     # CRS and sync-channel measurements flow to the dashboard state
