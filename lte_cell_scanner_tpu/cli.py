@@ -179,7 +179,11 @@ def cmd_check(args) -> int:
     from .utils.rtl import read_rtlsdr_file
 
     if args.file.endswith(".it"):
-        cap = read_itfile(args.file)["capbuf"]
+        d = read_itfile(args.file)
+        if "capbuf" not in d:
+            raise ValueError(f"{args.file} has no 'capbuf' variable "
+                             f"(found: {sorted(d) or 'none'})")
+        cap = d["capbuf"]
     else:
         cap = read_rtlsdr_file(args.file)
     res = check_capture(cap, args.freq, args.foff, args.fs, args.cell_id,
@@ -230,9 +234,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("--noise-power", type=float, default=None)
     ps.add_argument("--drop", type=float, default=0.0)
     ps.add_argument("--repeat", action="store_true")
-    ps.add_argument("--shard-carriers", action="store_true", default=None,
+    ps.add_argument("--shard-carriers", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="scan all carriers as one carrier-sharded SPMD "
-                         "program (auto when >1 device is visible)")
+                         "program (default: auto when >1 device is "
+                         "visible; --no-shard-carriers forces serial)")
     ps.set_defaults(func=cmd_search)
 
     pt = sub.add_parser("track", help="realtime multi-cell tracker")

@@ -96,7 +96,7 @@ def _bands_for(templates: np.ndarray, t_pad: int, n_tc: int):
     g_re = jnp.asarray(np.ascontiguousarray(g.real), jnp.float32)
     g_im = jnp.asarray(np.ascontiguousarray(g.imag), jnp.float32)
     if len(_band_cache) > 8:
-        _band_cache.clear()
+        _band_cache.pop(next(iter(_band_cache)))   # evict oldest only
     _band_cache[key] = (g_re, g_im)
     return g_re, g_im
 

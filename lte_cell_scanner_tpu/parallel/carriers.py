@@ -34,6 +34,7 @@ from ..constants import HALF_FRAME_LEN, PSS_TD_LEN
 from ..models.search import SearchConfig, compute_z_th1, refine_peaks
 from ..models.peaks import peak_search
 from ..models.xcorr import _xcorr_core, combine_start_indices, pss_templates
+from ..utils.debug import debug_export
 
 
 def make_carrier_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -51,14 +52,25 @@ def _front_one(capbuf, templates, start_idx, ds_comb_arm: int):
 
 
 @partial(jax.jit, static_argnames=("mesh", "ds_comb_arm"))
-def _front_sharded(mesh: Mesh, capbufs, templates, start_idx,
-                   ds_comb_arm: int):
+def _front_jit(mesh: Mesh, capbufs, templates, start_idx,
+               ds_comb_arm: int):
     shard = NamedSharding(mesh, P("c"))
     capbufs = jax.lax.with_sharding_constraint(capbufs, shard)
     templates = jax.lax.with_sharding_constraint(templates, shard)
     start_idx = jax.lax.with_sharding_constraint(start_idx, shard)
     return jax.vmap(_front_one, in_axes=(0, 0, 0, None))(
         capbufs, templates, start_idx, ds_comb_arm)
+
+
+def _front_sharded(mesh: Mesh, capbufs, templates, start_idx,
+                   ds_comb_arm: int):
+    """Shard the host->device transfer itself (each device receives only
+    its carrier slab, not the whole band staged on device 0)."""
+    shard = NamedSharding(mesh, P("c"))
+    capbufs = jax.device_put(capbufs, shard)
+    templates = jax.device_put(templates, shard)
+    start_idx = jax.device_put(start_idx, shard)
+    return _front_jit(mesh, capbufs, templates, start_idx, ds_comb_arm)
 
 
 def plan_carrier_inputs(capbufs: Sequence[np.ndarray],
@@ -125,7 +137,8 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
 
     xc_single, pow_c, frq_c, sp_inc = _front_sharded(
         mesh, cap, tmpl, starts, cfg.ds_comb_arm)
-    xc_single = np.asarray(xc_single)
+    # small maps come back whole; the [C, 3, n_f, 9600] refinement slabs
+    # stay device-resident (sharded) and are pulled one carrier at a time
     pow_c = np.asarray(pow_c)
     frq_c = np.asarray(frq_c)
     sp_inc = np.asarray(sp_inc)
@@ -134,9 +147,17 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
     for i in range(c_real):
         Z_th1 = compute_z_th1(sp_inc[i], n_comb_xc, cfg.ds_comb_arm,
                               cfg.thresh1_n_nines)
+        xc_single_i = np.asarray(xc_single[i])
         peaks = peak_search(pow_c[i], frq_c[i], Z_th1, f_search_set,
-                            fc_list[i], fcp_list[i], xc_single[i],
+                            fc_list[i], fcp_list[i], xc_single_i,
                             cfg.ds_comb_arm)
+        debug_export("xc_incoherent_collapsed_pow", pow_c[i])
+        debug_export("xc_incoherent_collapsed_frq", frq_c[i])
+        debug_export("sp_incoherent", sp_inc[i])
+        debug_export("Z_th1", Z_th1)
+        if peaks:
+            debug_export("peak_ind", np.array([p.ind for p in peaks]))
+            debug_export("peak_n_id_2", np.array([p.n_id_2 for p in peaks]))
         results.append(refine_peaks(peaks, np.asarray(capbufs[i]),
                                     fc_list[i], fcp_list[i], fs_programmed,
                                     cfg))

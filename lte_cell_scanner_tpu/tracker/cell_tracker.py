@@ -28,10 +28,9 @@ from ..models.pn import lte_pn
 from ..models.pss import PSS_FD
 from ..models.rs import RsDl
 from ..models.sss import SSS_FD
+from .batched import _CN, n_samp_elapsed_of
 from .producer import SymbolPdu
 from .state import GlobalState, TrackedCell
-
-_CN = np.concatenate([np.arange(-36, 0), np.arange(1, 37)])
 
 
 def _wrap(x, lo, hi):
@@ -109,10 +108,8 @@ class TrackedCellProcessor:
         dft_out = np.fft.fft(dft_in) / np.sqrt(128.0)
         syms = np.concatenate([dft_out[-36:], dft_out[1:37]])
 
-        if self.cell.cp_type is CpType.EXTENDED:
-            n_samp_elapsed = 128 + 32
-        else:
-            n_samp_elapsed = 128 + 10 if pdu.sym_num == 0 else 128 + 9
+        n_samp_elapsed = n_samp_elapsed_of(
+            pdu.sym_num, self.cell.cp_type is CpType.EXTENDED)
         self.bulk_phase_offset = _wrap(
             self.bulk_phase_offset
             + 2 * np.pi * n_samp_elapsed * (16 / FS_LTE) * -fo,
@@ -185,9 +182,7 @@ class TrackedCellProcessor:
         # (np.correlate conjugates its second argument)
         full = np.correlate(ce, ce, "full")        # full[11+d] = sum_t ce[t+d] conj(ce[t])
         counts = np.arange(12.0, 0.0, -1.0)
-        ac = full[11:] / counts
-        ac = ac / sp
-        counts = np.arange(12.0, 0.0, -1.0)
+        ac = full[11:] / counts / sp
         ac_np = (np_curr ** 2 / sp ** 2 + 2 * np_curr / sp) / counts
         w_old = 1 / 0.00001
         self.cell.ac_fd = (self.cell.ac_fd * w_old + ac / ac_np) \

@@ -48,7 +48,11 @@ def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
               decode: bool = False) -> TrialResult:
     from lte_cell_scanner_tpu.cell import CpType
     from lte_cell_scanner_tpu.constants import FS_LTE
-    from lte_cell_scanner_tpu.models.search import SearchConfig, cell_search
+    from lte_cell_scanner_tpu.models.peaks import peak_search
+    from lte_cell_scanner_tpu.models.search import (SearchConfig,
+                                                    compute_z_th1,
+                                                    refine_peaks)
+    from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
     from lte_cell_scanner_tpu.sim import (apply_freq_offset, awgn,
                                           create_dl_sig, multipath_channel)
 
@@ -72,23 +76,20 @@ def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
 
     f_search_set = np.arange(-10e3, 10e3 + 1, 5e3)
     cfg = SearchConfig(decode=decode)
-    cells = cell_search(sig, f_search_set, fc, fc, fs, cfg)
-
-    # classification (pss_search_final.m:341-363 semantics)
+    # one front-end pass; classify from its stage outputs
+    # (pss_search_final.m:341-363 semantics)
+    res = xcorr_pss(sig, f_search_set, cfg.ds_comb_arm, fc, fc, fs)
+    z = compute_z_th1(res.sp_incoherent, res.n_comb_xc,
+                      cfg.ds_comb_arm, cfg.thresh1_n_nines)
+    peaks = peak_search(res.xc_incoherent_collapsed_pow,
+                        res.xc_incoherent_collapsed_frq, z,
+                        f_search_set, fc, fc,
+                        res.xc_incoherent_single, cfg.ds_comb_arm)
+    if not peaks:
+        return TrialResult("thresh1_fail", n_id_cell)
+    cells = refine_peaks(peaks, sig, fc, fc, fs, cfg)
     if not cells:
-        # distinguish thresh1 vs thresh2 by re-running the front half
-        from lte_cell_scanner_tpu.models.peaks import peak_search
-        from lte_cell_scanner_tpu.models.search import compute_z_th1
-        from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
-        res = xcorr_pss(sig, f_search_set, cfg.ds_comb_arm, fc, fc, fs)
-        z = compute_z_th1(res.sp_incoherent, res.n_comb_xc,
-                          cfg.ds_comb_arm, cfg.thresh1_n_nines)
-        peaks = peak_search(res.xc_incoherent_collapsed_pow,
-                            res.xc_incoherent_collapsed_frq, z,
-                            f_search_set, fc, fc,
-                            res.xc_incoherent_single, cfg.ds_comb_arm)
-        return TrialResult("thresh1_fail" if not peaks else "thresh2_fail",
-                           n_id_cell)
+        return TrialResult("thresh2_fail", n_id_cell)
 
     best = max(cells, key=lambda c: c.pss_pow)
     if best.n_id_cell() != n_id_cell or best.cp_type is not cp_type:
