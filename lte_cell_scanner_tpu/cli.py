@@ -61,7 +61,8 @@ def _print_cells(cells, correction: float) -> None:
 def _make_source(args):
     from .io.capture import FileSource, SimSource
     if getattr(args, "sim", False):
-        return SimSource(snr_db=args.sim_snr, freq_offset=args.sim_foff)
+        return SimSource(snr_db=args.sim_snr, freq_offset=args.sim_foff,
+                         capture_ms=getattr(args, "capture_ms", 80))
     if args.load_files:
         return FileSource(args.load_files, drop_seconds=args.drop,
                           repeat=args.repeat,
@@ -87,6 +88,10 @@ def cmd_search(args) -> int:
     freq_end = round(freq_end / 100e3) * 100e3
     if args.record and (args.load or args.load_files):
         print("Error: cannot both record and load")
+        return 1
+    if args.capture_ms < 80:
+        print("Error: --capture-ms must be >= 80 (one full 40 ms PBCH "
+              "period regardless of frame phase needs an 80 ms capture)")
         return 1
 
     source = _make_source(args)
@@ -231,6 +236,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="use the synthetic eNodeB source")
     ps.add_argument("--sim-snr", type=float, default=10.0)
     ps.add_argument("--sim-foff", type=float, default=0.0)
+    ps.add_argument("--capture-ms", type=int, default=80,
+                    help="sim capture length; >80 ms lengthens the "
+                         "incoherent fold for more detection SNR")
     ps.add_argument("--noise-power", type=float, default=None)
     ps.add_argument("--drop", type=float, default=0.0)
     ps.add_argument("--repeat", action="store_true")

@@ -93,7 +93,8 @@ class SimSource(CaptureSource):
     def __init__(self, n_id_1: int = 92, n_id_2: int = 1,
                  cp_type: CpType = CpType.NORMAL, n_ports: int = 2,
                  snr_db: float = 10.0, freq_offset: float = 0.0,
-                 load_factor: float = 0.5, seed: int = 0):
+                 load_factor: float = 0.5, seed: int = 0,
+                 capture_ms: int = 80):
         from ..sim import apply_freq_offset, awgn, create_dl_sig
         self._make = lambda ms, rng: awgn(
             apply_freq_offset(
@@ -102,9 +103,12 @@ class SimSource(CaptureSource):
                 freq_offset),
             snr_db, rng=rng)
         self.rng = np.random.default_rng(seed)
+        # >80 ms lengthens the incoherent fold (n_comb grows) -- the
+        # detection-SNR "long-context" axis (SURVEY.md section 5)
+        self.capture_ms = capture_ms
 
     def capture(self, fc_requested: float) -> Tuple[np.ndarray, float]:
-        return self._make(80, self.rng), fc_requested
+        return self._make(self.capture_ms, self.rng), fc_requested
 
     def stream(self, block: int = 10000) -> Iterator[np.ndarray]:
         while True:
