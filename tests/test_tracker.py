@@ -58,6 +58,32 @@ def test_frequency_offset_converges(tracked_run):
     assert abs(fo - F_OFF) < 50.0, fo
 
 
+def test_two_cells_tracked_simultaneously():
+    """Two overlapping eNodeBs in one stream: the background searcher
+    acquires both and the multi-cell batched tracker holds both at full
+    health (reference claim: ~4 cells realtime, doc/LTE-Tracker.html;
+    cells 277+271 mirror the real capbuf_0000.it pair)."""
+    from lte_cell_scanner_tpu.sim import create_dl_sig
+
+    rng = np.random.default_rng(21)
+    a = create_dl_sig(CpType.NORMAL, 500, 0, 92, 1, 0.4, rng=rng,
+                      n_ports=2, sfn=4)
+    b = create_dl_sig(CpType.NORMAL, 500, 7, 90, 1, 0.4, rng=rng,
+                      n_ports=2, sfn=8)
+    sig = awgn(apply_freq_offset(a + 0.7 * b, 200.0), 12.0, rng=rng)
+
+    runner = TrackerRunner(FC, FC, FS)
+    for i in range(0, len(sig), 10000):
+        runner.process_block(sig[i: i + 10000])
+
+    got = {tc.n_id_cell: tc for tc in runner.cells}
+    assert set(got) == {277, 271}
+    for tc in got.values():
+        assert tc.n_ports == 2
+        assert tc.health_pct() > 99.0
+    assert abs(runner.state.frequency_offset - 200.0) < 50.0
+
+
 def test_batched_get_fd_matches_host():
     """The jitted [cells, symbols, 128] get_fd batch (tracker/batched.py)
     must reproduce the per-symbol host path bit-close, including the
