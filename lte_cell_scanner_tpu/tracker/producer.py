@@ -159,6 +159,15 @@ class Producer:
                         sym_num=cl.sym_num, late=cl.pdu_late,
                         frequency_offset=cl.pdu_fo, frame_timing=cl.pdu_ft))
                     cell.fifo_peak_size = max(cell.fifo_peak_size, len(fifo))
+                    # backpressure: if the consumer is >1.5 s behind, dump
+                    # 1 s of symbols and count it (reference
+                    # tracker_thread.cpp:857-867 / display_thread.cpp:538)
+                    sym_per_sec = self.state.fs_programmed \
+                        * (20 * cell.n_symb_dl()) / 19200.0
+                    if len(fifo) > 1.5 * sym_per_sec:
+                        for _ in range(int(sym_per_sec)):
+                            fifo.popleft()
+                        self.state.cell_seconds_dropped += 1
                     cl.filling = False
                     n_symb = cell.n_symb_dl()
                     if n_symb == 6:

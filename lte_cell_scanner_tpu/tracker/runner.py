@@ -80,8 +80,13 @@ class TrackerRunner:
         # symbols runs as ONE jitted [n_cells, n_sym, 128] batch first
         fd_map = {}
         if self.device_fd:
+            # cap the per-tick device batch so a backlogged fifo (stalled
+            # consumer) doesn't re-stage an ever-growing batch each tick;
+            # symbols past the cap fall back to the host path in process()
+            cap = 1024
             work = [(self.processors[tc.n_id_cell],
-                     list(self.producer.fifos.get(tc.n_id_cell) or ()))
+                     list(self.producer.fifos.get(tc.n_id_cell)
+                          or ())[:cap])
                     for tc in self.cells]
             work = [(p, pdus) for p, pdus in work if pdus]
             if work:

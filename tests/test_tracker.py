@@ -84,6 +84,61 @@ def test_two_cells_tracked_simultaneously():
     assert abs(runner.state.frequency_offset - 200.0) < 50.0
 
 
+def test_cell_dropped_at_health_threshold():
+    """A cell whose MIB re-decodes keep failing must be dropped at
+    CELL_DROP_THRESHOLD and removed from the tracker graph (reference
+    tracker_thread.cpp:739-744, producer_thread.cpp:191-197)."""
+    from lte_cell_scanner_tpu.constants import CELL_DROP_THRESHOLD
+    from lte_cell_scanner_tpu.sim import create_dl_sig
+    from lte_cell_scanner_tpu.tracker.state import TrackedCell
+
+    rng = np.random.default_rng(3)
+    sig = create_dl_sig(CpType.NORMAL, 200, 0, 92, 1, 0.4, rng=rng,
+                        n_ports=2, sfn=0)
+    sig = awgn(sig, 10.0, rng=rng)
+
+    runner = TrackerRunner(FC, FC, FS)
+    runner._search_enabled = False
+    # seed a WRONG cell (no such signal): every MIB decode will fail
+    tc = TrackedCell(n_id_cell=100, n_id_1=33, n_id_2=1,
+                     cp_type=CpType.NORMAL, n_ports=2, frame_timing=0.0)
+    tc.mib_decode_failures = CELL_DROP_THRESHOLD - 1  # one failure away
+    runner.add_cell(tc)
+    for i in range(0, len(sig), 10000):
+        runner.process_block(sig[i: i + 10000])
+        if not runner.cells:
+            break
+    assert runner.cells == []                      # dropped
+    assert 100 not in runner.producer.fifos        # producer state cleaned
+    assert tc.kill_me
+
+
+def test_backpressure_dumps_symbols_and_counts():
+    """When a cell's PDU fifo runs >1.5 s behind, 1 s of symbols is
+    dumped and surfaced as cell_seconds_dropped (reference
+    tracker_thread.cpp:857-867)."""
+    from lte_cell_scanner_tpu.sim import create_dl_sig
+    from lte_cell_scanner_tpu.tracker.state import TrackedCell
+
+    rng = np.random.default_rng(4)
+    # content is irrelevant: the producer slices symbols on frame timing
+    n = int(2.2 * FS)
+    sig = (rng.normal(size=n) + 1j * rng.normal(size=n)) * 0.1
+    runner = TrackerRunner(FC, FC, FS, device_fd=False)
+    runner._search_enabled = False
+    runner.add_cell(TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
+                                cp_type=CpType.NORMAL, n_ports=2,
+                                frame_timing=0.0))
+    proc = runner.processors[277]
+    proc.process = lambda *a, **k: None           # stalled consumer
+    for i in range(0, len(sig), 10000):
+        runner.process_block(sig[i: i + 10000])
+    st = runner.state
+    assert st.cell_seconds_dropped >= 1
+    sym_per_sec = FS * 140 / 19200.0
+    assert len(runner.producer.fifos[277]) <= 1.5 * sym_per_sec + 1
+
+
 def test_batched_get_fd_matches_host():
     """The jitted [cells, symbols, 128] get_fd batch (tracker/batched.py)
     must reproduce the per-symbol host path bit-close, including the
