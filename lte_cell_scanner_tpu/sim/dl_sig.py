@@ -5,11 +5,12 @@ Matlab/create_dl_sig.m:1-115 -- a 6-RB OFDM grid at 1.92 Msps carrying
 CRS (ports 0+1), PSS/SSS in slots 0/10, and random-QPSK filler at a
 configurable load factor.
 
-Extension beyond the reference: optional PBCH transmission (1 or 2 TX
-ports, 2-port Alamouti SFBC per 36.211 transmit diversity) with a chosen
-SFN, so the *entire* receive chain -- including blind MIB decode -- can be
-self-tested against known ground truth (the reference could only test
-through SSS detection on synthetic data).
+Extension beyond the reference: optional PBCH transmission (1, 2, or 4
+TX ports; 2-port Alamouti SFBC and 4-port SFBC+FSTD per 36.211 transmit
+diversity) with a chosen SFN, so the *entire* receive chain -- including
+every branch of the blind MIB decode -- can be self-tested against known
+ground truth (the reference could only test through SSS detection on
+synthetic data).
 """
 
 from __future__ import annotations
@@ -66,15 +67,28 @@ def _pbch_symbols(n_id_cell: int, n_ports: int, period_sfn: int,
     x = lte_modulate(e ^ scr, "qpsk")            # [m_bit/2]
     if n_ports == 1:
         return x[None, :]
+    x1 = x[0::2]
+    x2 = x[1::2]
     if n_ports == 2:
         # 36.211 SFBC: y0 = (x1, x2)/sqrt2 ; y1 = (-x2*, x1*)/sqrt2
-        x1 = x[0::2]
-        x2 = x[1::2]
         y0 = np.stack([x1, x2], axis=1).reshape(-1) / np.sqrt(2)
         y1 = np.stack([-np.conj(x2), np.conj(x1)], axis=1).reshape(-1) \
             / np.sqrt(2)
         return np.stack([y0, y1])
-    raise ValueError("n_ports must be 1 or 2 in the simulator")
+    if n_ports == 4:
+        # 36.211 SFBC+FSTD: ports (0,2) Alamouti-code even symbol pairs
+        # onto REs 4i/4i+1 and are silent on 4i+2/4i+3; ports (1,3) carry
+        # the odd pairs on REs 4i+2/4i+3 -- the pairing the blind decoder
+        # inverts (reference searcher.cpp:1592-1601, mod(t,4) branch).
+        n_pair = len(x1)
+        even = (np.arange(n_pair) % 2) == 0
+        ya = np.stack([x1, x2], axis=1).reshape(-1) / np.sqrt(2)
+        yb = np.stack([-np.conj(x2), np.conj(x1)], axis=1).reshape(-1) \
+            / np.sqrt(2)
+        on_a = np.repeat(even, 2)
+        return np.stack([np.where(on_a, ya, 0), np.where(on_a, 0, ya),
+                         np.where(on_a, yb, 0), np.where(on_a, 0, yb)])
+    raise ValueError("n_ports must be 1, 2, or 4 in the simulator")
 
 
 def create_dl_sig(cp_type: CpType, n_subframes: int, slot_start: int,
@@ -84,15 +98,21 @@ def create_dl_sig(cp_type: CpType, n_subframes: int, slot_start: int,
     """Generate n_subframes ms of downlink signal at 1.92 Msps.
 
     n_ports=0 reproduces the reference simulator (no PBCH, CRS for ports
-    0 and 1 both present); n_ports in {1, 2} additionally transmits the
-    PBCH.  ``sfn`` is the system frame number of the signal's first frame
-    (slot_start is its position inside that frame).
+    0 and 1 both present); n_ports in {1, 2, 4} additionally transmits
+    the PBCH (with CRS on every transmitting port).  ``sfn`` is the
+    system frame number of the signal's first frame (slot_start is its
+    position inside that frame).
     """
     rng = rng or np.random.default_rng()
     n_id_cell = 3 * n_id_1 + n_id_2
     n_ofdm = 7 if cp_type is CpType.NORMAL else 6
     rs_tab = RsDl(n_id_cell, 6, cp_type)
-    crs_ports = (0, 1) if (n_ports == 0 or n_ports == 2) else (0,)
+    if n_ports == 1:
+        crs_ports: tuple = (0,)
+    elif n_ports == 4:
+        crs_ports = (0, 1, 2, 3)
+    else:
+        crs_ports = (0, 1)
     v3 = n_id_cell % 3
 
     # REs per PBCH symbol index (CRS-possible positions skipped)

@@ -34,7 +34,9 @@ def _run(cp_type, n_id_1, n_id_2, n_ports, sfn, snr_db, f_off, seed,
 @pytest.mark.parametrize("cp_type,n_ports", [
     (CpType.NORMAL, 1),
     (CpType.NORMAL, 2),
+    (CpType.NORMAL, 4),
     (CpType.EXTENDED, 2),
+    (CpType.EXTENDED, 4),
 ])
 def test_full_chain_on_synthetic_cell(cp_type, n_ports):
     n_id_1, n_id_2, sfn = 92, 1, 256
