@@ -59,9 +59,16 @@ def _print_cells(cells, correction: float) -> None:
 
 
 def _make_source(args):
+    from .cell import CpType
     from .io.capture import FileSource, SimSource
     if getattr(args, "sim", False):
-        return SimSource(snr_db=args.sim_snr, freq_offset=args.sim_foff,
+        n_id_cell = getattr(args, "sim_cell", 277)
+        if not 0 <= n_id_cell <= 503:
+            raise SystemExit("Error: --sim-cell must be in 0..503")
+        return SimSource(n_id_1=n_id_cell // 3, n_id_2=n_id_cell % 3,
+                         cp_type=CpType(getattr(args, "sim_cp", "normal")),
+                         n_ports=getattr(args, "sim_ports", 2),
+                         snr_db=args.sim_snr, freq_offset=args.sim_foff,
                          capture_ms=getattr(args, "capture_ms", 80))
     if args.load_files:
         return FileSource(args.load_files, drop_seconds=args.drop,
@@ -236,6 +243,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="use the synthetic eNodeB source")
     ps.add_argument("--sim-snr", type=float, default=10.0)
     ps.add_argument("--sim-foff", type=float, default=0.0)
+    ps.add_argument("--sim-ports", type=int, default=2, choices=(1, 2, 4),
+                    help="sim eNodeB TX ports (4 = SFBC+FSTD)")
+    ps.add_argument("--sim-cp", default="normal",
+                    choices=("normal", "extended"))
+    ps.add_argument("--sim-cell", type=int, default=277,
+                    help="sim cell ID (0..503)")
     ps.add_argument("--capture-ms", type=int, default=80,
                     help="sim capture length; >80 ms lengthens the "
                          "incoherent fold for more detection SNR")
@@ -256,6 +269,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.add_argument("--sim", action="store_true")
     pt.add_argument("--sim-snr", type=float, default=10.0)
     pt.add_argument("--sim-foff", type=float, default=0.0)
+    pt.add_argument("--sim-ports", type=int, default=2, choices=(1, 2, 4),
+                    help="sim eNodeB TX ports (4 = SFBC+FSTD)")
+    pt.add_argument("--sim-cp", default="normal",
+                    choices=("normal", "extended"))
+    pt.add_argument("--sim-cell", type=int, default=277,
+                    help="sim cell ID (0..503)")
     pt.add_argument("--noise-power", type=float, default=None)
     pt.add_argument("--drop", type=float, default=0.0)
     pt.add_argument("--repeat", action="store_true")

@@ -84,6 +84,28 @@ def test_two_cells_tracked_simultaneously():
     assert abs(runner.state.frequency_offset - 200.0) < 50.0
 
 
+def test_four_port_cell_tracked():
+    """A 4-port (SFBC+FSTD) cell: CE tracking on ports 2/3 (CRS only in
+    symbol 1, reference tracker_thread.cpp port loops) and the 4-port
+    Alamouti-pair MIB re-decode hold the cell at full health."""
+    rng = np.random.default_rng(31)
+    sig = create_dl_sig(CpType.NORMAL, 400, 0, 100, 1, 0.4, rng=rng,
+                        n_ports=4, sfn=12)
+    sig = awgn(apply_freq_offset(sig, F_OFF), 10.0, rng=rng)
+
+    runner = TrackerRunner(FC, FC, FS)
+    for i in range(0, len(sig), 10000):
+        runner.process_block(sig[i: i + 10000])
+
+    assert len(runner.cells) == 1
+    tc = runner.cells[0]
+    assert tc.n_id_cell == 301
+    assert tc.n_ports == 4
+    proc = runner.processors[tc.n_id_cell]
+    assert proc.mib_fifo_synchronized
+    assert tc.health_pct() > 99.0
+
+
 def test_cell_dropped_at_health_threshold():
     """A cell whose MIB re-decodes keep failing must be dropped at
     CELL_DROP_THRESHOLD and removed from the tracker graph (reference
