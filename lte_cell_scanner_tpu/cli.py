@@ -164,7 +164,8 @@ def cmd_track(args) -> int:
         print("Error: tracker needs --load FILE(s) or --sim")
         return 1
 
-    runner = TrackerRunner(args.freq, args.freq, FS_WORK)
+    runner = TrackerRunner(args.freq, args.freq, FS_WORK,
+                           search_period=args.search_period)
     n_blocks = 0
     report_every = max(1, int(args.fs * 1.0) // 10000)
     try:
@@ -280,6 +281,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.add_argument("--repeat", action="store_true")
     pt.add_argument("--duration", type=float, default=None,
                     help="seconds of stream to process")
+    pt.add_argument("--search-period", type=float, default=1.0,
+                    help="min stream-seconds between background-search "
+                         "cycles once tracking (0 = every capture, the "
+                         "reference's continuous low-priority cadence)")
     pt.add_argument("-x", "--expert", action="store_true",
                     help="show ASCII channel/autocorrelation plots")
     pt.set_defaults(func=cmd_track)

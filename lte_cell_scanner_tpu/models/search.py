@@ -53,6 +53,11 @@ class SearchConfig:
     compat: str = "production"   # or "golden" (see models/sss_detect.py)
     interp: str = "hex"
     decode: bool = True          # run the tfg/tfoec/MIB back half
+    # cell IDs to drop right after SSS detection, before the expensive
+    # FOE/tfg/tfoec/MIB stages -- the reference searcher thread's
+    # already-tracked check sits exactly there
+    # (searcher_thread.cpp:157-177)
+    skip_ids: frozenset = frozenset()
 
 
 def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
@@ -66,6 +71,8 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
         cell = sss_detect(cell, capbuf, cfg.thresh2_n_sigma, fc_requested,
                           fc_programmed, fs_programmed, compat=cfg.compat)
         if cell.n_id_1 < 0:
+            continue
+        if cell.n_id_cell() in cfg.skip_ids:
             continue
         cell = pss_sss_foe(cell, capbuf, fc_requested, fc_programmed,
                            fs_programmed, compat=cfg.compat)

@@ -61,6 +61,37 @@ def _wrap_half_frame(x):
     return (np.asarray(x) + 9600.0) % 19200.0 - 9600.0
 
 
+def _next_trigger(ts, t, target, step, lo=-0.5, hi=3.0):
+    """First index >= t where wrap(ts - target) lands in (lo, hi).
+
+    ts is a linear ramp with slope `step` (mod 19200), so the crossing
+    index is arithmetic: jump to where the wrapped difference re-enters
+    `lo`, then verify against float rounding with a tiny window scan.
+    Returns None if no trigger occurs before the end of the block.
+    """
+    n = len(ts)
+    while t < n:
+        d = float((ts[t] - target + 9600.0) % 19200.0 - 9600.0)
+        if lo < d < hi:
+            return t
+        m = int(np.ceil(((lo - d) % 19200.0) / step))
+        t2 = t + max(m, 1)
+        w0 = max(t, t2 - 2)
+        w = (ts[w0: t2 + 6] - target + 9600.0) % 19200.0 - 9600.0
+        hit = np.nonzero((w > lo) & (w < hi))[0]
+        if len(hit):
+            cand = w0 + int(hit[0])
+            if cand < n:
+                return cand
+            return None
+        if t2 + 6 >= n:
+            return None
+        # the window was hopped over (step > interval width); try the
+        # next frame's crossing
+        t = t2 + 6
+    return None
+
+
 class Producer:
     """Demultiplexes the raw sample stream into per-cell symbol PDUs and
     searcher capture buffers."""
@@ -105,21 +136,30 @@ class Producer:
 
         # ---- searcher capture buffer ---------------------------------
         if self.capture_requested or self._filling:
-            for t in range(n):
-                if self.capture_requested:
-                    tdiff = _wrap_half_frame(ts[t])
-                    if abs(tdiff) < 0.5:
-                        self.capture_requested = False
-                        self._filling = True
-                        self._cap_idx = 0
-                        self.capbuf_late = float(tdiff)
-                if self._filling:
-                    self.capbuf[self._cap_idx] = samples[t]
-                    self._cap_idx += 1
-                    if self._cap_idx == self.capbuf_len:
-                        self._filling = False
-                        self.capbuf_ready = True
-                        break
+            t = 0
+            if self.capture_requested:
+                # the timestamps are a linear ramp (slope `step` mod
+                # 19200), so the first |wrap(ts)| < 0.5 crossing is
+                # computed analytically instead of scanned per sample;
+                # step > 1 can occasionally hop over the 1-sample-wide
+                # window, in which case the next frame's crossing is
+                # tried (the scalar loop had the same miss semantics)
+                t = _next_trigger(ts, 0, 0.0, step, lo=-0.5, hi=0.5)
+                if t is None:
+                    t = n
+                else:
+                    self.capture_requested = False
+                    self._filling = True
+                    self._cap_idx = 0
+                    self.capbuf_late = float(_wrap_half_frame(ts[t]))
+            if self._filling and t < n:
+                take = min(self.capbuf_len - self._cap_idx, n - t)
+                self.capbuf[self._cap_idx: self._cap_idx + take] = \
+                    samples[t: t + take]
+                self._cap_idx += take
+                if self._cap_idx == self.capbuf_len:
+                    self._filling = False
+                    self.capbuf_ready = True
 
         # ---- per-cell symbol capture ---------------------------------
         for cell in cells:
@@ -137,14 +177,14 @@ class Producer:
             t = 0
             while t < n:
                 if not cl.filling:
-                    tdiff = _wrap_half_frame(ts[t:] - (frame_timing + cl.target))
-                    hit = np.nonzero((np.abs(tdiff) < 0.5)
-                                     | ((tdiff > 0) & (tdiff < 3)))[0]
-                    if len(hit) == 0:
+                    hit = _next_trigger(ts, t, frame_timing + cl.target,
+                                        step, lo=-0.5, hi=3.0)
+                    if hit is None:
                         break
-                    t += int(hit[0])
+                    t = hit
                     cl.filling = True
-                    cl.pdu_late = float(tdiff[hit[0]])
+                    cl.pdu_late = float(_wrap_half_frame(
+                        ts[t] - (frame_timing + cl.target)))
                     cl.buffer_offset = 0
                     cl.pdu_fo = fo
                     cl.pdu_ft = frame_timing

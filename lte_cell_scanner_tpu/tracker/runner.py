@@ -48,7 +48,7 @@ class TrackerRunner:
     def __init__(self, fc_requested: float, fc_programmed: float,
                  fs_programmed: float, initial_fo: float = 0.0,
                  search_config: Optional[SearchConfig] = None,
-                 device_fd: bool = True):
+                 device_fd: bool = True, search_period: float = 0.0):
         self.state = GlobalState(fc_requested=fc_requested,
                                  fc_programmed=fc_programmed,
                                  fs_programmed=fs_programmed,
@@ -58,6 +58,16 @@ class TrackerRunner:
         self.processors = {}
         self.search_config = search_config or SearchConfig()
         self._search_enabled = True
+        # Min stream-seconds between background-search cycles once at
+        # least one cell is tracked.  The reference searcher runs
+        # back-to-back but at nice+20 (searcher_thread.cpp:66), i.e. it
+        # only ever consumes CPU the trackers left over; in a
+        # deterministic event loop the equivalent is a bounded duty
+        # cycle.  0 = search every capture (reference cadence while
+        # acquiring; acquisition always searches unthrottled).
+        self.search_period = search_period
+        self._samples_fed = 0
+        self._last_search_at = None
         # batched device get_fd over all cells' pending symbols
         # (tracker/batched.py); False = per-symbol host path
         self.device_fd = device_fd
@@ -73,6 +83,7 @@ class TrackerRunner:
     # ------------------------------------------------------------------
     def process_block(self, samples: np.ndarray) -> None:
         """Feed one block of complex samples through the whole graph."""
+        self._samples_fed += len(samples)
         self.producer.process(samples, self.cells)
 
         # drive the per-cell trackers; with device_fd, the get_fd stage
@@ -123,8 +134,16 @@ class TrackerRunner:
                         self.state.frequency_offset = best.freq_superfine
                 for tc in new_cells:
                     self.add_cell(tc)
-            elif self.producer.capture_idle():
+                self._last_search_at = self._samples_fed
+            elif self.producer.capture_idle() and self._search_due():
                 self.producer.request_capture()
+
+    def _search_due(self) -> bool:
+        if not self.cells or self._last_search_at is None:
+            return True   # acquiring: search at full cadence
+        elapsed = (self._samples_fed - self._last_search_at) \
+            / self.state.fs_programmed
+        return elapsed >= self.search_period
 
     def run(self, sample_blocks: Iterable[np.ndarray],
             on_block: Optional[Callable[["TrackerRunner"], None]] = None

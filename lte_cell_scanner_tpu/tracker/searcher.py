@@ -25,18 +25,22 @@ def search_once(capbuf: np.ndarray, capbuf_late: float, state: GlobalState,
                 config: SearchConfig = None) -> List[TrackedCell]:
     """One searcher cycle; returns newly-found cells to track."""
     t0 = time.perf_counter()
+    from dataclasses import replace
     cfg = config or SearchConfig()
     f_search_set = np.array([state.frequency_offset])
     k_factor = state.k_factor()
 
+    # skip already-tracked cells right after SSS detection, before the
+    # expensive FOE/tfg/tfoec/MIB back half -- the reference searcher
+    # thread's placement of the check (searcher_thread.cpp:157-177)
+    tracked_ids = frozenset(c.n_id_cell for c in tracked)
+    cfg = replace(cfg, skip_ids=cfg.skip_ids | tracked_ids)
+
     cells = cell_search(capbuf, f_search_set, state.fc_requested,
                         state.fc_programmed, state.fs_programmed, cfg)
 
-    tracked_ids = {c.n_id_cell for c in tracked}
     new_cells = []
     for cell in cells:
-        if cell.n_id_cell() in tracked_ids:
-            continue
         frame_timing = cell.frame_start * (FS_LTE / 16) \
             / (state.fs_programmed * k_factor) + capbuf_late
         new_cells.append(TrackedCell.from_cell(cell, frame_timing))
