@@ -279,3 +279,30 @@ def test_measurements_populated(tracked_run):
     assert tc.sync_sp_av > tc.sync_np_av
     assert tc.ce is not None and tc.ce.shape == (2, 72)
     assert np.all(np.abs(tc.ac_fd) <= 2.0)
+
+
+def test_next_trigger_matches_bruteforce_scan():
+    """The producer's arithmetic trigger locator must agree with the
+    original whole-block scan for every (phase, step) combination --
+    including steps > interval width, where a crossing can hop clean
+    over the +-0.5 capture window and the next frame's crossing wins."""
+    from lte_cell_scanner_tpu.tracker.producer import _next_trigger
+
+    def brute(ts, t0, target, lo, hi):
+        d = (ts[t0:] - target + 9600.0) % 19200.0 - 9600.0
+        hit = np.nonzero((d > lo) & (d < hi))[0]
+        return t0 + int(hit[0]) if len(hit) else None
+
+    rng = np.random.default_rng(5)
+    for step in (1.0000481, 0.9999520, 1.0, 1.5):  # 1.5 hops +-0.5 windows
+        for _ in range(40):
+            start = rng.uniform(0, 19200)
+            n = rng.integers(50, 30000)
+            ts = (start + step * np.arange(1, n + 1)) % 19200.0
+            target = rng.uniform(0, 19200)
+            t0 = int(rng.integers(0, max(1, n // 2)))
+            for lo, hi in ((-0.5, 0.5), (-0.5, 3.0)):
+                got = _next_trigger(ts, t0, target, step, lo=lo, hi=hi)
+                want = brute(ts, t0, target, lo, hi)
+                assert got == want, (step, start, n, target, t0, lo, hi,
+                                     got, want)
