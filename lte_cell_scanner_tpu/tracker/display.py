@@ -60,7 +60,15 @@ def render(state: GlobalState, cells: List[TrackedCell],
             f"  Cell {c.n_id_cell:3d}  ports {c.n_ports}  "
             f"CP {'N' if c.n_symb_dl() == 7 else 'E'}  nRB {c.n_rb_dl:3d}  "
             f"frame timing {c.frame_timing:10.3f}  "
-            f"health {c.health_pct():5.1f}%")
+            f"health {c.health_pct():5.1f}%  "
+            f"buffer {c.fifo_depth}/{c.fifo_peak_size}")
+        # numeric coherence bandwidth: first RS-lag (90 kHz spacing)
+        # where |ac_fd| falls to 0.5 (reference display_thread.cpp:166-177)
+        cb = next((k for k in range(1, 12) if abs(c.ac_fd[k]) <= 0.5), -1)
+        cb_txt = ">990 kHz" if cb < 0 else f"{cb * 90:4d} kHz"
+        lines.append(f"    coherence bw {cb_txt}")
+        if plots and np.isfinite(c.sync_np_blank_av):
+            lines.append(f"    UOS pwr {_db10(c.sync_np_blank_av):6.1f} dB")
         if np.isfinite(c.sync_sp_av) and np.isfinite(c.sync_np_av) \
                 and c.sync_np_av > 0:
             snr = _db10(c.sync_sp_av / c.sync_np_av)

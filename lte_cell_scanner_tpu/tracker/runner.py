@@ -109,6 +109,8 @@ class TrackerRunner:
             fifo = self.producer.fifos.get(tc.n_id_cell)
             if fifo:
                 proc.process(fifo, fd_syms=fd_map.get(id(proc)))
+            if fifo is not None:
+                tc.fifo_depth = len(fifo)   # post-drain depth for the dash
             if tc.kill_me:
                 self.cells.remove(tc)
                 self.processors.pop(tc.n_id_cell)

@@ -79,6 +79,7 @@ class TrackedCell:
     ac_fd: np.ndarray = field(default_factory=lambda: np.zeros(12, complex))
     ac_td: np.ndarray = field(default_factory=lambda: np.zeros(72, complex))
     fifo_peak_size: int = 0
+    fifo_depth: int = 0
 
     def n_symb_dl(self) -> int:
         return 7 if self.cp_type is CpType.NORMAL else 6
