@@ -21,6 +21,7 @@ from functools import lru_cache
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..cell import Cell
@@ -36,14 +37,19 @@ def _rs_sets(n_symb_dl: int, n_ofdm: int, port: int) -> np.ndarray:
     return np.arange(1, n_ofdm, n_symb_dl)
 
 
-def _extract_raw_ce(cell: Cell, rs_dl: RsDl, tfg, port: int):
-    """ce_raw [n_rs_ofdm, 12] and the two alternating comb shifts."""
-    n_symb_dl = cell.n_symb_dl()
-    n_ofdm = int(tfg.shape[0])
+def _raw_ce_plan(cell: Cell, rs_dl: RsDl, n_ofdm: int, port: int):
+    """Host-side gather plan for the raw CE extraction, cached per
+    (RsDl, n_ofdm, port): (rows [n_rs], cols [n_rs,12], rs_vals
+    [n_rs,12] complex, rs_set, shifts)."""
+    cache = getattr(rs_dl, "_ce_plans", None)
+    if cache is None:
+        cache = rs_dl._ce_plans = {}
+    key = (n_ofdm, port)
+    if key in cache:
+        return cache[key]
+    n_symb_dl = rs_dl.n_symb_dl
     rs_set = _rs_sets(n_symb_dl, n_ofdm, port)
     n_rs = len(rs_set)
-
-    rows = []
     shifts = np.empty(n_rs, dtype=np.int64)
     rs_vals = np.empty((n_rs, 12), dtype=np.complex128)
     slot_num = 0
@@ -51,23 +57,38 @@ def _extract_raw_ce(cell: Cell, rs_dl: RsDl, tfg, port: int):
         sym_num = int(rs_set[t] % n_symb_dl)
         shifts[t] = rs_dl.get_shift(slot_num % 20, sym_num, port)
         rs_vals[t] = rs_dl.get_rs(slot_num, sym_num)
-        rows.append(rs_set[t])
         if (t % 2 == 1) or (port >= 2):
             slot_num = (slot_num + 1) % 20
+    rows = np.asarray(rs_set, dtype=np.int64)
     cols = shifts[:, None] + 6 * np.arange(12)[None, :]
-    raw = tfg[jnp.asarray(np.asarray(rows))[:, None], jnp.asarray(cols)]
+    cache[key] = (rows, cols, rs_vals, rs_set, shifts)
+    return cache[key]
+
+
+def _extract_raw_ce(cell: Cell, rs_dl: RsDl, tfg, port: int):
+    """ce_raw [n_rs_ofdm, 12] and the two alternating comb shifts."""
+    n_ofdm = int(tfg.shape[0])
+    rows, cols, rs_vals, rs_set, shifts = _raw_ce_plan(
+        cell, rs_dl, n_ofdm, port)
+    raw = tfg[jnp.asarray(rows)[:, None], jnp.asarray(cols)]
     raw = raw * jnp.conj(jnp.asarray(rs_vals, dtype=tfg.dtype))
     return raw, rs_set, shifts
 
 
 def _hex_filter(ce_raw, shift0: int, shift1: int):
-    """7-point hex-lattice averaging (reference searcher.cpp:1421-1467).
+    """7-point hex-lattice averaging (reference searcher.cpp:1421-1467)."""
+    n_rs = ce_raw.shape[0]
+    parity = (np.arange(n_rs) % 2 == 0) == (shift0 < shift1)
+    return _hex_filter_parity(ce_raw, jnp.asarray(parity))
+
+
+def _hex_filter_parity(ce_raw, parity):
+    """7-point hex-lattice averaging, row parity given as an array.
 
     For a staggered lattice the neighbors in adjacent rows are the two
     samples bracketing the current one on the offset comb; same-row
     neighbors are k-1,k,k+1.  All sums are shifted adds with edge clipping.
     """
-    n_rs, n_sc = ce_raw.shape
     z = jnp.zeros_like(ce_raw[:, :1])
     left = jnp.concatenate([z, ce_raw[:, :-1]], axis=1)     # ce_raw[t,k-1]
     right = jnp.concatenate([ce_raw[:, 1:], z], axis=1)     # ce_raw[t,k+1]
@@ -83,9 +104,8 @@ def _hex_filter(ce_raw, shift0: int, shift1: int):
     pairR = ce_raw + right       # neighbors {k, k+1}
     pairR_n = 1.0 + zr
 
-    # Row parity: current_row_leftmost starts as shift0<shift1 and toggles.
-    parity = (np.arange(n_rs) % 2 == 0) == (shift0 < shift1)  # True->leftmost
-    parity = jnp.asarray(parity)[:, None]
+    # Row parity: True -> this row's comb sits leftmost of the pair.
+    parity = parity[:, None]
     adj = jnp.where(parity, pairL, pairR)
     adj_n = jnp.where(parity, pairL_n, pairR_n)
 
@@ -294,6 +314,21 @@ def ce_interp_freq_time(ce_filt, rs_set, shifts, n_ofdm: int):
     return jnp.stack(cols, axis=1)
 
 
+@jax.jit
+def _chan_est_hex_core(tfg, rows, cols, rs_conj, parity, idx, w):
+    """Whole device chain for the hex interpolator as ONE program:
+    raw-CE gather -> 7-point hex filter -> noise estimate -> sparse
+    triangle-plane interpolation.  Compiles once per (n_ofdm, port
+    class) shape; all cell-dependent data arrives as arrays."""
+    raw = tfg[rows[:, None], cols] * rs_conj
+    ce_filt = _hex_filter_parity(raw, parity)
+    resid = ce_filt - raw
+    np_est = jnp.mean(jnp.real(resid) ** 2 + jnp.imag(resid) ** 2)
+    vals = ce_filt.reshape(-1)[idx] * w.astype(raw.real.dtype)
+    n_ofdm = idx.shape[0] // 72
+    return jnp.sum(vals, axis=-1).reshape(n_ofdm, 72), np_est
+
+
 def chan_est(cell: Cell, rs_dl: RsDl, tfg, port: int,
              interp: str = "hex"):
     """Port CE: raw extraction, hex filtering, noise estimate, interpolation.
@@ -304,6 +339,18 @@ def chan_est(cell: Cell, rs_dl: RsDl, tfg, port: int,
     tfg = jnp.asarray(tfg)
     n_ofdm = int(tfg.shape[0])
     n_symb_dl = cell.n_symb_dl()
+    if interp == "hex":
+        rows, cols, rs_vals, rs_set, shifts = _raw_ce_plan(
+            cell, rs_dl, n_ofdm, port)
+        idx, w = _hex_interp_plan(n_ofdm, n_symb_dl, int(shifts[0]),
+                                  int(shifts[1]), 1 if port >= 2 else 0)
+        parity = (np.arange(len(rs_set)) % 2 == 0) == \
+            (shifts[0] < shifts[1])
+        return _chan_est_hex_core(
+            tfg, jnp.asarray(rows), jnp.asarray(cols),
+            jnp.conj(jnp.asarray(rs_vals, dtype=tfg.dtype)),
+            jnp.asarray(parity), jnp.asarray(idx.reshape(-1, 6)),
+            jnp.asarray(w.reshape(-1, 6)))
     ce_raw, rs_set, shifts = _extract_raw_ce(cell, rs_dl, tfg, port)
     ce_filt = _hex_filter(ce_raw, int(shifts[0]), int(shifts[1]))
     resid = ce_filt - ce_raw

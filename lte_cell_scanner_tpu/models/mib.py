@@ -15,10 +15,11 @@ the candidate loop runs in reference order with host-side early exit.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..cell import Cell, CpType, PhichDuration, PhichResource
@@ -108,8 +109,45 @@ def _combine(pbch_sym, pbch_ce, np_v, n_ports: int):
     return syms, np_out
 
 
+@partial(jax.jit, static_argnames=("frame_len_sym",))
+def _mib_candidates(tfg, ce4, np_v, rows, cols, scr_sign, crc_m,
+                    frame_len_sym: int):
+    """All 12 blind candidates (4 frame phases x {1,2,4} ports) decoded
+    as one device program: batched combine -> log-MAP demod ->
+    descramble -> de-ratematch -> tail-biting Viterbi -> CRC16.
+
+    Returns (c_est [3 port-cfgs, 4 phases, 40] int32 bits,
+             crc_calc [3, 4, 16] int32 unmasked parity of bits[:24]).
+    """
+    offs = jnp.arange(4) * frame_len_sym                 # frame phases
+    rows_b = rows[None, :] + offs[:, None]               # [4, n_re]
+    pbch_sym = tfg[rows_b, cols[None, :]]                # [4, n_re]
+    # [4 phases, 4 ports, n_re]
+    pbch_ce = jnp.stack([c[rows_b, cols[None, :]] for c in ce4], axis=1)
+
+    def cand(phase_sym, phase_ce, n_ports):
+        syms, np_sym = _combine(phase_sym, phase_ce, np_v, n_ports)
+        return lte_demodulate(syms, np_sym, "qpsk")
+
+    e_all = jnp.stack([
+        jax.vmap(lambda s, c, n=n: cand(s, c, n))(pbch_sym, pbch_ce)
+        for n in (1, 2, 4)])                             # [3, 4, m_bit]
+    e_all = e_all * scr_sign                             # descramble
+    e_flat = e_all.reshape(12, -1)
+    d_flat = jax.vmap(lambda e: conv_deratematch(e, 40))(e_flat)
+    c_flat = jax.vmap(conv_decode_tailbite)(d_flat)      # [12, 40]
+    crc_flat = (c_flat[:, :24] @ crc_m) % 2              # [12, 16]
+    return c_flat.reshape(3, 4, 40), crc_flat.reshape(3, 4, -1)
+
+
 def decode_mib(cell: Cell, tfg, rs_dl: RsDl, interp: str = "hex") -> Cell:
-    """Blind MIB decode (reference searcher.cpp:1526-1692)."""
+    """Blind MIB decode (reference searcher.cpp:1526-1692).
+
+    All 12 (frame phase, port count) hypotheses decode as ONE jitted
+    batch (SURVEY.md section 7 "hard parts"); the reference's
+    first-success-wins order (phases outer, ports inner,
+    searcher.cpp:1549-1567) is preserved when scanning the results.
+    """
     tfg = jnp.asarray(tfg)
     n_symb_dl = cell.n_symb_dl()
 
@@ -123,26 +161,22 @@ def decode_mib(cell: Cell, tfg, rs_dl: RsDl, interp: str = "hex") -> Cell:
 
     n_id_cell = cell.n_id_cell()
     frame_len_sym = 10 * 2 * n_symb_dl
-    n_try_sym = 3 * frame_len_sym + 2 * n_symb_dl
     m_bit = 1920 if cell.cp_type is CpType.NORMAL else 1728
     scr = lte_pn(n_id_cell, m_bit).astype(np.float64)
     scr_sign = jnp.asarray(1.0 - 2.0 * scr)
     crc_m = jnp.asarray(crc_matrix(24, "crc16").astype(np.int32))
 
-    for frame_timing_guess in range(4):
-        start = frame_timing_guess * frame_len_sym
-        tfg_try = tfg[start: start + n_try_sym]
-        ce_try = [c[start: start + n_try_sym] for c in ce_list]
-        pbch_sym, pbch_ce = pbch_extract(cell, tfg_try, ce_try)
+    plan = pbch_index_plan(n_symb_dl, n_id_cell % 3)
+    c_all, crc_all = _mib_candidates(
+        tfg, ce_list, np_v, jnp.asarray(plan[:, 0]), jnp.asarray(plan[:, 1]),
+        scr_sign, crc_m, frame_len_sym)
+    c_all = np.asarray(c_all)
+    crc_all = np.asarray(crc_all)
 
-        for n_ports in (1, 2, 4):
-            syms, np_sym = _combine(pbch_sym, pbch_ce, np_v, n_ports)
-            e_est = lte_demodulate(syms, np_sym, "qpsk")
-            e_est = e_est * scr_sign                     # descramble
-            d_est = conv_deratematch(e_est, 40)
-            c_est = np.asarray(conv_decode_tailbite(d_est))
-            crc_calc = np.asarray(
-                (jnp.asarray(c_est[:24]) @ crc_m) % 2)
+    for frame_timing_guess in range(4):
+        for pi, n_ports in enumerate((1, 2, 4)):
+            c_est = c_all[pi, frame_timing_guess]
+            crc_calc = crc_all[pi, frame_timing_guess]
             if n_ports == 2:
                 crc_calc = crc_calc ^ 1
             elif n_ports == 4:
