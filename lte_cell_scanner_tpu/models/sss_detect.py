@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Dict
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..cell import Cell, CpType
@@ -50,10 +51,16 @@ def extract_dft_segments(capbuf, locs: np.ndarray, foc_freq: float,
     subcarriers.  -> [len(locs), n_sc]
     """
     capbuf = jnp.asarray(capbuf)
-    dtype = capbuf.dtype
     idx = np.asarray(locs, dtype=np.int64)[:, None] + np.arange(128)[None, :]
-    segs = capbuf[jnp.asarray(idx)]                       # [n, 128]
-    ramp = fshift_ramp(128, foc_freq, fs_mix, dtype=dtype)
+    return _dft_segments_idx(capbuf, jnp.asarray(idx), foc_freq, fs_mix,
+                             n_sc)
+
+
+def _dft_segments_idx(capbuf, idx, foc_freq, fs_mix, n_sc: int = 62):
+    """Trace-compatible body of extract_dft_segments: gather indices
+    precomputed on host, freq/fs as (possibly traced) scalars."""
+    segs = capbuf[idx]                                    # [n, 128]
+    ramp = fshift_ramp(128, foc_freq, fs_mix, dtype=capbuf.dtype)
     segs = segs * ramp[None, :]
     segs = jnp.roll(segs, -2, axis=-1)
     dft_out = jnp.fft.fft(segs, axis=-1) / jnp.sqrt(
@@ -120,29 +127,46 @@ def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
     pss_locs = round_i(pss_loc_set)
     pss_dft_locs = pss_locs + 9 - 2
 
-    h_raw, h_sm, pss_np = _pss_channel_estimates(
-        capbuf, pss_dft_locs, peak_freq, fs_mix, cell.n_id_2)
+    base = np.arange(128)[None, :]
+    locs = np.asarray(pss_dft_locs, dtype=np.int64)[:, None]
+    return _getce_core(jnp.asarray(capbuf),
+                       jnp.asarray(locs + base),
+                       jnp.asarray(locs - 128 - 32 + base),
+                       jnp.asarray(locs - 128 - 9 + base),
+                       peak_freq, fs_mix,
+                       jnp.asarray(np.conj(PSS_FD()[cell.n_id_2])))
 
-    sss_ext_raw = extract_dft_segments(
-        capbuf, pss_dft_locs - 128 - 32, -peak_freq, fs_mix)
-    sss_nrm_raw = extract_dft_segments(
-        capbuf, pss_dft_locs - 128 - 9, -peak_freq, fs_mix)
+
+@jax.jit
+def _getce_core(capbuf, idx_pss, idx_ext, idx_nrm, freq, fs_mix,
+                pss_fd_conj):
+    """Device portion of sss_detect_getce_sss as one jitted program
+    (compiles once per n_pss shape): PSS channel estimates, 13-tap
+    smoothing, noise power, SSS extraction at both CP offsets, and the
+    inverse-noise MMSE combine into h1 (even half-frames) / h2 (odd)."""
+    h_raw = _dft_segments_idx(capbuf, idx_pss, -freq, fs_mix) \
+        * pss_fd_conj[None]
+    h_sm = _smooth13(h_raw)
+    resid = h_sm - h_raw
+    pss_np = jnp.mean(jnp.real(resid) ** 2 + jnp.imag(resid) ** 2, axis=-1)
+    sss_ext_raw = _dft_segments_idx(capbuf, idx_ext, -freq, fs_mix)
+    sss_nrm_raw = _dft_segments_idx(capbuf, idx_nrm, -freq, fs_mix)
 
     # MMSE combining across half-frames with inverse-noise weights
     # (reference searcher.cpp:600-631).
-    def combine(sel):
-        h = h_sm[sel]                              # [n_half, 62]
-        np_inv = (1.0 / pss_np[sel])[:, None]      # [n_half, 1]
+    def combine(h, npv, nrm_raw, ext_raw):
+        np_inv = (1.0 / npv)[:, None]              # [n_half, 1]
         h2 = jnp.real(h) ** 2 + jnp.imag(h) ** 2
         np_est = 1.0 / (1.0 + jnp.sum(h2 * np_inv, axis=0))     # [62]
         w = jnp.conj(h) * np_inv
-        nrm = np_est * jnp.sum(w * sss_nrm_raw[sel], axis=0)
-        ext = np_est * jnp.sum(w * sss_ext_raw[sel], axis=0)
+        nrm = np_est * jnp.sum(w * nrm_raw, axis=0)
+        ext = np_est * jnp.sum(w * ext_raw, axis=0)
         return np_est, nrm, ext
 
-    n_pss = len(pss_locs)
-    h1_np, h1_nrm, h1_ext = combine(np.arange(0, n_pss, 2))
-    h2_np, h2_nrm, h2_ext = combine(np.arange(1, n_pss, 2))
+    h1_np, h1_nrm, h1_ext = combine(h_sm[0::2], pss_np[0::2],
+                                    sss_nrm_raw[0::2], sss_ext_raw[0::2])
+    h2_np, h2_nrm, h2_ext = combine(h_sm[1::2], pss_np[1::2],
+                                    sss_nrm_raw[1::2], sss_ext_raw[1::2])
     return h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext
 
 
@@ -287,21 +311,37 @@ def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     sn_seq = np.array([(sn0 + 10 * k) % 20 for k in range(n_sss)]) // 10  # 0/1
 
     pss_locs = sss_locs + pss_sss_dist
-    h_raw, h_sm, pss_np = _pss_channel_estimates(
-        capbuf, pss_locs, cell.freq, fs_mix, cell.n_id_2)
-
-    sss_raw = extract_dft_segments(capbuf, sss_locs, -cell.freq, fs_mix)
     # Compensate the per-segment phase-restart between SSS and PSS windows
     # (both variants use the nominal rate here, searcher.cpp:832).
     phase = np.pi * -cell.freq / (FS_LTE / 16 / 2) * -pss_sss_dist
-    sss_raw = sss_raw * complex(np.cos(phase), np.sin(phase))
     sss_try = SSS_FD()[cell.n_id_1, cell.n_id_2]        # [2, 62]
-    sss_raw = sss_raw * jnp.asarray(sss_try[sn_seq].astype(np.float64))
-
-    h2 = jnp.real(h_sm) ** 2 + jnp.imag(h_sm) ** 2
-    w = h2 / (2 * h2 * pss_np[:, None] + (pss_np ** 2)[:, None])
-    M = jnp.sum(jnp.conj(sss_raw) * h_raw * w)
+    base = np.arange(128)[None, :]
+    M = _foe_core(jnp.asarray(capbuf),
+                  jnp.asarray(pss_locs[:, None] + base),
+                  jnp.asarray(sss_locs[:, None] + base),
+                  cell.freq, fs_mix,
+                  jnp.asarray(np.conj(PSS_FD()[cell.n_id_2])),
+                  complex(np.cos(phase), np.sin(phase)),
+                  jnp.asarray(sss_try[sn_seq].astype(np.float64)))
     M = complex(np.asarray(M))
 
     freq_fine = cell.freq + np.angle(M) / (2 * np.pi) * fs_out / pss_sss_dist
     return cell.evolve(freq_fine=float(freq_fine))
+
+
+@jax.jit
+def _foe_core(capbuf, idx_pss, idx_sss, freq, fs_mix, pss_fd_conj,
+              seg_phase, sss_expect):
+    """Device portion of pss_sss_foe as one jitted program: PSS channel
+    estimates + smoothing, SSS extraction/derotation, and the weighted
+    conj(SSS)*H_pss accumulation (reference searcher.cpp:816-848)."""
+    h_raw = _dft_segments_idx(capbuf, idx_pss, -freq, fs_mix) \
+        * pss_fd_conj[None]
+    h_sm = _smooth13(h_raw)
+    resid = h_sm - h_raw
+    pss_np = jnp.mean(jnp.real(resid) ** 2 + jnp.imag(resid) ** 2, axis=-1)
+    sss_raw = _dft_segments_idx(capbuf, idx_sss, -freq, fs_mix)
+    sss_raw = sss_raw * seg_phase * sss_expect
+    h2 = jnp.real(h_sm) ** 2 + jnp.imag(h_sm) ** 2
+    w = h2 / (2 * h2 * pss_np[:, None] + (pss_np ** 2)[:, None])
+    return jnp.sum(jnp.conj(sss_raw) * h_raw * w)
