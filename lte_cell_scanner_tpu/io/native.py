@@ -59,6 +59,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.find_trigger.argtypes = [ctypes.c_double, ctypes.c_double,
                                  ctypes.c_int64, ctypes.c_double,
                                  ctypes.POINTER(ctypes.c_double)]
+    lib.interp72.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                             ctypes.c_void_p]
+    lib.rs_window_update.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return lib
 

@@ -88,11 +88,17 @@ class TrackedCellProcessor:
         self.ce_filt_fifo: List[Deque[_FiltPdu]] = [deque() for _ in range(n_ports)]
         self.ce_interp_fifo: List[Deque[_InterpPdu]] = [deque() for _ in range(n_ports)]
         self.ce_interp_init = [False] * n_ports
-        self.ce_history = [(np.zeros((72, 12), np.complex128), [0])
+        self.ce_history = [(np.zeros((72, 12), np.complex128),
+                            np.zeros(1, np.int64))
                            for _ in range(n_ports)]
         self.mib_fifo: Deque = deque()
         self.mib_fifo_synchronized = False
         self.sss_sym: Optional[np.ndarray] = None
+        # native per-RS-window numerics (native/tracker_math.cpp),
+        # numpy fallback when the library is unavailable
+        from ..io.native import get_lib
+        self._native = get_lib()
+        self._scalars = np.zeros(10, np.float64)
 
     # ------------------------------------------------------------------
     def _get_fd(self, pdu: SymbolPdu) -> np.ndarray:
@@ -204,10 +210,59 @@ class TrackedCellProcessor:
             self.cell.ac_td = (self.cell.ac_td * w_old + xc) / (w_old + 1)
 
     # ------------------------------------------------------------------
+    def _rs_window_native(self, port: int, prev: _RsPdu, curr: _RsPdu,
+                          nxt: _RsPdu) -> None:
+        """One native call for the whole RS-window update: filter_ce,
+        powers, FOE/TOE statistics, and the ac_fd/ac_td state blends
+        (native/tracker_math.cpp rs_window_update); only the global
+        feedback applications stay here, identical to _do_foe/_do_toe_v2."""
+        c = self.cell
+        st = self.state
+        p_ce = np.ascontiguousarray(prev.ce, dtype=np.complex128)
+        c_ce = np.ascontiguousarray(curr.ce, dtype=np.complex128)
+        n_ce = np.ascontiguousarray(nxt.ce, dtype=np.complex128)
+        ce_filt = np.empty(12, np.complex128)
+        buf, pos = self.ce_history[port]
+        sc = self._scalars
+        self._native.rs_window_update(
+            p_ce.ctypes.data, c_ce.ctypes.data, n_ce.ctypes.data,
+            1 if prev.shift < curr.shift else 0,
+            ce_filt.ctypes.data, sc.ctypes.data,
+            c.ac_fd.ctypes.data, c.ac_td.ctypes.data,
+            buf.ctypes.data, pos.ctypes.data)
+        np_curr, tp_curr, sp_raw, sp_curr = sc[0], sc[1], sc[2], sc[3]
+        self.ce_filt_fifo[port].append(_FiltPdu(
+            shift=curr.shift, slot_num=curr.slot_num, sym_num=curr.sym_num,
+            tp=tp_curr, sp=sp_curr, sp_raw=sp_raw, np=np_curr,
+            ce_filt=ce_filt))
+
+        # FOE feedback (tail of _do_foe)
+        foe_comb = complex(sc[4], sc[5])
+        fo = prev.fo
+        k_factor = (st.fc_requested - fo) / st.fc_programmed
+        dt = 0.0005 + _wrap(nxt.ft - prev.ft, -9600.0, 9600.0) \
+            / (st.fs_programmed * k_factor)
+        residual_f = np.angle(foe_comb) / (2 * np.pi) / dt
+        residual_f_np = max(sc[6] / 2, 0.001)
+        st.blend_frequency_offset(fo + residual_f, residual_f_np)
+
+        # frame-timing feedback (tail of _do_toe_v2)
+        delay, delay_np = sc[7], sc[8]
+        diff = _wrap((curr.ft + delay) - c.frame_timing, -9600.0, 9600.0)
+        diff = diff * (1 / delay_np) / (1 / 0.0001 + 1 / delay_np)
+        c.update_frame_timing(c.frame_timing + diff)
+
+    # ------------------------------------------------------------------
     def _interp72(self, pdu: _FiltPdu) -> np.ndarray:
         """Linear 12 -> 72 interpolation with edge extrapolation
         (reference interp72, tracker_thread.cpp:372-393), vectorized:
         segment k(t) advances when t passes the right knot shift+6(k+1)."""
+        if self._native is not None:
+            y = np.ascontiguousarray(pdu.ce_filt, np.complex128)
+            out = np.empty(72, np.complex128)
+            self._native.interp72(y.ctypes.data, int(pdu.shift),
+                                  out.ctypes.data)
+            return out
         t = np.arange(72)
         y = pdu.ce_filt
         k = np.clip(np.ceil((t - pdu.shift) / 6.0).astype(np.int64) - 1,
@@ -446,19 +501,22 @@ class TrackedCellProcessor:
                 if len(raw) != 3:
                     continue
                 prev, curr, nxt = raw[0], raw[1], raw[2]
-                ce_filt = self._filter_ce(prev, curr, nxt)
-                np_curr = _sigpower(curr.ce - ce_filt) * 7 / 6
-                tp_curr = _sigpower(ce_filt)
-                sp_raw = tp_curr - np_curr / 7
-                sp_curr = max(1e-5, sp_raw)
-                self.ce_filt_fifo[port].append(_FiltPdu(
-                    shift=curr.shift, slot_num=curr.slot_num,
-                    sym_num=curr.sym_num, tp=tp_curr, sp=sp_curr,
-                    sp_raw=sp_raw, np=np_curr, ce_filt=ce_filt))
-                self._do_foe(prev, nxt, np_curr, ce_filt)
-                self._do_toe_v2(prev, curr, sp_curr, np_curr)
-                self._do_ac_fd(curr, sp_curr, np_curr)
-                self._do_ac_td(curr, sp_curr, self.ce_history[port])
+                if self._native is not None:
+                    self._rs_window_native(port, prev, curr, nxt)
+                else:
+                    ce_filt = self._filter_ce(prev, curr, nxt)
+                    np_curr = _sigpower(curr.ce - ce_filt) * 7 / 6
+                    tp_curr = _sigpower(ce_filt)
+                    sp_raw = tp_curr - np_curr / 7
+                    sp_curr = max(1e-5, sp_raw)
+                    self.ce_filt_fifo[port].append(_FiltPdu(
+                        shift=curr.shift, slot_num=curr.slot_num,
+                        sym_num=curr.sym_num, tp=tp_curr, sp=sp_curr,
+                        sp_raw=sp_raw, np=np_curr, ce_filt=ce_filt))
+                    self._do_foe(prev, nxt, np_curr, ce_filt)
+                    self._do_toe_v2(prev, curr, sp_curr, np_curr)
+                    self._do_ac_fd(curr, sp_curr, np_curr)
+                    self._do_ac_td(curr, sp_curr, self.ce_history[port])
                 raw.popleft()
 
             for port in range(n_ports):

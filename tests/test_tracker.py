@@ -306,3 +306,86 @@ def test_next_trigger_matches_bruteforce_scan():
                 want = brute(ts, t0, target, lo, hi)
                 assert got == want, (step, start, n, target, t0, lo, hi,
                                      got, want)
+
+
+def test_native_rs_window_matches_numpy_path():
+    """The native rs_window_update (native/tracker_math.cpp) must track
+    the numpy control loops: identical CE filtering, powers, FOE/TOE
+    feedback trajectories, and ac_fd/ac_td statistics over a long
+    random window sequence (tolerances cover summation-order rounding)."""
+    from lte_cell_scanner_tpu.io.native import get_lib
+    from lte_cell_scanner_tpu.tracker.cell_tracker import (
+        TrackedCellProcessor, _RsPdu)
+    from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+
+    def make_pair():
+        state = GlobalState(fc_requested=FC, fc_programmed=FC,
+                            fs_programmed=FS, frequency_offset=100.0)
+        cell = TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
+                           cp_type=CpType.NORMAL, n_ports=1,
+                           frame_timing=1234.5)
+        return state, cell, TrackedCellProcessor(cell, state)
+
+    st_a, cell_a, proc_a = make_pair()
+    st_b, cell_b, proc_b = make_pair()
+    proc_b._native = None                      # force the numpy path
+
+    shifts = [2, 5]
+    ft = 1234.5
+    pdus = []
+    for i in range(200):
+        ce = rng.normal(size=12) + 1j * rng.normal(size=12)
+        pdus.append(_RsPdu(shifts[i % 2], (i // 2) % 20, 0, ce,
+                           100.0 + 0.1 * i, ft))
+
+    for i in range(len(pdus) - 2):
+        prev, curr, nxt = pdus[i], pdus[i + 1], pdus[i + 2]
+        proc_a._rs_window_native(0, prev, curr, nxt)
+        ce_filt = proc_b._filter_ce(prev, curr, nxt)
+        np_curr = float(np.mean(np.abs(curr.ce - ce_filt) ** 2)) * 7 / 6
+        tp_curr = float(np.mean(np.abs(ce_filt) ** 2))
+        sp_raw = tp_curr - np_curr / 7
+        sp_curr = max(1e-5, sp_raw)
+        proc_b._do_foe(prev, nxt, np_curr, ce_filt)
+        proc_b._do_toe_v2(prev, curr, sp_curr, np_curr)
+        proc_b._do_ac_fd(curr, sp_curr, np_curr)
+        proc_b._do_ac_td(curr, sp_curr, proc_b.ce_history[0])
+
+        filt_a = proc_a.ce_filt_fifo[0][-1]
+        assert np.allclose(filt_a.ce_filt, ce_filt, atol=1e-13)
+        assert abs(filt_a.np - np_curr) < 1e-13
+        assert abs(filt_a.sp - sp_curr) < 1e-13
+
+    assert abs(st_a.frequency_offset - st_b.frequency_offset) < 1e-6
+    assert abs(cell_a.frame_timing - cell_b.frame_timing) < 1e-8
+    assert np.allclose(cell_a.ac_fd, cell_b.ac_fd, atol=1e-10)
+    assert np.allclose(cell_a.ac_td, cell_b.ac_td, atol=1e-10)
+
+
+def test_native_interp72_matches_numpy():
+    from lte_cell_scanner_tpu.io.native import get_lib
+    from lte_cell_scanner_tpu.tracker.cell_tracker import (
+        TrackedCellProcessor, _FiltPdu)
+    from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    state = GlobalState(fc_requested=FC, fc_programmed=FC, fs_programmed=FS)
+    cell = TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
+                       cp_type=CpType.NORMAL, n_ports=1, frame_timing=0.0)
+    proc = TrackedCellProcessor(cell, state)
+    rng = np.random.default_rng(8)
+    for shift in range(6):
+        pdu = _FiltPdu(shift=shift, slot_num=0, sym_num=0, tp=1.0, sp=1.0,
+                       sp_raw=1.0, np=0.1,
+                       ce_filt=rng.normal(size=12) + 1j * rng.normal(size=12))
+        got = proc._interp72(pdu)
+        proc._native = None
+        want = proc._interp72(pdu)
+        proc._native = get_lib()
+        assert np.allclose(got, want, atol=1e-14), shift
