@@ -22,25 +22,23 @@ _LIB_PATH = _NATIVE_DIR / "libingest.so"
 _lib: Optional[ctypes.CDLL] = None
 
 
-def ensure_built(quiet: bool = True) -> bool:
-    """Build libingest.so if missing; returns availability."""
-    if _LIB_PATH.exists():
+def ensure_built(quiet: bool = True, force: bool = False) -> bool:
+    """Build libingest.so if missing (or force rebuild); returns
+    availability."""
+    if _LIB_PATH.exists() and not force:
         return True
     try:
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                       capture_output=quiet)
+        cmd = ["make", "-C", str(_NATIVE_DIR)]
+        if force:
+            cmd.insert(1, "-B")
+        subprocess.run(cmd, check=True, capture_output=quiet)
         return _LIB_PATH.exists()
     except Exception:
         return False
 
 
-def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not ensure_built():
-        return None
-    lib = ctypes.CDLL(str(_LIB_PATH))
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare prototypes; raises AttributeError on a stale library."""
     lib.iq_u8_to_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int64]
     lib.ring_create.restype = ctypes.c_void_p
@@ -55,16 +53,33 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                      ctypes.c_uint64]
     lib.ring_drop.restype = ctypes.c_uint64
     lib.ring_drop.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
-    lib.find_trigger.restype = ctypes.c_int64
-    lib.find_trigger.argtypes = [ctypes.c_double, ctypes.c_double,
-                                 ctypes.c_int64, ctypes.c_double,
-                                 ctypes.POINTER(ctypes.c_double)]
     lib.interp72.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                              ctypes.c_void_p]
     lib.rs_window_update.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p]
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not ensure_built():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        _bind(lib)
+    except (OSError, AttributeError):
+        # stale .so from an older source tree: force a rebuild once,
+        # fall back to numpy paths if it still doesn't bind
+        if not ensure_built(force=True):
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            _bind(lib)
+        except (OSError, AttributeError):
+            return None
     _lib = lib
     return lib
 
@@ -111,16 +126,6 @@ class SampleRing:
         return self._lib.ring_drop(self._h, n)
 
 
-def find_trigger(ts0: float, step: float, n: int, target: float):
-    """First trigger index in the block, or (-1, 0.0)."""
-    lib = get_lib()
-    late = ctypes.c_double(0.0)
-    if lib is None:
-        ts = (ts0 + step * np.arange(1, n + 1)) % 19200.0
-        d = (ts - target + 9600.0) % 19200.0 - 9600.0
-        hits = np.nonzero((np.abs(d) < 0.5) | ((d > 0) & (d < 3)))[0]
-        if len(hits) == 0:
-            return -1, 0.0
-        return int(hits[0]), float(d[hits[0]])
-    idx = lib.find_trigger(ts0, step, n, target, ctypes.byref(late))
-    return int(idx), float(late.value)
+# (the per-sample trigger scan that used to live here was superseded by
+# the O(1) arithmetic locator lte_cell_scanner_tpu/tracker/producer.py::
+# _next_trigger, which is pinned by a brute-force parity test)

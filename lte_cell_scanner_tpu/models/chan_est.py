@@ -355,10 +355,7 @@ def chan_est(cell: Cell, rs_dl: RsDl, tfg, port: int,
     ce_filt = _hex_filter(ce_raw, int(shifts[0]), int(shifts[1]))
     resid = ce_filt - ce_raw
     np_est = jnp.mean(jnp.real(resid) ** 2 + jnp.imag(resid) ** 2)
-    if interp == "hex":
-        ce_tfg = ce_interp_hex(ce_filt, rs_set, shifts, n_ofdm, n_symb_dl,
-                               port)
-    elif interp == "freq_time":
+    if interp == "freq_time":
         ce_tfg = ce_interp_freq_time(ce_filt, rs_set, shifts, n_ofdm)
     elif interp == "2stage":
         ce_tfg = ce_interp_2stage(ce_filt, rs_set, shifts, n_ofdm)

@@ -9,8 +9,9 @@ Viterbi decode, and check CRC16 under the port-count mask.  First success
 wins; SFN = mod(sfn_bits*4 - frame_guess, 1024).
 
 TPU-native design: the PBCH RE positions are a static index plan per
-(n_symb_dl, v_shift mod 3); combining/demod/decode are fully vectorized;
-the candidate loop runs in reference order with host-side early exit.
+(n_symb_dl, v_shift mod 3); all 12 (frame phase, port count) candidates
+decode as ONE jitted batch (_mib_candidates), and only the RESULT scan
+early-exits in the reference's first-success order.
 """
 
 from __future__ import annotations

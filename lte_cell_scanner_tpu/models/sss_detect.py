@@ -92,18 +92,6 @@ def _smooth13(h_raw):
     return acc / jnp.asarray(rt - lt + 1, h_raw.real.dtype)
 
 
-def _pss_channel_estimates(capbuf, dft_locs, freq: float, fs_mix: float,
-                           n_id_2: int):
-    """PSS-based raw+smoothed channel estimate and noise power per location."""
-    pss_fd = jnp.asarray(PSS_FD()[n_id_2])
-    h_raw = extract_dft_segments(capbuf, dft_locs, -freq, fs_mix) \
-        * jnp.conj(pss_fd)[None]
-    h_sm = _smooth13(h_raw)
-    resid = h_sm - h_raw
-    pss_np = jnp.mean(jnp.real(resid) ** 2 + jnp.imag(resid) ** 2, axis=-1)
-    return h_raw, h_sm, pss_np
-
-
 def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
                          fc_programmed: float, fs_programmed: float,
                          compat: str = "production"):

@@ -198,7 +198,6 @@ class Producer:
                         data=cl.buffer.copy(), slot_num=cl.slot_num,
                         sym_num=cl.sym_num, late=cl.pdu_late,
                         frequency_offset=cl.pdu_fo, frame_timing=cl.pdu_ft))
-                    cell.fifo_depth = len(fifo)
                     cell.fifo_peak_size = max(cell.fifo_peak_size, len(fifo))
                     # backpressure: if the consumer is >1.5 s behind, dump
                     # 1 s of symbols and count it (reference

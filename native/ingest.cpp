@@ -117,26 +117,4 @@ uint64_t ring_drop(void* rv, uint64_t n) {
     return n;
 }
 
-// ---------------------------------------------------------------------------
-// Producer timestamp/trigger scan (reference producer_thread.cpp:196-221):
-// given the block's starting LTE timestamp and per-sample step, find the
-// first index where WRAP(ts - target, -9600, 9600) lands within the
-// trigger window (|d| < 0.5, or 0 < d < 3).  Returns the index or -1;
-// *late receives the timing error at the trigger.
-// ---------------------------------------------------------------------------
-int64_t find_trigger(double ts0, double step, int64_t n, double target,
-                     double* late) {
-    for (int64_t i = 0; i < n; i++) {
-        double ts = fmod(ts0 + step * (double)(i + 1), 19200.0);
-        double d = fmod(ts - target + 9600.0, 19200.0);
-        if (d < 0) d += 19200.0;
-        d -= 9600.0;
-        if (fabs(d) < 0.5 || (d > 0 && d < 3)) {
-            *late = d;
-            return i;
-        }
-    }
-    return -1;
-}
-
 }  // extern "C"

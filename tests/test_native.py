@@ -44,21 +44,3 @@ def test_ring_overflow_and_drop(lib):
     assert pushed == 1024       # partial write when full
     assert ring.drop(512) == 512
     assert ring.size() == 512
-
-
-def test_find_trigger_matches_numpy(lib):
-    rng = np.random.default_rng(1)
-    for _ in range(20):
-        ts0 = rng.uniform(0, 19200)
-        step = 1.0 + rng.uniform(-1e-4, 1e-4)
-        target = rng.uniform(0, 19200)
-        n = 5000
-        idx_c, late_c = native.find_trigger(ts0, step, n, target)
-        # numpy reference
-        ts = (ts0 + step * np.arange(1, n + 1)) % 19200.0
-        d = (ts - target + 9600.0) % 19200.0 - 9600.0
-        hits = np.nonzero((np.abs(d) < 0.5) | ((d > 0) & (d < 3)))[0]
-        idx_py = int(hits[0]) if len(hits) else -1
-        assert idx_c == idx_py
-        if idx_c >= 0:
-            assert abs(late_c - d[idx_py]) < 1e-9
