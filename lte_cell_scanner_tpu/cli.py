@@ -164,8 +164,17 @@ def cmd_track(args) -> int:
         print("Error: tracker needs --load FILE(s) or --sim")
         return 1
 
+    import jax
+    shard_search = args.shard_search
+    if shard_search is None:
+        shard_search = jax.device_count() > 1
+    mesh = None
+    if shard_search and jax.device_count() > 1:
+        from .parallel.sharded import make_mesh
+        mesh = make_mesh(jax.device_count(), 1)
     runner = TrackerRunner(args.freq, args.freq, FS_WORK,
-                           search_period=args.search_period)
+                           search_period=args.search_period,
+                           search_mesh=mesh)
     n_blocks = 0
     report_every = max(1, int(args.fs * 1.0) // 10000)
     try:
@@ -285,6 +294,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="min stream-seconds between background-search "
                          "cycles once tracking (0 = every capture, the "
                          "reference's continuous low-priority cadence)")
+    pt.add_argument("--shard-search", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="run the background searcher's front end sharded "
+                         "over all visible devices (overlap-save time "
+                         "blocks; default: auto when >1 device)")
     pt.add_argument("-x", "--expert", action="store_true",
                     help="show ASCII channel/autocorrelation plots")
     pt.set_defaults(func=cmd_track)

@@ -122,6 +122,42 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
                         fs_programmed, cfg)
 
 
+def cell_search_sharded(capbuf, f_search_set, fc_requested: float,
+                        fc_programmed: float, fs_programmed: float,
+                        mesh, config: Optional[SearchConfig] = None
+                        ) -> List[Cell]:
+    """cell_search with the front end sharded over a (t x f) device mesh:
+    time blocks exchange overlap-save halos over ICI, hypothesis shards
+    collapse with pmax, and the sp/Z_th1/refinement-slab aux outputs ride
+    the same program (parallel/sharded.py).  The per-peak back half runs
+    on the default device exactly as in cell_search.
+
+    This is the streaming tracker's multi-chip searcher path
+    (BASELINE.json config 5) as well as a single-carrier accelerator for
+    very wide hypothesis grids."""
+    from ..parallel.sharded import plan_sharded_inputs, sharded_xcorr
+
+    cfg = config or SearchConfig()
+    capbuf = np.asarray(capbuf)
+    n_comb_sp = (len(capbuf) - 136 - 137) // 9600
+    padded, tmpl, starts, n_comb_xc, n_lags = plan_sharded_inputs(
+        capbuf, np.asarray(f_search_set, dtype=np.float64), fc_requested,
+        fc_programmed, fs_programmed, mesh, dtype=capbuf.dtype)
+    pow_g, frq_g, sp_inc, single = sharded_xcorr(
+        mesh, padded, tmpl, starts, cfg.ds_comb_arm, n_comb_xc, n_lags,
+        n_comb_sp=n_comb_sp)
+    sp_inc = np.asarray(sp_inc)
+    Z_th1 = compute_z_th1(sp_inc, n_comb_xc, cfg.ds_comb_arm,
+                          cfg.thresh1_n_nines)
+    peaks = peak_search(np.asarray(pow_g), np.asarray(frq_g), Z_th1,
+                        f_search_set, fc_requested, fc_programmed,
+                        np.asarray(single), cfg.ds_comb_arm)
+    debug_export("sp_incoherent", sp_inc)
+    debug_export("Z_th1", Z_th1)
+    return refine_peaks(peaks, capbuf, fc_requested, fc_programmed,
+                        fs_programmed, cfg)
+
+
 def dedup(cell_lists: List[List[Cell]]) -> List[Cell]:
     """Merge per-carrier results: same cell ID within 1 MHz keeps the
     strongest detection (reference CellSearch.cpp:285-319)."""

@@ -64,19 +64,27 @@ def _fold_local(xc2, lag0, n_comb_xc: int, starts, n_valid_lags):
 
 
 @partial(jax.jit, static_argnames=("mesh", "ds_comb_arm", "n_comb_xc",
-                                  "n_valid_lags"))
+                                  "n_valid_lags", "n_comb_sp"))
 def sharded_xcorr(mesh: Mesh, capbuf_blocks, templates, start_idx,
-                  ds_comb_arm: int, n_comb_xc: int, n_valid_lags: int):
+                  ds_comb_arm: int, n_comb_xc: int, n_valid_lags: int,
+                  n_comb_sp: int = 0):
     """Sharded xcorr front end.
 
     capbuf_blocks: [n_cap_padded] complex, sharded along "t".
     templates: [3 * n_f, 137] complex, sharded along "f" (first axis).
     start_idx: [3 * n_f, n_comb] int32 fold starts, sharded along "f".
 
-    Returns (pow [3*n_f_groups? -> 3, 9600], frq [3, 9600]) replicated:
-    the hypothesis-collapsed peak map, equivalent to the reference's
+    Returns (pow [3, 9600], frq [3, 9600]) replicated: the
+    hypothesis-collapsed peak map, equivalent to the reference's
     xc_incoherent_collapsed_{pow,frq} (searcher.cpp:349-383).
-    """
+
+    With n_comb_sp > 0, additionally returns the aux outputs the full
+    CellSearch flow needs (pow, frq, sp_incoherent [9600],
+    xc_incoherent_single [3, n_f, 9600]): the sliding 274-sample power
+    fold rides the same halo exchange, and the pre-delay-spread fold is
+    gathered over the "f" shards -- this is what lets peak_search +
+    Z_th1 + per-peak refinement run off a multi-chip front end (the
+    streaming tracker's sharded searcher path)."""
     n_t = mesh.shape["t"]
     n_f_axis = mesh.shape["f"]
     n_tmpl = templates.shape[0]
@@ -125,12 +133,35 @@ def sharded_xcorr(mesh: Mesh, capbuf_blocks, templates, start_idx,
         pow_glob = jax.lax.pmax(pow_loc, "f")
         frq_glob = jax.lax.pmax(
             jnp.where(pow_loc == pow_glob, frq_loc, -1), "f")
-        return pow_glob, frq_glob
+        if n_comb_sp == 0:
+            return pow_glob, frq_glob
 
+        # --- aux: sp_est fold over the same halo-extended block -----------
+        # (reference sp_est, searcher.cpp:185-221: 274-sample running
+        # mean power, folded mod 9600, tshifted by 137)
+        p_ext = jnp.real(cap_ext) ** 2 + jnp.imag(cap_ext) ** 2
+        cs = jnp.concatenate([jnp.zeros(1, p_ext.dtype), jnp.cumsum(p_ext)])
+        sp_loc = (cs[274: 274 + B] - cs[:B]) / 274.0          # [B]
+        g = lag0 + jnp.arange(B)
+        n_sp = n_comb_sp * HALF_FRAME_LEN
+        pos = g % HALF_FRAME_LEN
+        sp_acc = jnp.zeros(HALF_FRAME_LEN, p_ext.dtype).at[pos].add(
+            jnp.where(g < n_sp, sp_loc, 0.0))
+        sp_inc = jax.lax.psum(sp_acc, "t") / n_comb_sp
+        sp_inc = jnp.roll(sp_inc, 137)
+
+        # pre-delay-spread fold = xc_incoherent_single rows of this shard
+        single_loc = acc.reshape(3, n_f_local, HALF_FRAME_LEN)
+        return pow_glob, frq_glob, sp_inc, single_loc
+
+    if n_comb_sp == 0:
+        out_specs = (P(), P())
+    else:
+        out_specs = (P(), P(), P(), P(None, "f", None))
     f = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P("t"), P("f", None), P("f", None)),
-        out_specs=(P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return f(capbuf_blocks, templates, start_idx)

@@ -48,7 +48,8 @@ class TrackerRunner:
     def __init__(self, fc_requested: float, fc_programmed: float,
                  fs_programmed: float, initial_fo: float = 0.0,
                  search_config: Optional[SearchConfig] = None,
-                 device_fd: bool = True, search_period: float = 0.0):
+                 device_fd: bool = True, search_period: float = 0.0,
+                 search_mesh=None):
         self.state = GlobalState(fc_requested=fc_requested,
                                  fc_programmed=fc_programmed,
                                  fs_programmed=fs_programmed,
@@ -68,6 +69,10 @@ class TrackerRunner:
         self.search_period = search_period
         self._samples_fed = 0
         self._last_search_at = None
+        # optional (t x 1) device mesh: the background searcher's front
+        # end runs sharded over the capture time axis (overlap-save halo
+        # exchange over ICI) -- the multi-chip streaming layout
+        self.search_mesh = search_mesh
         # batched device get_fd over all cells' pending symbols
         # (tracker/batched.py); False = per-symbol host path
         self.device_fd = device_fd
@@ -123,7 +128,8 @@ class TrackerRunner:
                 had_cells = bool(self.cells)
                 new_cells = search_once(
                     self.producer.capbuf, self.producer.capbuf_late,
-                    self.state, self.cells, self.search_config)
+                    self.state, self.cells, self.search_config,
+                    mesh=self.search_mesh)
                 if new_cells and not had_cells:
                     # First acquisition doubles as the reference's
                     # kalibrate() bootstrap (LTE-Tracker.cpp:565-741): seed

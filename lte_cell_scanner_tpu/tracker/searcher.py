@@ -22,8 +22,13 @@ from .state import GlobalState, TrackedCell
 
 def search_once(capbuf: np.ndarray, capbuf_late: float, state: GlobalState,
                 tracked: List[TrackedCell],
-                config: SearchConfig = None) -> List[TrackedCell]:
-    """One searcher cycle; returns newly-found cells to track."""
+                config: SearchConfig = None, mesh=None) -> List[TrackedCell]:
+    """One searcher cycle; returns newly-found cells to track.
+
+    With a (t x 1) device mesh, the correlation front end runs sharded
+    over the capture's time axis with overlap-save halo exchange
+    (models/search.py::cell_search_sharded) -- the multi-chip streaming
+    searcher layout."""
     t0 = time.perf_counter()
     from dataclasses import replace
     cfg = config or SearchConfig()
@@ -36,8 +41,14 @@ def search_once(capbuf: np.ndarray, capbuf_late: float, state: GlobalState,
     tracked_ids = frozenset(c.n_id_cell for c in tracked)
     cfg = replace(cfg, skip_ids=cfg.skip_ids | tracked_ids)
 
-    cells = cell_search(capbuf, f_search_set, state.fc_requested,
-                        state.fc_programmed, state.fs_programmed, cfg)
+    if mesh is not None:
+        from ..models.search import cell_search_sharded
+        cells = cell_search_sharded(capbuf, f_search_set,
+                                    state.fc_requested, state.fc_programmed,
+                                    state.fs_programmed, mesh, cfg)
+    else:
+        cells = cell_search(capbuf, f_search_set, state.fc_requested,
+                            state.fc_programmed, state.fs_programmed, cfg)
 
     new_cells = []
     for cell in cells:

@@ -43,3 +43,31 @@ def test_sharded_xcorr_matches_single_device():
     # argmax agreement wherever the max is unique
     same = frq_g == ref.xc_incoherent_collapsed_frq
     assert same.mean() > 0.999
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_xcorr_aux_outputs_match_single_device():
+    """The aux path (n_comb_sp > 0) must reproduce sp_incoherent and the
+    pre-delay-spread xc_incoherent_single fold -- the pieces Z_th1 and
+    peak refinement need to run off the multi-chip front end."""
+    rng = np.random.default_rng(1)
+    n_cap = 40000
+    capbuf = (rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) \
+        .astype(np.complex128) * 0.1
+    f_set = np.array([-5e3, 0.0, 5e3, 10e3])
+
+    ref = xcorr_pss(capbuf, f_set, 2, FC, FC, FS)
+
+    mesh = make_mesh(4, 2)
+    padded, tmpl, starts, n_comb_xc, n_lags = plan_sharded_inputs(
+        capbuf, f_set, FC, FC, FS, mesh, dtype=np.complex128)
+    pow_g, frq_g, sp_inc, single = sharded_xcorr(
+        mesh, padded, tmpl, starts, 2, n_comb_xc, n_lags,
+        n_comb_sp=ref.n_comb_sp)
+
+    assert np.allclose(np.asarray(pow_g),
+                       ref.xc_incoherent_collapsed_pow, atol=1e-12)
+    assert np.allclose(np.asarray(sp_inc), ref.sp_incoherent, atol=1e-12)
+    assert np.asarray(single).shape == (3, len(f_set), 9600)
+    assert np.allclose(np.asarray(single), ref.xc_incoherent_single,
+                       atol=1e-12)

@@ -389,3 +389,30 @@ def test_native_interp72_matches_numpy():
         want = proc._interp72(pdu)
         proc._native = get_lib()
         assert np.allclose(got, want, atol=1e-14), shift
+
+
+def test_tracker_with_sharded_searcher():
+    """Streaming tracker with the background searcher's front end
+    sharded over the 8-virtual-device CPU mesh (overlap-save time
+    blocks): acquisition and tracking must match the single-device path
+    (BASELINE.json config 5 layout)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lte_cell_scanner_tpu.parallel.sharded import make_mesh
+
+    rng = np.random.default_rng(11)
+    sig = create_dl_sig(CpType.NORMAL, 400, 0, 92, 1, 0.4, rng=rng,
+                        n_ports=2, sfn=4)
+    sig = awgn(apply_freq_offset(sig, F_OFF), 5.0, rng=rng)
+
+    runner = TrackerRunner(FC, FC, FS, search_mesh=make_mesh(8, 1))
+    for i in range(0, len(sig), 10000):
+        runner.process_block(sig[i: i + 10000])
+
+    assert len(runner.cells) == 1
+    tc = runner.cells[0]
+    assert tc.n_id_cell == 277
+    assert tc.n_rb_dl == 6
+    assert tc.health_pct() > 99.0
+    assert abs(runner.state.frequency_offset - F_OFF) < 50.0
