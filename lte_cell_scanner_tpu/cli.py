@@ -136,6 +136,14 @@ def cmd_search(args) -> int:
                 if args.verbose:
                     print(f"  Detected a cell! {c}")
     else:
+        # single carrier (or serial scan) with >1 device: shard the
+        # hypothesis sweep's front end over a (t x 1) time-block mesh
+        # (overlap-save halo exchange) instead of leaving devices idle
+        mesh = None
+        if jax.device_count() > 1:
+            from .models.search import cell_search_sharded
+            from .parallel.sharded import make_mesh
+            mesh = make_mesh(jax.device_count(), 1)
         all_cells = []
         for fc in fc_search_set:
             if args.verbose:
@@ -144,8 +152,13 @@ def cmd_search(args) -> int:
                 fc, source, save_cap=args.record,
                 use_recorded_data=args.load, data_dir=args.data_dir,
                 tuner="e4000" if not (args.load or source) else "none")
-            cells = cell_search(capbuf, f_search_set, fc, fc_programmed,
-                                FS_WORK, cfg)
+            if mesh is not None:
+                cells = cell_search_sharded(capbuf, f_search_set, fc,
+                                            fc_programmed, FS_WORK, mesh,
+                                            cfg)
+            else:
+                cells = cell_search(capbuf, f_search_set, fc, fc_programmed,
+                                    FS_WORK, cfg)
             for c in cells:
                 if args.verbose:
                     print(f"  Detected a cell! {c}")
