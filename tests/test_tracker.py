@@ -416,3 +416,25 @@ def test_tracker_with_sharded_searcher():
     assert tc.n_rb_dl == 6
     assert tc.health_pct() > 99.0
     assert abs(runner.state.frequency_offset - F_OFF) < 50.0
+
+
+def test_extended_cp_cell_tracked():
+    """Extended-CP cell in streaming mode: 32-sample CP symbol framing
+    (producer stride 160), 6-symbol slots, and the m_bit=1728 MIB
+    re-decode all hold the cell at full health."""
+    rng = np.random.default_rng(41)
+    sig = create_dl_sig(CpType.EXTENDED, 400, 0, 92, 1, 0.4, rng=rng,
+                        n_ports=2, sfn=8)
+    sig = awgn(apply_freq_offset(sig, F_OFF), 10.0, rng=rng)
+
+    runner = TrackerRunner(FC, FC, FS)
+    for i in range(0, len(sig), 10000):
+        runner.process_block(sig[i: i + 10000])
+
+    assert len(runner.cells) == 1
+    tc = runner.cells[0]
+    assert tc.n_id_cell == 277
+    assert tc.cp_type is CpType.EXTENDED
+    proc = runner.processors[tc.n_id_cell]
+    assert proc.mib_fifo_synchronized
+    assert tc.health_pct() > 99.0
