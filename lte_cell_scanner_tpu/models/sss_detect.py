@@ -115,23 +115,37 @@ def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
     pss_locs = round_i(pss_loc_set)
     pss_dft_locs = pss_locs + 9 - 2
 
+    # Pad the location list to a capacity that depends only on the
+    # capture length: n_pss itself depends on the peak position, and a
+    # per-peak shape would trigger a fresh XLA compile per shape at
+    # runtime (measured 11 s searcher stalls in the streaming tracker).
+    # Padded rows carry weight-0 masks, so every sum gains only exact
+    # zeros and the results stay bit-identical to the unpadded math.
+    n_pss = len(pss_dft_locs)
+    cap_n = n_cap // 9600 + 1
+    locs = np.full(cap_n, 200, dtype=np.int64)
+    locs[:n_pss] = np.asarray(pss_dft_locs, dtype=np.int64)
+    mask = np.zeros(cap_n, dtype=bool)
+    mask[:n_pss] = True
     base = np.arange(128)[None, :]
-    locs = np.asarray(pss_dft_locs, dtype=np.int64)[:, None]
+    locs = locs[:, None]
     return _getce_core(jnp.asarray(capbuf),
                        jnp.asarray(locs + base),
                        jnp.asarray(locs - 128 - 32 + base),
                        jnp.asarray(locs - 128 - 9 + base),
+                       jnp.asarray(mask),
                        peak_freq, fs_mix,
                        jnp.asarray(np.conj(PSS_FD()[cell.n_id_2])))
 
 
 @jax.jit
-def _getce_core(capbuf, idx_pss, idx_ext, idx_nrm, freq, fs_mix,
+def _getce_core(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq, fs_mix,
                 pss_fd_conj):
     """Device portion of sss_detect_getce_sss as one jitted program
-    (compiles once per n_pss shape): PSS channel estimates, 13-tap
+    (compiles once per capture length): PSS channel estimates, 13-tap
     smoothing, noise power, SSS extraction at both CP offsets, and the
-    inverse-noise MMSE combine into h1 (even half-frames) / h2 (odd)."""
+    inverse-noise MMSE combine into h1 (even half-frames) / h2 (odd).
+    Rows where mask is False are padding and contribute exact zeros."""
     h_raw = _dft_segments_idx(capbuf, idx_pss, -freq, fs_mix) \
         * pss_fd_conj[None]
     h_sm = _smooth13(h_raw)
@@ -142,8 +156,8 @@ def _getce_core(capbuf, idx_pss, idx_ext, idx_nrm, freq, fs_mix,
 
     # MMSE combining across half-frames with inverse-noise weights
     # (reference searcher.cpp:600-631).
-    def combine(h, npv, nrm_raw, ext_raw):
-        np_inv = (1.0 / npv)[:, None]              # [n_half, 1]
+    def combine(h, npv, m, nrm_raw, ext_raw):
+        np_inv = jnp.where(m, 1.0 / npv, 0.0)[:, None]   # [n_half, 1]
         h2 = jnp.real(h) ** 2 + jnp.imag(h) ** 2
         np_est = 1.0 / (1.0 + jnp.sum(h2 * np_inv, axis=0))     # [62]
         w = jnp.conj(h) * np_inv
@@ -151,9 +165,9 @@ def _getce_core(capbuf, idx_pss, idx_ext, idx_nrm, freq, fs_mix,
         ext = np_est * jnp.sum(w * ext_raw, axis=0)
         return np_est, nrm, ext
 
-    h1_np, h1_nrm, h1_ext = combine(h_sm[0::2], pss_np[0::2],
+    h1_np, h1_nrm, h1_ext = combine(h_sm[0::2], pss_np[0::2], mask[0::2],
                                     sss_nrm_raw[0::2], sss_ext_raw[0::2])
-    h2_np, h2_nrm, h2_ext = combine(h_sm[1::2], pss_np[1::2],
+    h2_np, h2_nrm, h2_ext = combine(h_sm[1::2], pss_np[1::2], mask[1::2],
                                     sss_nrm_raw[1::2], sss_ext_raw[1::2])
     return h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext
 
@@ -298,19 +312,28 @@ def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     # sn alternates starting at sn0 for k=0 (reference searcher.cpp:789-814)
     sn_seq = np.array([(sn0 + 10 * k) % 20 for k in range(n_sss)]) // 10  # 0/1
 
-    pss_locs = sss_locs + pss_sss_dist
     # Compensate the per-segment phase-restart between SSS and PSS windows
     # (both variants use the nominal rate here, searcher.cpp:832).
     phase = np.pi * -cell.freq / (FS_LTE / 16 / 2) * -pss_sss_dist
     sss_try = SSS_FD()[cell.n_id_1, cell.n_id_2]        # [2, 62]
+    # pad to a capture-length-only capacity (see _getce_core): padded
+    # rows get weight 0, keeping the jitted shape peak-independent
+    cap_n = n_cap // 9600 + 1
+    locs = np.full(cap_n, 200, dtype=np.int64)
+    locs[:n_sss] = sss_locs
+    mask = np.zeros(cap_n, dtype=bool)
+    mask[:n_sss] = True
+    sn_pad = np.zeros(cap_n, dtype=np.int64)
+    sn_pad[:n_sss] = sn_seq
     base = np.arange(128)[None, :]
     M = _foe_core(jnp.asarray(capbuf),
-                  jnp.asarray(pss_locs[:, None] + base),
-                  jnp.asarray(sss_locs[:, None] + base),
+                  jnp.asarray(locs[:, None] + pss_sss_dist + base),
+                  jnp.asarray(locs[:, None] + base),
+                  jnp.asarray(mask),
                   cell.freq, fs_mix,
                   jnp.asarray(np.conj(PSS_FD()[cell.n_id_2])),
                   complex(np.cos(phase), np.sin(phase)),
-                  jnp.asarray(sss_try[sn_seq].astype(np.float64)))
+                  jnp.asarray(sss_try[sn_pad].astype(np.float64)))
     M = complex(np.asarray(M))
 
     freq_fine = cell.freq + np.angle(M) / (2 * np.pi) * fs_out / pss_sss_dist
@@ -318,11 +341,12 @@ def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
 
 
 @jax.jit
-def _foe_core(capbuf, idx_pss, idx_sss, freq, fs_mix, pss_fd_conj,
+def _foe_core(capbuf, idx_pss, idx_sss, mask, freq, fs_mix, pss_fd_conj,
               seg_phase, sss_expect):
-    """Device portion of pss_sss_foe as one jitted program: PSS channel
-    estimates + smoothing, SSS extraction/derotation, and the weighted
-    conj(SSS)*H_pss accumulation (reference searcher.cpp:816-848)."""
+    """Device portion of pss_sss_foe as one jitted program (compiles
+    once per capture length): PSS channel estimates + smoothing, SSS
+    extraction/derotation, and the weighted conj(SSS)*H_pss accumulation
+    (reference searcher.cpp:816-848).  mask=False rows are padding."""
     h_raw = _dft_segments_idx(capbuf, idx_pss, -freq, fs_mix) \
         * pss_fd_conj[None]
     h_sm = _smooth13(h_raw)
@@ -332,4 +356,5 @@ def _foe_core(capbuf, idx_pss, idx_sss, freq, fs_mix, pss_fd_conj,
     sss_raw = sss_raw * seg_phase * sss_expect
     h2 = jnp.real(h_sm) ** 2 + jnp.imag(h_sm) ** 2
     w = h2 / (2 * h2 * pss_np[:, None] + (pss_np ** 2)[:, None])
+    w = jnp.where(mask[:, None], w, 0.0)
     return jnp.sum(jnp.conj(sss_raw) * h_raw * w)

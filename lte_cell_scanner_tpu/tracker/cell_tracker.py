@@ -283,23 +283,45 @@ class TrackedCellProcessor:
         else:
             time_diff = (2 * (128 + 9) + (128 + 10)) * (16 / FS_LTE)
 
+        # enumerate the (slot, sym) steps and their time offsets, then
+        # interpolate ALL intermediate symbols as one [n, 72] batch
         slot_num, sym_num = prev.slot_num, prev.sym_num
+        steps = []
+        offsets = []
         time_offset = 0.0
-        fifo = self.ce_interp_fifo[port]
+        ext = self.cell.cp_type is CpType.EXTENDED
         while (slot_num, sym_num) != (curr.slot_num, curr.sym_num):
-            a = time_offset / time_diff
+            steps.append((slot_num, sym_num))
+            offsets.append(time_offset)
+            if ext:
+                time_offset += (128 + 32) * (16 / FS_LTE)
+            else:
+                time_offset += ((128 + 10) if sym_num == 6 else (128 + 9)) \
+                    * (16 / FS_LTE)
+            sym_num += 1
+            if sym_num == n_symb:
+                sym_num = 0
+                slot_num = (slot_num + 1) % 20
+        if not steps:
+            return
+        alphas = np.asarray(offsets) / time_diff
+        ce_batch = prev_i[None, :] + (curr_i - prev_i)[None, :] \
+            * alphas[:, None]
+        d_tp, d_sp = curr.tp - prev.tp, curr.sp - prev.sp
+        d_spr, d_np = curr.sp_raw - prev.sp_raw, curr.np - prev.np
+
+        fifo = self.ce_interp_fifo[port]
+        for i, (sl, sy) in enumerate(steps):
+            a = alphas[i]
             pdu = _InterpPdu(
-                slot_num=slot_num, sym_num=sym_num,
-                ce=prev_i + (curr_i - prev_i) * a,
-                tp=prev.tp + (curr.tp - prev.tp) * a,
-                sp=prev.sp + (curr.sp - prev.sp) * a,
-                sp_raw=prev.sp_raw + (curr.sp_raw - prev.sp_raw) * a,
-                np=prev.np + (curr.np - prev.np) * a)
+                slot_num=sl, sym_num=sy, ce=ce_batch[i],
+                tp=prev.tp + d_tp * a, sp=prev.sp + d_sp * a,
+                sp_raw=prev.sp_raw + d_spr * a, np=prev.np + d_np * a)
             if not self.ce_interp_init[port]:
                 # bootstrap: repeat the first CE back to slot 0 sym 0
                 self.ce_interp_init[port] = True
                 tsl = tsy = 0
-                while (tsl, tsy) != (slot_num, sym_num):
+                while (tsl, tsy) != (sl, sy):
                     boot = _InterpPdu(
                         slot_num=tsl, sym_num=tsy, ce=pdu.ce, tp=pdu.tp,
                         sp=pdu.sp, sp_raw=pdu.sp_raw, np=pdu.np)
@@ -309,15 +331,6 @@ class TrackedCellProcessor:
                         tsy = 0
                         tsl = (tsl + 1) % 20
             fifo.append(pdu)
-            if self.cell.cp_type is CpType.EXTENDED:
-                time_offset += (128 + 32) * (16 / FS_LTE)
-            else:
-                time_offset += ((128 + 10) if sym_num == 6 else (128 + 9)) \
-                    * (16 / FS_LTE)
-            sym_num += 1
-            if sym_num == n_symb:
-                sym_num = 0
-                slot_num = (slot_num + 1) % 20
 
     # ------------------------------------------------------------------
     def _do_pss_sss_sigpower_ce(self, syms, slot_num, sym_num) -> None:
