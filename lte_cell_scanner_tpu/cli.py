@@ -188,6 +188,9 @@ def cmd_track(args) -> int:
     runner = TrackerRunner(args.freq, args.freq, FS_WORK,
                            search_period=args.search_period,
                            search_mesh=mesh)
+    if not args.no_warmup:
+        print("Compiling the search/decode path (one-time warmup) ...")
+        runner.warmup()
     n_blocks = 0
     report_every = max(1, int(args.fs * 1.0) // 10000)
     try:
@@ -312,6 +315,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="run the background searcher's front end sharded "
                          "over all visible devices (overlap-save time "
                          "blocks; default: auto when >1 device)")
+    pt.add_argument("--no-warmup", action="store_true",
+                    help="skip the one-time search-path compile warmup "
+                         "before streaming (first acquisition will stall)")
     pt.add_argument("-x", "--expert", action="store_true",
                     help="show ASCII channel/autocorrelation plots")
     pt.set_defaults(func=cmd_track)

@@ -78,6 +78,39 @@ class TrackerRunner:
         self.device_fd = device_fd
 
     # ------------------------------------------------------------------
+    def warmup(self) -> None:
+        """Pre-compile the whole search/decode path before streaming.
+
+        The first acquisition search triggers every XLA compile in the
+        chain (~10 s on a laptop-class CPU); in live streaming that
+        stall would overflow the ingest ring and surface as dropped
+        seconds.  All the jitted stages compile per SHAPE, not per
+        cell, so one full cell_search over a synthetic capture of the
+        production length (19200*8 samples, both CP types) warms every
+        program the streaming searcher will ever need.
+        """
+        from ..cell import CpType
+        from ..sim import create_dl_sig
+
+        n_cap = self.producer.capbuf_len
+        ms = int(np.ceil(n_cap / (self.state.fs_programmed / 1000.0)))
+        for cp in (CpType.NORMAL, CpType.EXTENDED):
+            sig = create_dl_sig(cp, ms, 0, 0, 0, 0.0,
+                                rng=np.random.default_rng(0), n_ports=2)
+            capbuf = np.asarray(sig[:n_cap])
+            f_set = np.array([self.state.frequency_offset])
+            if self.search_mesh is not None:
+                from ..models.search import cell_search_sharded
+                cell_search_sharded(capbuf, f_set, self.state.fc_requested,
+                                    self.state.fc_programmed,
+                                    self.state.fs_programmed,
+                                    self.search_mesh, self.search_config)
+            else:
+                cell_search(capbuf, f_set, self.state.fc_requested,
+                            self.state.fc_programmed,
+                            self.state.fs_programmed, self.search_config)
+
+    # ------------------------------------------------------------------
     def add_cell(self, tc: TrackedCell) -> None:
         self.cells.append(tc)
         self.processors[tc.n_id_cell] = TrackedCellProcessor(tc, self.state)
