@@ -36,6 +36,27 @@ def apply_freq_offset(sig: np.ndarray, f_off: float,
     return sig * np.exp(1j * 2 * np.pi * f_off * t / fs)
 
 
+def apply_coupled_offset(sig: np.ndarray, f_off: float, fc: float,
+                         fs: float = FS_WORK, up: int = 32) -> np.ndarray:
+    """Dongle-crystal model: carrier offset WITH the coupled clock error.
+
+    A single crystal drives both the tuner LO and the sampler
+    (reference k_factor derivation, searcher.cpp:18-43): a crystal
+    error eps makes the receiver tune fc(1+eps) -- an apparent carrier
+    offset f_off = -fc*eps -- and simultaneously sample at fs(1+eps).
+    This emulates both effects on an ideal-clock signal: mix by f_off,
+    then resample with apply_clock_offset at k = 1+eps = (fc-f_off)/fc
+    (exactly the reference's k_factor).
+
+    The plain apply_freq_offset leaves the clock ideal, so the
+    tracker's k_factor compensation shows up as an apparent
+    fs*f_off/fc frame-timing drift; through THIS channel the k_factor
+    model is exercised positively and timing must hold still.
+    """
+    mixed = apply_freq_offset(sig, f_off, fs)
+    return apply_clock_offset(mixed, (fc - f_off) / fc, up=up)
+
+
 def multipath_channel(sig: np.ndarray, n_taps: int = 4,
                       delay_spread: float = 1.5,
                       rng: Optional[np.random.Generator] = None
@@ -56,16 +77,49 @@ def multipath_channel(sig: np.ndarray, n_taps: int = 4,
     return np.convolve(sig, taps)[: len(sig)]
 
 
-def apply_clock_offset(sig: np.ndarray, k_factor: float) -> np.ndarray:
-    """Resample by the crystal scale factor (receiver samples at fs*k).
+def apply_clock_offset(sig: np.ndarray, k_factor: float,
+                       up: int = 32) -> np.ndarray:
+    """Emulate a sampler running at fs*k_factor on an ideal-clock signal.
 
-    Linear interpolation at positions t*k_factor -- adequate for the
-    sub-ppm-to-100-ppm offsets the scanner must tolerate.
+    Output sample n is the signal at nominal position n/k_factor,
+    resampled via interpft x`up` + linear interpolation between fine
+    samples (the reference's own resampling recipe,
+    rtl_sdr_check.cpp:332-351; interpolation error ~(1/up)^2).
     """
+    from ..ops.dsp import interpft
+
     n = len(sig)
-    pos = np.arange(n) * k_factor
-    pos = pos[pos <= n - 1]
-    i0 = np.floor(pos).astype(np.int64)
-    i1 = np.minimum(i0 + 1, n - 1)
-    w = pos - i0
-    return sig[i0] * (1 - w) + sig[i1] * w
+    # long signals: resample in overlapped chunks so the fine grid
+    # (n*up complex) never materializes whole
+    chunk = 1 << 18
+    if n > chunk:
+        guard = 256
+        out = np.empty(n, dtype=np.complex128)
+        start = 0
+        while start < n:
+            stop = min(start + chunk, n)
+            # nominal positions needed for output [start, stop)
+            p0 = start / k_factor
+            p1 = (stop - 1) / k_factor
+            lo = max(0, int(np.floor(p0)) - guard)
+            hi = min(n, int(np.ceil(p1)) + guard)
+            seg = apply_clock_offset_positions(
+                sig[lo:hi], (np.arange(start, stop) / k_factor) - lo, up)
+            out[start:stop] = seg
+            start = stop
+        return out
+    return apply_clock_offset_positions(sig, np.arange(n) / k_factor, up)
+
+
+def apply_clock_offset_positions(sig: np.ndarray, pos: np.ndarray,
+                                 up: int) -> np.ndarray:
+    """Evaluate sig at fractional positions via interpft + linear interp."""
+    from ..ops.dsp import interpft
+
+    n = len(sig)
+    fine = np.asarray(interpft(sig, n * up))
+    posu = pos * up
+    i0 = np.floor(posu).astype(np.int64)
+    frac = posu - i0
+    i0 = np.clip(i0, 0, n * up - 2)
+    return fine[i0] * (1.0 - frac) + fine[i0 + 1] * frac

@@ -86,3 +86,26 @@ def test_all_ce_interpolators_decode(interp):
     cells = cell_search(sig, f_search_set, FC, FC, FS,
                         SearchConfig(interp=interp))
     assert any(c.n_id_cell() == 277 and c.n_rb_dl == 6 for c in cells)
+
+
+def test_full_chain_through_coupled_crystal_channel():
+    """Positive validation of the k_factor model (reference derivation
+    searcher.cpp:18-43): the simulated dongle crystal offsets BOTH the
+    carrier (+25 kHz apparent FO) and the sample clock (k = (fc-f)/fc,
+    -33.8 ppm) -- the non-integer frame stride must still fold
+    coherently and the chain must decode with Hz-level freq_superfine."""
+    from lte_cell_scanner_tpu.sim import apply_coupled_offset
+
+    rng = np.random.default_rng(5)
+    sig = create_dl_sig(CpType.NORMAL, 80, 0, 92, 1, 0.5, rng=rng,
+                        n_ports=2, sfn=100)
+    f_off = 25e3
+    sig = apply_coupled_offset(sig, f_off, FC, FS)
+    sig = awgn(sig, 10.0, rng=rng)
+    fset = np.arange(15e3, 35e3 + 1, 5e3)
+    cells = cell_search(sig, fset, FC, FC, FS, SearchConfig())
+    c = max(cells, key=lambda x: x.pss_pow)
+    assert c.n_id_cell() == 277
+    assert c.n_rb_dl == 6
+    assert c.sfn in (100, 101)
+    assert abs(c.freq_superfine - f_off) < 5.0

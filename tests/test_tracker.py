@@ -463,3 +463,33 @@ def test_frame_timing_drift_beats_reference_defect():
     slope = np.polyfit(lock[:, 0], rel, 1)[0]
     assert abs(slope) < 0.02, f"frame-timing drift {slope} samples/s"
     assert runner.cells[0].health_pct() > 99.0
+
+
+def test_no_timing_drift_through_coupled_crystal_channel():
+    """Positive k_factor validation in streaming mode: with the
+    simulated crystal offsetting carrier AND clock together (25 kHz /
+    -33.8 ppm), the producer's k-scaled timestamping must hold frame
+    timing still -- an unmodeled clock would read ~65 samples/s here."""
+    from lte_cell_scanner_tpu.sim import apply_coupled_offset
+
+    rng = np.random.default_rng(11)
+    sig = create_dl_sig(CpType.NORMAL, 1200, 0, 92, 1, 0.4, rng=rng,
+                        n_ports=2, sfn=4)
+    f_off = 25e3
+    sig = apply_coupled_offset(sig, f_off, FC, FS)
+    sig = awgn(sig, 8.0, rng=rng)
+    # initial_fo plays the reference kalibrate() bootstrap role
+    runner = TrackerRunner(FC, FC, FS, search_period=2.0, initial_fo=f_off)
+    timings = []
+    for i in range(0, len(sig), 10000):
+        runner.process_block(sig[i: i + 10000])
+        if runner.cells:
+            timings.append((i / FS, runner.cells[0].frame_timing))
+    t = np.array(timings)
+    lock = t[len(t) // 4:]
+    rel = np.unwrap((lock[:, 1] - lock[0, 1] + 9600) % 19200 - 9600,
+                    period=19200)
+    slope = np.polyfit(lock[:, 0], rel, 1)[0]
+    assert abs(slope) < 0.05, f"drift {slope} samples/s"
+    assert abs(runner.state.frequency_offset - f_off) < 50.0
+    assert runner.cells[0].health_pct() > 99.0
