@@ -65,11 +65,14 @@ def _make_source(args):
         n_id_cell = getattr(args, "sim_cell", 277)
         if not 0 <= n_id_cell <= 503:
             raise SystemExit("Error: --sim-cell must be in 0..503")
+        fc = getattr(args, "freq_start", None) or getattr(args, "freq", 0.0)
         return SimSource(n_id_1=n_id_cell // 3, n_id_2=n_id_cell % 3,
                          cp_type=CpType(getattr(args, "sim_cp", "normal")),
                          n_ports=getattr(args, "sim_ports", 2),
                          snr_db=args.sim_snr, freq_offset=args.sim_foff,
-                         capture_ms=getattr(args, "capture_ms", 80))
+                         capture_ms=getattr(args, "capture_ms", 80),
+                         coupled_fc=fc if getattr(args, "sim_coupled",
+                                                  False) else 0.0)
     if args.load_files:
         return FileSource(args.load_files, drop_seconds=args.drop,
                           repeat=args.repeat,
@@ -275,6 +278,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     choices=("normal", "extended"))
     ps.add_argument("--sim-cell", type=int, default=277,
                     help="sim cell ID (0..503)")
+    ps.add_argument("--sim-coupled", action="store_true",
+                    help="apply --sim-foff through the coupled-crystal "
+                         "channel (carrier + sample clock offset together)")
     ps.add_argument("--capture-ms", type=int, default=80,
                     help="sim capture length; >80 ms lengthens the "
                          "incoherent fold for more detection SNR")
@@ -301,6 +307,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     choices=("normal", "extended"))
     pt.add_argument("--sim-cell", type=int, default=277,
                     help="sim cell ID (0..503)")
+    pt.add_argument("--sim-coupled", action="store_true",
+                    help="apply --sim-foff through the coupled-crystal "
+                         "channel (carrier + sample clock offset together)")
     pt.add_argument("--noise-power", type=float, default=None)
     pt.add_argument("--drop", type=float, default=0.0)
     pt.add_argument("--repeat", action="store_true")

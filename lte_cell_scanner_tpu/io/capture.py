@@ -94,13 +94,22 @@ class SimSource(CaptureSource):
                  cp_type: CpType = CpType.NORMAL, n_ports: int = 2,
                  snr_db: float = 10.0, freq_offset: float = 0.0,
                  load_factor: float = 0.5, seed: int = 0,
-                 capture_ms: int = 80):
-        from ..sim import apply_freq_offset, awgn, create_dl_sig
+                 capture_ms: int = 80, coupled_fc: float = 0.0):
+        """coupled_fc > 0 applies ``freq_offset`` through the
+        coupled-crystal channel at that carrier (carrier AND sample
+        clock offset together, sim.apply_coupled_offset); 0 = ideal
+        clock, carrier mix only."""
+        from ..sim import (apply_coupled_offset, apply_freq_offset, awgn,
+                           create_dl_sig)
+
+        def chan(sig):
+            if coupled_fc and freq_offset:
+                return apply_coupled_offset(sig, freq_offset, coupled_fc)
+            return apply_freq_offset(sig, freq_offset)
+
         self._make = lambda ms, rng: awgn(
-            apply_freq_offset(
-                create_dl_sig(cp_type, ms, 0, n_id_1, n_id_2, load_factor,
-                              rng=rng, n_ports=n_ports),
-                freq_offset),
+            chan(create_dl_sig(cp_type, ms, 0, n_id_1, n_id_2, load_factor,
+                               rng=rng, n_ports=n_ports)),
             snr_db, rng=rng)
         self.rng = np.random.default_rng(seed)
         # >80 ms lengthens the incoherent fold (n_comb grows) -- the

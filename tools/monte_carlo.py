@@ -45,7 +45,7 @@ class TrialResult:
 
 def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
               f_off_max: float = 7.5e3, n_subframes: int = 80,
-              decode: bool = False) -> TrialResult:
+              decode: bool = False, coupled: bool = False) -> TrialResult:
     from lte_cell_scanner_tpu.cell import CpType
     from lte_cell_scanner_tpu.constants import FS_LTE
     from lte_cell_scanner_tpu.models.peaks import peak_search
@@ -53,7 +53,8 @@ def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
                                                     compute_z_th1,
                                                     refine_peaks)
     from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
-    from lte_cell_scanner_tpu.sim import (apply_freq_offset, awgn,
+    from lte_cell_scanner_tpu.sim import (apply_coupled_offset,
+                                          apply_freq_offset, awgn,
                                           create_dl_sig, multipath_channel)
 
     fs = FS_LTE / 16
@@ -71,7 +72,13 @@ def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
                         load_factor, rng=rng, n_ports=2 if decode else 0)
     if fading:
         sig = multipath_channel(sig, rng=rng)
-    sig = apply_freq_offset(sig, f_off, fs)
+    if coupled:
+        # dongle-crystal model: carrier AND sample-clock offset together
+        # (frame timing shifts by <= off0*eps < 0.25 sample at 7.5 kHz,
+        # well inside the 4-sample success gate)
+        sig = apply_coupled_offset(sig, f_off, fc, fs)
+    else:
+        sig = apply_freq_offset(sig, f_off, fs)
     sig = awgn(sig, snr_db, rng=rng)
 
     f_search_set = np.arange(-10e3, 10e3 + 1, 5e3)
@@ -110,13 +117,14 @@ def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
 
 
 def run_config(trials: int, snr_db: float, fading: bool, seed: int,
-               verbose: bool = False, decode: bool = False) -> dict:
+               verbose: bool = False, decode: bool = False,
+               coupled: bool = False) -> dict:
     rng = np.random.default_rng(seed)
     counts = {"success": 0, "thresh1_fail": 0, "thresh2_fail": 0,
               "false_alarm": 0}
     terrs, ferrs = [], []
     for t in range(trials):
-        r = run_trial(rng, snr_db, fading, decode=decode)
+        r = run_trial(rng, snr_db, fading, decode=decode, coupled=coupled)
         counts[r.outcome] += 1
         if r.outcome == "success":
             terrs.append(r.timing_err)
@@ -128,7 +136,8 @@ def run_config(trials: int, snr_db: float, fading: bool, seed: int,
                               "timing_err": round(r.timing_err, 3)
                               if np.isfinite(r.timing_err) else None}),
                   file=sys.stderr)
-    out = {"snr_db": snr_db, "fading": fading, "trials": trials,
+    out = {"snr_db": snr_db, "fading": fading, "coupled": coupled,
+           "trials": trials,
            **{k: v / trials for k, v in counts.items()}}
     if terrs:
         out["timing_rmse"] = float(np.sqrt(np.mean(np.square(terrs))))
@@ -143,6 +152,9 @@ def main(argv=None) -> int:
     ap.add_argument("--snr-sweep", nargs=3, type=float, default=None,
                     metavar=("START", "STOP", "STEP"))
     ap.add_argument("--fading", action="store_true")
+    ap.add_argument("--coupled", action="store_true",
+                    help="apply the frequency offset through the "
+                         "coupled-crystal channel (clock offset too)")
     ap.add_argument("--decode", action="store_true",
                     help="run the full chain incl. MIB decode")
     ap.add_argument("--seed", type=int, default=0)
@@ -162,7 +174,8 @@ def main(argv=None) -> int:
                   args.snr_sweep[2]))
     for snr in snrs:
         print(json.dumps(run_config(args.trials, float(snr), args.fading,
-                                    args.seed, args.verbose, args.decode)))
+                                    args.seed, args.verbose, args.decode,
+                                    args.coupled)))
     return 0
 
 
