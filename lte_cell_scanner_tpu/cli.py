@@ -142,9 +142,15 @@ def cmd_search(args) -> int:
         # single carrier (or serial scan) with >1 device: shard the
         # hypothesis sweep's front end over a (t x 1) time-block mesh
         # (overlap-save halo exchange) instead of leaving devices idle
+        shard_hyp = args.shard_hypotheses
+        if shard_hyp is None:
+            shard_hyp = jax.device_count() > 1
+        elif shard_hyp and jax.device_count() == 1:
+            print("Warning: --shard-hypotheses requested but only one "
+                  "device is visible; running single-device")
+            shard_hyp = False
         mesh = None
-        if jax.device_count() > 1:
-            from .models.search import cell_search_sharded
+        if shard_hyp and jax.device_count() > 1:
             from .parallel.sharded import make_mesh
             mesh = make_mesh(jax.device_count(), 1)
         all_cells = []
@@ -155,13 +161,8 @@ def cmd_search(args) -> int:
                 fc, source, save_cap=args.record,
                 use_recorded_data=args.load, data_dir=args.data_dir,
                 tuner="e4000" if not (args.load or source) else "none")
-            if mesh is not None:
-                cells = cell_search_sharded(capbuf, f_search_set, fc,
-                                            fc_programmed, FS_WORK, mesh,
-                                            cfg)
-            else:
-                cells = cell_search(capbuf, f_search_set, fc, fc_programmed,
-                                    FS_WORK, cfg)
+            cells = cell_search(capbuf, f_search_set, fc, fc_programmed,
+                                FS_WORK, cfg, mesh=mesh)
             for c in cells:
                 if args.verbose:
                     print(f"  Detected a cell! {c}")
@@ -184,6 +185,10 @@ def cmd_track(args) -> int:
     shard_search = args.shard_search
     if shard_search is None:
         shard_search = jax.device_count() > 1
+    elif shard_search and jax.device_count() == 1:
+        print("Warning: --shard-search requested but only one device is "
+              "visible; running single-device")
+        shard_search = False
     mesh = None
     if shard_search and jax.device_count() > 1:
         from .parallel.sharded import make_mesh
@@ -292,6 +297,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="scan all carriers as one carrier-sharded SPMD "
                          "program (default: auto when >1 device is "
                          "visible; --no-shard-carriers forces serial)")
+    ps.add_argument("--shard-hypotheses",
+                    action=argparse.BooleanOptionalAction, default=None,
+                    help="shard a serial/single-carrier scan's hypothesis "
+                         "sweep over a time-block mesh (default: auto when "
+                         ">1 device; --no-shard-hypotheses forces the "
+                         "single-device front end)")
     ps.set_defaults(func=cmd_search)
 
     pt = sub.add_parser("track", help="realtime multi-cell tracker")

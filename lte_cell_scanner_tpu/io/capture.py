@@ -102,15 +102,23 @@ class SimSource(CaptureSource):
         from ..sim import (apply_coupled_offset, apply_freq_offset, awgn,
                            create_dl_sig)
 
+        self._coupled = bool(coupled_fc and freq_offset)
+        self._fc = coupled_fc
+        self._f_off = freq_offset
+        self._snr_db = snr_db
+
         def chan(sig):
-            if coupled_fc and freq_offset:
+            if self._coupled:
                 return apply_coupled_offset(sig, freq_offset, coupled_fc)
             return apply_freq_offset(sig, freq_offset)
 
-        self._make = lambda ms, rng: awgn(
-            chan(create_dl_sig(cp_type, ms, 0, n_id_1, n_id_2, load_factor,
-                               rng=rng, n_ports=n_ports)),
-            snr_db, rng=rng)
+        def make_nominal(ms, rng):
+            return create_dl_sig(cp_type, ms, 0, n_id_1, n_id_2,
+                                 load_factor, rng=rng, n_ports=n_ports)
+
+        self._make_nominal = make_nominal
+        self._make = lambda ms, rng: awgn(chan(make_nominal(ms, rng)),
+                                          snr_db, rng=rng)
         self.rng = np.random.default_rng(seed)
         # >80 ms lengthens the incoherent fold (n_comb grows) -- the
         # detection-SNR "long-context" axis (SURVEY.md section 5)
@@ -120,10 +128,35 @@ class SimSource(CaptureSource):
         return self._make(self.capture_ms, self.rng), fc_requested
 
     def stream(self, block: int = 10000) -> Iterator[np.ndarray]:
+        if not self._coupled:
+            while True:
+                buf = self._make(200, self.rng)
+                for i in range(0, len(buf), block):
+                    yield buf[i: i + block]
+        # coupled-crystal streaming: the clock resampler carries the
+        # fractional sample position across generated blocks, so the
+        # timing drift accumulates continuously instead of resetting at
+        # each 200 ms boundary (a per-block apply_coupled_offset would
+        # snap timing back by fs*f_off/fc * 0.2s every block)
+        from ..sim import ClockResampler, awgn
+
+        rs = ClockResampler((self._fc - self._f_off) / self._fc)
+        mixed_at = 0
+        pending = np.zeros(0, np.complex128)
         while True:
-            buf = self._make(200, self.rng)
-            for i in range(0, len(buf), block):
-                yield buf[i: i + block]
+            nominal = self._make_nominal(200, self.rng)
+            # continuous mixer phase across blocks
+            mixed = nominal * np.exp(
+                1j * 2 * np.pi * self._f_off
+                * (mixed_at + np.arange(len(nominal))) / FS_WORK)
+            mixed_at += len(nominal)
+            out = rs.push(mixed)
+            if len(out):
+                pending = np.concatenate([pending, awgn(out, self._snr_db,
+                                                        rng=self.rng)])
+            while len(pending) >= block:
+                yield pending[:block]
+                pending = pending[block:]
 
 
 _capture_counter = [0]

@@ -93,8 +93,16 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
 
 def cell_search(capbuf, f_search_set, fc_requested: float,
                 fc_programmed: float, fs_programmed: float,
-                config: Optional[SearchConfig] = None) -> List[Cell]:
-    """Search one carrier: detect, refine, and (optionally) decode cells."""
+                config: Optional[SearchConfig] = None,
+                mesh=None) -> List[Cell]:
+    """Search one carrier: detect, refine, and (optionally) decode cells.
+
+    With a (t x f) device mesh the front end runs sharded
+    (cell_search_sharded); mesh=None runs single-device."""
+    if mesh is not None:
+        return cell_search_sharded(capbuf, f_search_set, fc_requested,
+                                   fc_programmed, fs_programmed, mesh,
+                                   config)
     cfg = config or SearchConfig()
     capbuf = np.asarray(capbuf)
 
@@ -149,11 +157,18 @@ def cell_search_sharded(capbuf, f_search_set, fc_requested: float,
     sp_inc = np.asarray(sp_inc)
     Z_th1 = compute_z_th1(sp_inc, n_comb_xc, cfg.ds_comb_arm,
                           cfg.thresh1_n_nines)
-    peaks = peak_search(np.asarray(pow_g), np.asarray(frq_g), Z_th1,
+    pow_g = np.asarray(pow_g)
+    frq_g = np.asarray(frq_g)
+    peaks = peak_search(pow_g, frq_g, Z_th1,
                         f_search_set, fc_requested, fc_programmed,
                         np.asarray(single), cfg.ds_comb_arm)
+    debug_export("xc_incoherent_collapsed_pow", pow_g)
+    debug_export("xc_incoherent_collapsed_frq", frq_g)
     debug_export("sp_incoherent", sp_inc)
     debug_export("Z_th1", Z_th1)
+    if peaks:
+        debug_export("peak_ind", np.array([p.ind for p in peaks]))
+        debug_export("peak_n_id_2", np.array([p.n_id_2 for p in peaks]))
     return refine_peaks(peaks, capbuf, fc_requested, fc_programmed,
                         fs_programmed, cfg)
 

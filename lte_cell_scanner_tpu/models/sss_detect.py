@@ -92,6 +92,27 @@ def _smooth13(h_raw):
     return acc / jnp.asarray(rt - lt + 1, h_raw.real.dtype)
 
 
+def _pad_locs(n_cap: int, locs: np.ndarray):
+    """Pad a half-frame location list to a capacity that depends only on
+    the capture length (one XLA compile per length, never per peak).
+
+    The stride is 9600*k_factor, so with margin for up to +-2000 ppm of
+    crystal error the capacity is n_cap/(9600*0.998)+2 -- still a pure
+    function of n_cap.  Returns (locs_padded [cap], mask [cap]); padded
+    entries point at sample 200 (safely inside any capture) and carry
+    weight 0 downstream, contributing exact zeros to every sum.
+    """
+    cap_n = int(n_cap / (9600 * 0.998)) + 2
+    n = len(locs)
+    if n > cap_n:  # pathological ppm beyond the design margin
+        cap_n = n
+    out = np.full(cap_n, 200, dtype=np.int64)
+    out[:n] = np.asarray(locs, dtype=np.int64)
+    mask = np.zeros(cap_n, dtype=bool)
+    mask[:n] = True
+    return out, mask
+
+
 def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
                          fc_programmed: float, fs_programmed: float,
                          compat: str = "production"):
@@ -115,18 +136,13 @@ def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
     pss_locs = round_i(pss_loc_set)
     pss_dft_locs = pss_locs + 9 - 2
 
-    # Pad the location list to a capacity that depends only on the
-    # capture length: n_pss itself depends on the peak position, and a
-    # per-peak shape would trigger a fresh XLA compile per shape at
-    # runtime (measured 11 s searcher stalls in the streaming tracker).
-    # Padded rows carry weight-0 masks, so every sum gains only exact
-    # zeros and the results stay bit-identical to the unpadded math.
-    n_pss = len(pss_dft_locs)
-    cap_n = n_cap // 9600 + 1
-    locs = np.full(cap_n, 200, dtype=np.int64)
-    locs[:n_pss] = np.asarray(pss_dft_locs, dtype=np.int64)
-    mask = np.zeros(cap_n, dtype=bool)
-    mask[:n_pss] = True
+    # Pad the location list to a capture-length-only capacity: n_pss
+    # itself depends on the peak position, and a per-peak shape would
+    # trigger a fresh XLA compile per shape at runtime (measured 11 s
+    # searcher stalls in the streaming tracker).  Padded rows carry
+    # weight-0 masks, so every sum gains only exact zeros and the
+    # results stay bit-identical to the unpadded math.
+    locs, mask = _pad_locs(n_cap, pss_dft_locs)
     base = np.arange(128)[None, :]
     locs = locs[:, None]
     return _getce_core(jnp.asarray(capbuf),
@@ -318,12 +334,8 @@ def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     sss_try = SSS_FD()[cell.n_id_1, cell.n_id_2]        # [2, 62]
     # pad to a capture-length-only capacity (see _getce_core): padded
     # rows get weight 0, keeping the jitted shape peak-independent
-    cap_n = n_cap // 9600 + 1
-    locs = np.full(cap_n, 200, dtype=np.int64)
-    locs[:n_sss] = sss_locs
-    mask = np.zeros(cap_n, dtype=bool)
-    mask[:n_sss] = True
-    sn_pad = np.zeros(cap_n, dtype=np.int64)
+    locs, mask = _pad_locs(n_cap, sss_locs)
+    sn_pad = np.zeros(len(locs), dtype=np.int64)
     sn_pad[:n_sss] = sn_seq
     base = np.arange(128)[None, :]
     M = _foe_core(jnp.asarray(capbuf),

@@ -86,8 +86,6 @@ def apply_clock_offset(sig: np.ndarray, k_factor: float,
     samples (the reference's own resampling recipe,
     rtl_sdr_check.cpp:332-351; interpolation error ~(1/up)^2).
     """
-    from ..ops.dsp import interpft
-
     n = len(sig)
     # long signals: resample in overlapped chunks so the fine grid
     # (n*up complex) never materializes whole
@@ -118,8 +116,47 @@ def apply_clock_offset_positions(sig: np.ndarray, pos: np.ndarray,
 
     n = len(sig)
     fine = np.asarray(interpft(sig, n * up))
-    posu = pos * up
-    i0 = np.floor(posu).astype(np.int64)
+    # clamp positions BEFORE splitting into (index, frac) so tail samples
+    # hold the last fine value instead of blending a mismatched pair
+    posu = np.clip(pos * up, 0.0, n * up - 1.0)
+    i0 = np.minimum(np.floor(posu).astype(np.int64), n * up - 2)
     frac = posu - i0
-    i0 = np.clip(i0, 0, n * up - 2)
     return fine[i0] * (1.0 - frac) + fine[i0 + 1] * frac
+
+
+class ClockResampler:
+    """Streaming coupled-clock resampler with cross-block continuity.
+
+    Feed nominal-rate samples with push(); get back the stream as a
+    sampler running at fs*k_factor would have produced it, with the
+    fractional position carried across pushes (no per-block phase
+    reset).  Used by SimSource.stream for --sim-coupled.
+    """
+
+    def __init__(self, k_factor: float, up: int = 32, guard: int = 256):
+        self.k = k_factor
+        self.up = up
+        self.guard = guard
+        self.buf = np.zeros(0, dtype=np.complex128)
+        self.base = 0          # nominal index of buf[0]
+        self.next_out = 0      # next output sample index
+
+    def push(self, nominal: np.ndarray) -> np.ndarray:
+        self.buf = np.concatenate([self.buf, np.asarray(nominal)])
+        # emit every output whose source position stays clear of the
+        # window tail (interpft ringing guard)
+        hi_pos = self.base + len(self.buf) - self.guard - 2
+        n_last = int(np.floor(hi_pos * self.k))
+        if n_last < self.next_out:
+            return np.zeros(0, dtype=np.complex128)
+        ns = np.arange(self.next_out, n_last + 1)
+        rel = ns / self.k - self.base
+        out = apply_clock_offset_positions(self.buf, rel, self.up)
+        self.next_out = n_last + 1
+        # trim consumed nominal samples, keeping a leading guard
+        keep_from = int(np.floor(self.next_out / self.k)) - self.guard
+        drop = max(0, keep_from - self.base)
+        if drop:
+            self.buf = self.buf[drop:]
+            self.base += drop
+        return out

@@ -99,16 +99,9 @@ class TrackerRunner:
                                 rng=np.random.default_rng(0), n_ports=2)
             capbuf = np.asarray(sig[:n_cap])
             f_set = np.array([self.state.frequency_offset])
-            if self.search_mesh is not None:
-                from ..models.search import cell_search_sharded
-                cell_search_sharded(capbuf, f_set, self.state.fc_requested,
-                                    self.state.fc_programmed,
-                                    self.state.fs_programmed,
-                                    self.search_mesh, self.search_config)
-            else:
-                cell_search(capbuf, f_set, self.state.fc_requested,
-                            self.state.fc_programmed,
-                            self.state.fs_programmed, self.search_config)
+            cell_search(capbuf, f_set, self.state.fc_requested,
+                        self.state.fc_programmed, self.state.fs_programmed,
+                        self.search_config, mesh=self.search_mesh)
 
     # ------------------------------------------------------------------
     def add_cell(self, tc: TrackedCell) -> None:

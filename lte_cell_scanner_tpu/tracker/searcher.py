@@ -41,14 +41,9 @@ def search_once(capbuf: np.ndarray, capbuf_late: float, state: GlobalState,
     tracked_ids = frozenset(c.n_id_cell for c in tracked)
     cfg = replace(cfg, skip_ids=cfg.skip_ids | tracked_ids)
 
-    if mesh is not None:
-        from ..models.search import cell_search_sharded
-        cells = cell_search_sharded(capbuf, f_search_set,
-                                    state.fc_requested, state.fc_programmed,
-                                    state.fs_programmed, mesh, cfg)
-    else:
-        cells = cell_search(capbuf, f_search_set, state.fc_requested,
-                            state.fc_programmed, state.fs_programmed, cfg)
+    cells = cell_search(capbuf, f_search_set, state.fc_requested,
+                        state.fc_programmed, state.fs_programmed, cfg,
+                        mesh=mesh)
 
     new_cells = []
     for cell in cells:
