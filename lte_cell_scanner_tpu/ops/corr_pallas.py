@@ -101,12 +101,14 @@ def _bands_for(templates: np.ndarray, t_pad: int, n_tc: int):
     return g_re, g_im
 
 
-def correlate_pow_pallas(capbuf, templates, n_lags: int):
+def correlate_pow_pallas(capbuf, templates, n_lags: int,
+                         interpret: bool = False):
     """|correlation|^2 of capbuf against templates at every lag.
 
     capbuf [n_cap] complex64; templates [T, 137] complex64 (host/numpy --
     the Toeplitz band matrices are built on host once per template set).
-    Returns xc2 [T, n_lags] float32.
+    Returns xc2 [T, n_lags] float32.  interpret=True runs the kernel
+    in the Pallas interpreter (CPU-testable parity path).
     """
     templates = np.asarray(templates)
     t_count = templates.shape[0]
@@ -118,13 +120,13 @@ def correlate_pow_pallas(capbuf, templates, n_lags: int):
 
     g_re, g_im = _bands_for(templates, t_pad, n_tc)
     return _corr_pow_jit(capbuf, g_re, g_im, n_lags, t_count, t_pad,
-                         n_tc, n_rows, n_row_blocks)
+                         n_tc, n_rows, n_row_blocks, interpret)
 
 
 @partial(jax.jit, static_argnames=("n_lags", "t_count", "t_pad", "n_tc",
-                                   "n_rows", "n_row_blocks"))
+                                   "n_rows", "n_row_blocks", "interpret"))
 def _corr_pow_jit(capbuf, g_re, g_im, n_lags, t_count, t_pad, n_tc,
-                  n_rows, n_row_blocks):
+                  n_rows, n_row_blocks, interpret=False):
     # concatenate-pad: complex scatter is not implemented on all TPU
     # runtimes, so avoid .at[].set on complex arrays
     pad = jnp.zeros((n_rows + 2) * 128 - capbuf.shape[0], jnp.complex64)
@@ -155,6 +157,7 @@ def _corr_pow_jit(capbuf, g_re, g_im, n_lags, t_count, t_pad, n_tc,
             bytes_accessed=n_rows * 128 * (8 + 4 * t_pad),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(*xs, g_re, g_im)
 
     # per chunk j, columns hold (c, tc) c-major

@@ -96,3 +96,27 @@ def test_strongest_cell_found_in_xcorr_capture(xcorr_capture):
                               (3, 9600))
     assert t == 1  # n_id_2 = 1
     assert f_set[res.xc_incoherent_collapsed_frq[t, idx]] == 40e3
+
+
+def test_pallas_kernel_matches_xla_dot_path():
+    """The hand-written block-Toeplitz Pallas kernel (ops/corr_pallas.py)
+    must reproduce |correlate|^2 from the production XLA dot path; run
+    through the Pallas interpreter so the parity holds on CPU CI."""
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.ops.corr import correlate
+    from lte_cell_scanner_tpu.ops.corr_pallas import correlate_pow_pallas
+
+    rng = np.random.default_rng(3)
+    n_cap = 4096 + 136
+    capbuf = (rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) \
+        .astype(np.complex64)
+    tmpl = (rng.normal(size=(5, 137)) + 1j * rng.normal(size=(5, 137))) \
+        .astype(np.complex64) / 137.0
+    n_lags = n_cap - 136
+
+    want = np.abs(np.asarray(correlate(jnp.asarray(capbuf),
+                                       jnp.asarray(tmpl)))) ** 2
+    got = np.asarray(correlate_pow_pallas(jnp.asarray(capbuf), tmpl,
+                                          n_lags, interpret=True))
+    assert got.shape == (5, n_lags)
+    assert np.allclose(got, want[:, :n_lags], atol=1e-3, rtol=1e-3)
