@@ -46,25 +46,27 @@ def main():
     templates = jnp.asarray(pss_templates(f_set, fc, fc, fs, np.complex64))
     start_idx = jnp.asarray(combine_start_indices(f_set, fc, fc, fs,
                                                   n_comb_xc))
-    cap_dev = jnp.asarray(capbuf)
+    # rotate among DISTINCT device-resident captures: repeating one
+    # buffer lets the runtime shortcut identical dispatches and
+    # overstates throughput ~2x (measured 0.029 vs 0.062 ms/call)
+    caps = [jnp.asarray(np.roll(capbuf, 17 * k + 1)) for k in range(8)]
 
-    def launch():
-        return _xcorr_core(cap_dev, templates, start_idx, 2,
+    def launch(i):
+        return _xcorr_core(caps[i % 8], templates, start_idx, 2,
                            keep_xc=False)[2]
 
-    launch().block_until_ready()          # compile
-    for _ in range(3):                    # warm the dispatch path
-        launch().block_until_ready()
+    for i in range(8):                    # compile + warm the dispatch path
+        launch(i).block_until_ready()
 
     # The remote-TPU tunnel has high run-to-run variance and ~ms fixed
     # dispatch overhead; pipeline the dispatches within a round (block
     # once at the end) and report the best of several rounds -- the
     # device's actual steady-state rate (converged for n_iter >= 20).
-    n_iter, n_rounds = 25, 6
+    n_iter, n_rounds = 24, 6
     best = float("inf")
     for _ in range(n_rounds):
         t0 = time.perf_counter()
-        outs = [launch() for _ in range(n_iter)]
+        outs = [launch(i) for i in range(n_iter)]
         outs[-1].block_until_ready()
         best = min(best, (time.perf_counter() - t0) / n_iter)
     dt = best

@@ -120,3 +120,49 @@ def test_pallas_kernel_matches_xla_dot_path():
                                           n_lags, interpret=True))
     assert got.shape == (5, n_lags)
     assert np.allclose(got, want[:, :n_lags], atol=1e-3, rtol=1e-3)
+
+
+def test_bf16_mxu_precision_is_safe_for_detection():
+    """The production TPU path computes the correlation at the MXU's
+    default bf16 input precision (f32 accumulation).  Emulate that on
+    CPU by rounding inputs+templates to bfloat16: 8-bit-ADC capture
+    samples are bf16-EXACT by construction, template rounding must
+    perturb the collapsed power map <0.2% and flip no argmax decision
+    on the real two-cell capture."""
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.search import default_f_search_set
+    from lte_cell_scanner_tpu.models.xcorr import (_xcorr_core,
+                                                   combine_start_indices,
+                                                   pss_templates)
+    from lte_cell_scanner_tpu.utils import read_itfile
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    capbuf = np.asarray(
+        read_itfile("/root/reference/test/capbuf_0000.it")["capbuf"],
+        dtype=np.complex64)
+    f_set = default_f_search_set(fc, ppm=100)
+    n_comb = (len(capbuf) - 136 - 100) // 9600
+
+    def bf16c(x):
+        x = np.asarray(x)
+        r = np.asarray(jnp.asarray(x.real, jnp.float32)
+                       .astype(jnp.bfloat16).astype(jnp.float32))
+        i = np.asarray(jnp.asarray(x.imag, jnp.float32)
+                       .astype(jnp.bfloat16).astype(jnp.float32))
+        return (r + 1j * i).astype(np.complex64)
+
+    assert np.array_equal(bf16c(capbuf), capbuf), \
+        "8-bit ADC samples must be bf16-exact"
+
+    tm = pss_templates(f_set, fc, fc, fs, np.complex64)
+    si = jnp.asarray(combine_start_indices(f_set, fc, fc, fs, n_comb))
+    ref = _xcorr_core(jnp.asarray(capbuf), jnp.asarray(tm), si, 2,
+                      keep_xc=False)
+    emu = _xcorr_core(jnp.asarray(capbuf), jnp.asarray(bf16c(tm)), si, 2,
+                      keep_xc=False)
+    a = np.asarray(emu[2])
+    b = np.asarray(ref[2])
+    assert np.max(np.abs(a - b)) / b.max() < 2e-3
+    assert np.array_equal(a.argmax(1), b.argmax(1))
