@@ -253,6 +253,55 @@ class TrackedCellProcessor:
         c.update_frame_timing(c.frame_timing + diff)
 
     # ------------------------------------------------------------------
+    def _rs_windows_batch_native(self, port: int, windows) -> None:
+        """All of a tick's RS windows for one port in ONE native call
+        (rs_window_update_batch), then the sequential feedback
+        applications -- identical results to per-window calls since
+        every window's statistics depend only on its own PDUs."""
+        c = self.cell
+        st = self.state
+        n = len(windows)
+        prev_b = np.ascontiguousarray(
+            np.stack([w[0].ce for w in windows]), dtype=np.complex128)
+        curr_b = np.ascontiguousarray(
+            np.stack([w[1].ce for w in windows]), dtype=np.complex128)
+        next_b = np.ascontiguousarray(
+            np.stack([w[2].ce for w in windows]), dtype=np.complex128)
+        left_b = np.ascontiguousarray(
+            [1 if w[0].shift < w[1].shift else 0 for w in windows],
+            dtype=np.int64)
+        ce_filt = np.empty((n, 12), np.complex128)
+        scalars = np.empty((n, 10), np.float64)
+        buf, pos = self.ce_history[port]
+        self._native.rs_window_update_batch(
+            n, prev_b.ctypes.data, curr_b.ctypes.data, next_b.ctypes.data,
+            left_b.ctypes.data, ce_filt.ctypes.data, scalars.ctypes.data,
+            c.ac_fd.ctypes.data, c.ac_td.ctypes.data,
+            buf.ctypes.data, pos.ctypes.data)
+
+        fifo = self.ce_filt_fifo[port]
+        fc_req, fc_prog = st.fc_requested, st.fc_programmed
+        fs_prog = st.fs_programmed
+        for i, (prev, curr, nxt) in enumerate(windows):
+            sc = scalars[i]
+            fifo.append(_FiltPdu(
+                shift=curr.shift, slot_num=curr.slot_num,
+                sym_num=curr.sym_num, tp=sc[1], sp=sc[3], sp_raw=sc[2],
+                np=sc[0], ce_filt=ce_filt[i]))
+            # FOE feedback (tail of _do_foe)
+            fo = prev.fo
+            k_factor = (fc_req - fo) / fc_prog
+            dt = 0.0005 + _wrap(nxt.ft - prev.ft, -9600.0, 9600.0) \
+                / (fs_prog * k_factor)
+            residual_f = np.arctan2(sc[5], sc[4]) / (2 * np.pi) / dt
+            st.blend_frequency_offset(fo + residual_f, max(sc[6] / 2, 0.001))
+            # frame-timing feedback (tail of _do_toe_v2)
+            diff = _wrap((curr.ft + sc[7]) - c.frame_timing,
+                         -9600.0, 9600.0)
+            diff = diff * (1 / sc[8]) / (1 / 0.0001 + 1 / sc[8])
+            c.update_frame_timing(c.frame_timing + diff)
+
+    # ------------------------------------------------------------------
     def _interp72(self, pdu: _FiltPdu) -> np.ndarray:
         """Linear 12 -> 72 interpolation with edge extrapolation
         (reference interp72, tracker_thread.cpp:372-393), vectorized:
@@ -488,6 +537,9 @@ class TrackedCellProcessor:
         c = self.cell
         n_ports = c.n_ports
         fd_idx = 0
+
+        # Phase A -- ingest every pending PDU: frequency-domain symbols
+        # into data_fifo, CRS extraction into the per-port raw fifos.
         while pdus and not c.kill_me:
             pdu = pdus.popleft()
             if fd_syms is not None and fd_idx < len(fd_syms):
@@ -509,64 +561,73 @@ class TrackedCellProcessor:
                     shift, self.slot_num, self.sym_num, ce_raw,
                     pdu.frequency_offset, pdu.frame_timing))
 
-            for port in range(n_ports):
-                raw = self.ce_raw_fifo[port]
-                if len(raw) != 3:
-                    continue
-                prev, curr, nxt = raw[0], raw[1], raw[2]
-                if self._native is not None:
-                    self._rs_window_native(port, prev, curr, nxt)
-                else:
-                    ce_filt = self._filter_ce(prev, curr, nxt)
-                    np_curr = _sigpower(curr.ce - ce_filt) * 7 / 6
-                    tp_curr = _sigpower(ce_filt)
-                    sp_raw = tp_curr - np_curr / 7
-                    sp_curr = max(1e-5, sp_raw)
-                    self.ce_filt_fifo[port].append(_FiltPdu(
-                        shift=curr.shift, slot_num=curr.slot_num,
-                        sym_num=curr.sym_num, tp=tp_curr, sp=sp_curr,
-                        sp_raw=sp_raw, np=np_curr, ce_filt=ce_filt))
-                    self._do_foe(prev, nxt, np_curr, ce_filt)
-                    self._do_toe_v2(prev, curr, sp_curr, np_curr)
-                    self._do_ac_fd(curr, sp_curr, np_curr)
-                    self._do_ac_td(curr, sp_curr, self.ce_history[port])
-                raw.popleft()
-
-            for port in range(n_ports):
-                filt = self.ce_filt_fifo[port]
-                if len(filt) != 2:
-                    continue
-                self._interp2d(port, filt[0], filt[1])
-                filt.popleft()
-
-            while self.data_fifo and all(f for f in self.ce_interp_fifo):
-                slot_num, sym_num, dsyms = self.data_fifo.popleft()
-                fronts = [self.ce_interp_fifo[p].popleft()
-                          for p in range(n_ports)]
-                ce = np.stack([f.ce for f in fronts])
-                tp = np.array([f.tp for f in fronts])
-                sp = np.array([f.sp for f in fronts])
-                sp_raw = np.array([f.sp_raw for f in fronts])
-                np_v = np.array([f.np for f in fronts])
-
-                c.ce = ce
-                c.crs_sp_raw = sp_raw
-                c.crs_np = np_v
-                if c.crs_sp_raw_av is None:
-                    c.crs_tp_av = tp
-                    c.crs_sp_raw_av = sp_raw
-                    c.crs_np_av = np_v
-                elif slot_num in (0, 10) and sym_num in (5, 6):
-                    c.crs_tp_av = 0.999 * c.crs_tp_av + 0.001 * tp
-                    c.crs_sp_raw_av = 0.999 * c.crs_sp_raw_av + 0.001 * sp_raw
-                    c.crs_np_av = 0.999 * c.crs_np_av + 0.001 * np_v
-
-                self._do_pss_sss_sigpower_ce(dsyms, slot_num, sym_num)
-                if not self._do_mib_decode(dsyms, ce, sp, np_v, slot_num,
-                                           sym_num):
-                    return
-
             self.sym_num += 1
             if self.sym_num == c.n_symb_dl():
                 self.sym_num = 0
                 self.slot_num = (self.slot_num + 1) % 20
+
+        # Phase B -- per port, process every complete 3-window this tick
+        # (the statistics of each window depend only on its own PDUs, so
+        # the tick's windows run as ONE native batch; the FOE/TOE
+        # feedback applications stay sequential in window order).
+        for port in range(n_ports):
+            raw = self.ce_raw_fifo[port]
+            windows = []
+            while len(raw) >= 3:
+                windows.append((raw[0], raw[1], raw[2]))
+                raw.popleft()
+            if not windows:
+                continue
+            if self._native is not None:
+                self._rs_windows_batch_native(port, windows)
+                continue
+            for prev, curr, nxt in windows:
+                ce_filt = self._filter_ce(prev, curr, nxt)
+                np_curr = _sigpower(curr.ce - ce_filt) * 7 / 6
+                tp_curr = _sigpower(ce_filt)
+                sp_raw = tp_curr - np_curr / 7
+                sp_curr = max(1e-5, sp_raw)
+                self.ce_filt_fifo[port].append(_FiltPdu(
+                    shift=curr.shift, slot_num=curr.slot_num,
+                    sym_num=curr.sym_num, tp=tp_curr, sp=sp_curr,
+                    sp_raw=sp_raw, np=np_curr, ce_filt=ce_filt))
+                self._do_foe(prev, nxt, np_curr, ce_filt)
+                self._do_toe_v2(prev, curr, sp_curr, np_curr)
+                self._do_ac_fd(curr, sp_curr, np_curr)
+                self._do_ac_td(curr, sp_curr, self.ce_history[port])
+
+        # Phase C -- per port, time-interpolate every new filt pair.
+        for port in range(n_ports):
+            filt = self.ce_filt_fifo[port]
+            while len(filt) >= 2:
+                self._interp2d(port, filt[0], filt[1])
+                filt.popleft()
+
+        # Phase D -- pair data symbols with interpolated CEs: dashboard
+        # measurements, sync-channel SNR, and the 40 ms MIB re-decode.
+        while self.data_fifo and all(f for f in self.ce_interp_fifo):
+            slot_num, sym_num, dsyms = self.data_fifo.popleft()
+            fronts = [self.ce_interp_fifo[p].popleft()
+                      for p in range(n_ports)]
+            ce = np.stack([f.ce for f in fronts])
+            tp = np.array([f.tp for f in fronts])
+            sp = np.array([f.sp for f in fronts])
+            sp_raw = np.array([f.sp_raw for f in fronts])
+            np_v = np.array([f.np for f in fronts])
+
+            c.ce = ce
+            c.crs_sp_raw = sp_raw
+            c.crs_np = np_v
+            if c.crs_sp_raw_av is None:
+                c.crs_tp_av = tp
+                c.crs_sp_raw_av = sp_raw
+                c.crs_np_av = np_v
+            elif slot_num in (0, 10) and sym_num in (5, 6):
+                c.crs_tp_av = 0.999 * c.crs_tp_av + 0.001 * tp
+                c.crs_sp_raw_av = 0.999 * c.crs_sp_raw_av + 0.001 * sp_raw
+                c.crs_np_av = 0.999 * c.crs_np_av + 0.001 * np_v
+
+            self._do_pss_sss_sigpower_ce(dsyms, slot_num, sym_num)
+            if not self._do_mib_decode(dsyms, ce, sp, np_v, slot_num,
+                                       sym_num):
+                return

@@ -188,4 +188,23 @@ void rs_window_update(const double* prev_ce, const double* curr_ce,
     scalars[9] = 0.0;
 }
 
+// Batched variant: n consecutive RS windows for one (cell, port) in one
+// call (all the windows that became ready within one event-loop tick).
+// prev/curr/next: [n, 24]; prev_leftmost: [n] int64;
+// ce_filt: [n, 24]; scalars: [n, 10]; state arrays as above, updated in
+// window order (identical to n sequential rs_window_update calls).
+void rs_window_update_batch(int64_t n, const double* prev_ce,
+                            const double* curr_ce, const double* next_ce,
+                            const int64_t* prev_leftmost, double* ce_filt,
+                            double* scalars, double* ac_fd_state,
+                            double* ac_td_state, double* hist,
+                            int64_t* hist_pos) {
+    for (int64_t i = 0; i < n; i++) {
+        rs_window_update(prev_ce + 24 * i, curr_ce + 24 * i,
+                         next_ce + 24 * i, (int)prev_leftmost[i],
+                         ce_filt + 24 * i, scalars + 10 * i,
+                         ac_fd_state, ac_td_state, hist, hist_pos);
+    }
+}
+
 }  // extern "C"
