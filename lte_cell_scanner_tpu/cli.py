@@ -86,6 +86,8 @@ def cmd_search(args) -> int:
     from .models.search import (SearchConfig, cell_search, dedup,
                                 default_f_search_set)
     from .utils.debug import set_verbosity
+    if args.brief:
+        args.verbose = 0
     set_verbosity(args.verbose)
 
     freq_start = args.freq_start
@@ -176,6 +178,9 @@ def cmd_track(args) -> int:
     from .tracker import TrackerRunner
     from .tracker.display import render
 
+    if args.brief:
+        args.verbose = 0
+
     source = _make_source(args)
     if source is None:
         print("Error: tracker needs --load FILE(s) or --sim")
@@ -193,11 +198,34 @@ def cmd_track(args) -> int:
     if shard_search and jax.device_count() > 1:
         from .parallel.sharded import make_mesh
         mesh = make_mesh(jax.device_count(), 1)
+
+    # kalibrate bootstrap (reference LTE-Tracker.cpp:565-741): run a
+    # full +-ppm cell search on one capture and seed the dongle FO
+    # register from the strongest cell's superfine estimate -- without
+    # it the single-hypothesis background searcher cannot acquire
+    # beyond ~+-2.5 kHz of crystal error.
+    initial_fo = 0.0
+    if not args.no_kalibrate:
+        from .tracker.runner import kalibrate
+        if args.verbose:
+            print(f"kalibrate: searching +-{args.ppm:g} ppm for a cell ...")
+        try:
+            initial_fo = kalibrate(
+                lambda: source.capture(args.freq)[0], args.freq,
+                args.freq, FS_WORK, ppm=args.ppm, max_tries=3)
+            if args.verbose:
+                print(f"kalibrate: dongle frequency offset "
+                      f"{initial_fo:.1f} Hz")
+        except Exception as e:
+            print(f"kalibrate found no cell ({e}); starting at 0 Hz")
+
     runner = TrackerRunner(args.freq, args.freq, FS_WORK,
+                           initial_fo=initial_fo,
                            search_period=args.search_period,
                            search_mesh=mesh)
     if not args.no_warmup:
-        print("Compiling the search/decode path (one-time warmup) ...")
+        if args.verbose:
+            print("Compiling the search/decode path (one-time warmup) ...")
         runner.warmup()
     n_blocks = 0
     report_every = max(1, int(args.fs * 1.0) // 10000)
@@ -271,6 +299,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("-d", "--data-dir", default=".")
     ps.add_argument("-i", "--device-index", type=int, default=-1)
     ps.add_argument("-v", "--verbose", action="count", default=1)
+    ps.add_argument("-b", "--brief", action="store_true",
+                    help="reduce status messages (reference -b)")
     ps.add_argument("--load-files", nargs="*", default=None,
                     help="replay specific .it or raw rtl_sdr files")
     ps.add_argument("--sim", action="store_true",
@@ -335,6 +365,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="run the background searcher's front end sharded "
                          "over all visible devices (overlap-save time "
                          "blocks; default: auto when >1 device)")
+    pt.add_argument("-p", "--ppm", type=float, default=120.0,
+                    help="crystal-error window for the kalibrate "
+                         "bootstrap search")
+    pt.add_argument("-c", "--correction", type=float, default=1.0)
+    pt.add_argument("--no-kalibrate", action="store_true",
+                    help="skip the initial wide-ppm calibration search")
+    pt.add_argument("-v", "--verbose", action="count", default=1)
+    pt.add_argument("-b", "--brief", action="store_true",
+                    help="reduce status messages (reference -b)")
     pt.add_argument("--no-warmup", action="store_true",
                     help="skip the one-time search-path compile warmup "
                          "before streaming (first acquisition will stall)")
