@@ -85,10 +85,12 @@ def cmd_search(args) -> int:
     from .io.capture import capture_data
     from .models.search import (SearchConfig, cell_search, dedup,
                                 default_f_search_set)
-    from .utils.debug import set_verbosity
+    from .utils.debug import enable_profiling, profile_report, set_verbosity
     if args.brief:
         args.verbose = 0
     set_verbosity(args.verbose)
+    if args.profile:
+        enable_profiling()
 
     freq_start = args.freq_start
     freq_end = args.freq_end if args.freq_end else freq_start
@@ -170,6 +172,9 @@ def cmd_search(args) -> int:
                     print(f"  Detected a cell! {c}")
             all_cells.append(cells)
     _print_cells(dedup(all_cells), args.correction)
+    if args.profile:
+        print()
+        print(profile_report())
     return 0
 
 
@@ -301,6 +306,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("-v", "--verbose", action="count", default=1)
     ps.add_argument("-b", "--brief", action="store_true",
                     help="reduce status messages (reference -b)")
+    ps.add_argument("--profile", action="store_true",
+                    help="print a per-stage wall-time table after "
+                         "the scan")
     ps.add_argument("--load-files", nargs="*", default=None,
                     help="replay specific .it or raw rtl_sdr files")
     ps.add_argument("--sim", action="store_true",

@@ -17,7 +17,7 @@ from ..cell import Cell, CpType
 from ..constants import (DS_COMB_ARM, FS_LTE, THRESH1_N_NINES,
                          THRESH2_N_SIGMA)
 from ..ops.dsp import chi2cdf_inv, matlab_range
-from ..utils.debug import debug_export
+from ..utils.debug import debug_export, stage
 from .mib import decode_mib
 from .peaks import peak_search
 from .rs import RsDl
@@ -68,23 +68,29 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
     (reference CellSearch.cpp:514-570)."""
     detected: List[Cell] = []
     for cell in peaks:
-        cell = sss_detect(cell, capbuf, cfg.thresh2_n_sigma, fc_requested,
-                          fc_programmed, fs_programmed, compat=cfg.compat)
+        with stage("sss_detect"):
+            cell = sss_detect(cell, capbuf, cfg.thresh2_n_sigma,
+                              fc_requested, fc_programmed, fs_programmed,
+                              compat=cfg.compat)
         if cell.n_id_1 < 0:
             continue
         if cell.n_id_cell() in cfg.skip_ids:
             continue
-        cell = pss_sss_foe(cell, capbuf, fc_requested, fc_programmed,
-                           fs_programmed, compat=cfg.compat)
+        with stage("pss_sss_foe"):
+            cell = pss_sss_foe(cell, capbuf, fc_requested, fc_programmed,
+                               fs_programmed, compat=cfg.compat)
         if not cfg.decode:
             detected.append(cell)
             continue
-        tfg, tfg_timestamp = extract_tfg(cell, capbuf, fc_requested,
-                                         fc_programmed, fs_programmed)
+        with stage("extract_tfg"):
+            tfg, tfg_timestamp = extract_tfg(cell, capbuf, fc_requested,
+                                             fc_programmed, fs_programmed)
         rs_dl = RsDl(cell.n_id_cell(), 6, cell.cp_type)
-        cell, tfg_comp, _ = tfoec(cell, tfg, tfg_timestamp, fc_requested,
-                                  fc_programmed, rs_dl)
-        cell = decode_mib(cell, tfg_comp, rs_dl, interp=cfg.interp)
+        with stage("tfoec"):
+            cell, tfg_comp, _ = tfoec(cell, tfg, tfg_timestamp,
+                                      fc_requested, fc_programmed, rs_dl)
+        with stage("decode_mib"):
+            cell = decode_mib(cell, tfg_comp, rs_dl, interp=cfg.interp)
         if cell.n_rb_dl < 0:
             continue
         detected.append(cell)
@@ -106,14 +112,17 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
     cfg = config or SearchConfig()
     capbuf = np.asarray(capbuf)
 
-    res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
-                    fc_programmed, fs_programmed)
+    with stage("xcorr_pss"):
+        res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
+                        fc_programmed, fs_programmed)
     Z_th1 = compute_z_th1(res.sp_incoherent, res.n_comb_xc, cfg.ds_comb_arm,
                           cfg.thresh1_n_nines)
-    peaks = peak_search(res.xc_incoherent_collapsed_pow,
-                        res.xc_incoherent_collapsed_frq,
-                        Z_th1, f_search_set, fc_requested, fc_programmed,
-                        res.xc_incoherent_single, cfg.ds_comb_arm)
+    with stage("peak_search"):
+        peaks = peak_search(res.xc_incoherent_collapsed_pow,
+                            res.xc_incoherent_collapsed_frq,
+                            Z_th1, f_search_set, fc_requested,
+                            fc_programmed, res.xc_incoherent_single,
+                            cfg.ds_comb_arm)
     # intermediate-array tracing for offline diffing (the reference's
     # ITPP_DEBUG_EXPORT convention, macros.h:55-72); no-op unless a dump
     # is active

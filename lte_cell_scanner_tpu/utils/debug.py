@@ -114,6 +114,47 @@ def debug_export(name: str, arr) -> None:
         d.export(name, arr)
 
 
+_profile: Optional[dict] = None
+
+
+def enable_profiling(on: bool = True) -> None:
+    """Turn on the per-stage profiler (the reference only carried
+    commented-out Real_Timer scaffolding, searcher.cpp:143,173)."""
+    global _profile
+    _profile = {} if on else None
+
+
+class stage:
+    """Context manager accumulating wall time per pipeline stage when
+    profiling is enabled; zero-cost no-op otherwise."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        if _profile is not None:
+            self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if _profile is not None:
+            dt = time.perf_counter() - self._t0
+            tot, n = _profile.get(self.name, (0.0, 0))
+            _profile[self.name] = (tot + dt, n + 1)
+
+
+def profile_report() -> str:
+    if not _profile:
+        return "(profiling not enabled or no stages recorded)"
+    total = sum(t for t, _ in _profile.values())
+    lines = [f"{'stage':<16s} {'total':>9s} {'calls':>6s} {'mean':>9s} "
+             f"{'share':>6s}"]
+    for name, (t, n) in sorted(_profile.items(), key=lambda kv: -kv[1][0]):
+        lines.append(f"{name:<16s} {t * 1e3:8.1f}ms {n:6d} "
+                     f"{t / n * 1e3:8.2f}ms {t / total * 100:5.1f}%")
+    return "\n".join(lines)
+
+
 class Timer:
     """tic/toc stage timer; also usable as a context manager.
 
