@@ -80,8 +80,16 @@ def render(state: GlobalState, cells: List[TrackedCell],
                 sp = c.crs_sp_raw_av[p]
                 npp = c.crs_np_av[p]
                 snr = _db10(sp / npp) if npp > 0 and sp > 0 else float("nan")
-                lines.append(f"    port {p}: SP {_db10(sp):6.1f} dB  "
-                             f"NP {_db10(npp):6.1f} dB  SNR {snr:5.1f} dB")
+                line = (f"    port {p}: SP {_db10(sp):6.1f} dB  "
+                        f"NP {_db10(npp):6.1f} dB  SNR {snr:5.1f} dB")
+                if plots and c.crs_sp_raw is not None \
+                        and c.crs_np is not None:
+                    # expert mode adds the instant values next to the
+                    # exponential averages (reference avg_values toggle,
+                    # display_thread.cpp:151-166)
+                    line += (f"   inst {_db10(c.crs_sp_raw[p]):6.1f}/"
+                             f"{_db10(c.crs_np[p]):6.1f} dB")
+                lines.append(line)
         if plots:
             if c.ce is not None:
                 lines.append(_ascii_plot(np.abs(c.ce[0]),
