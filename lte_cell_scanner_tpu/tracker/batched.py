@@ -17,6 +17,13 @@ MIB bookkeeping -- 12-element vectors) stays on host in float64
 
 Shapes are bucketed (symbol axis rounded up to a multiple of 32) so jit
 caches a handful of programs instead of one per block size.
+
+When the default JAX backend is the host CPU (no accelerator attached),
+the same math runs as one vectorized numpy batch instead: the per-tick
+jit dispatch + host<->device staging overhead (~5 ms) dwarfs the actual
+FLOPs (a few thousand 128-pt FFTs take ~1 ms in numpy), so the numpy
+path is what keeps the tracker realtime on a CPU-only box.  Identical
+formulas in float64; `backend=` forces either path for parity tests.
 """
 
 from __future__ import annotations
@@ -74,15 +81,66 @@ def n_samp_elapsed_of(sym_num: int, extended_cp: bool) -> int:
     return 128 + 10 if sym_num == 0 else 128 + 9
 
 
+def _get_fd_numpy(cell_pdus: Sequence[Tuple[object, List]], state
+                  ) -> List[np.ndarray]:
+    """Vectorized numpy batch with the exact _get_fd_core math."""
+    out: List[np.ndarray] = []
+    n = np.arange(128.0)
+    fc_req = float(state.fc_requested)
+    fc_prog = float(state.fc_programmed)
+    fs_prog = float(state.fs_programmed)
+    for proc, pdus in cell_pdus:
+        ext = proc.cell.n_symb_dl() == 6
+        data = np.stack([p.data for p in pdus])
+        fo = np.array([p.frequency_offset for p in pdus])
+        late = np.array([p.late for p in pdus])
+        nse = np.array([float(n_samp_elapsed_of(p.sym_num, ext))
+                        for p in pdus])
+        k_factor = (fc_req - fo) / fc_prog
+        mix = np.exp((-2j * np.pi) * fo[:, None] * n
+                     / (fs_prog * k_factor)[:, None])
+        dft_in = np.roll(data * mix, -2, axis=-1)
+        dft_out = np.fft.fft(dft_in, axis=-1) / np.sqrt(128.0)
+        syms = np.concatenate([dft_out[:, -36:], dft_out[:, 1:37]], axis=-1)
+        incr = 2 * np.pi * nse * (16.0 / FS_LTE) * (-fo)
+        phase = proc.bulk_phase_offset + np.cumsum(incr)
+        comp = np.exp(1j * (phase[:, None]
+                            - 2 * np.pi * late[:, None] / 128.0 * _CN))
+        final = proc.bulk_phase_offset + float(np.sum(incr))
+        proc.bulk_phase_offset = float((final + np.pi) % (2 * np.pi)
+                                       - np.pi)
+        out.append(syms * comp)
+    return out
+
+
+_AUTO_BACKEND = None
+
+
+def _auto_backend() -> str:
+    global _AUTO_BACKEND
+    if _AUTO_BACKEND is None:
+        _AUTO_BACKEND = ("numpy" if jax.default_backend() == "cpu"
+                         else "device")
+    return _AUTO_BACKEND
+
+
 def batched_get_fd(cell_pdus: Sequence[Tuple[object, List]], state,
-                   dtype=np.complex128) -> List[np.ndarray]:
-    """Run get_fd for every (processor, pdu-list) pair in one device call.
+                   dtype=np.complex128, backend: str = "auto"
+                   ) -> List[np.ndarray]:
+    """Run get_fd for every (processor, pdu-list) pair in one batch call.
 
     cell_pdus: sequence of (TrackedCellProcessor, [SymbolPdu, ...]).
     Updates each processor's bulk_phase_offset and returns, per cell, an
     array [n_pdus, 72] of compensated frequency-domain symbols.
+    backend: 'device' (jitted), 'numpy' (vectorized host), or 'auto'
+    (numpy when the default JAX backend is the host CPU).
     """
     import jax.numpy as jnp
+
+    if backend == "auto":
+        backend = _auto_backend()
+    if backend == "numpy":
+        return _get_fd_numpy(cell_pdus, state)
 
     B = len(cell_pdus)
     s_max = max(len(p) for _, p in cell_pdus)

@@ -16,6 +16,7 @@ double math; the heavy front-end (the searcher) stays on device.
 
 from __future__ import annotations
 
+import math
 from collections import deque
 from typing import Deque, List, Optional
 
@@ -55,19 +56,53 @@ class _RsPdu:
 
 class _FiltPdu:
     __slots__ = ("shift", "slot_num", "sym_num", "tp", "sp", "sp_raw", "np",
-                 "ce_filt")
+                 "ce_filt", "ce72")
 
     def __init__(self, **kw):
+        self.ce72 = None          # lazily cached _interp72 of ce_filt
         for k, v in kw.items():
             setattr(self, k, v)
 
 
-class _InterpPdu:
-    __slots__ = ("slot_num", "sym_num", "ce", "tp", "sp", "sp_raw", "np")
+class _ChunkFifo:
+    """FIFO of interpolated-CE rows stored as array chunks.
 
-    def __init__(self, **kw):
-        for k, v in kw.items():
-            setattr(self, k, v)
+    Replaces the reference's per-symbol ce_interp FIFO entries
+    (tracker_thread.cpp ce_interp_fifo): each element is one OFDM
+    symbol's (ce[72], tp, sp, sp_raw, np), but appended and popped as
+    whole [n, ...] array chunks so the streaming hot path never builds
+    per-symbol Python objects."""
+
+    __slots__ = ("chunks", "n")
+
+    def __init__(self):
+        self.chunks: Deque = deque()
+        self.n = 0
+
+    def append(self, ce, tp, sp, sp_raw, npv) -> None:
+        self.chunks.append((ce, tp, sp, sp_raw, npv))
+        self.n += len(tp)
+
+    def pop_n(self, k: int):
+        """Pop the first k symbols as one (ce[k,72], tp[k], sp[k],
+        sp_raw[k], np[k]) tuple."""
+        parts = []
+        need = k
+        while need > 0:
+            chunk = self.chunks[0]
+            m = len(chunk[1])
+            if m <= need:
+                parts.append(self.chunks.popleft())
+                need -= m
+            else:
+                parts.append(tuple(a[:need] for a in chunk))
+                self.chunks[0] = tuple(a[need:] for a in chunk)
+                need = 0
+        self.n -= k
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(np.concatenate([p[i] for p in parts])
+                     for i in range(5))
 
 
 class TrackedCellProcessor:
@@ -77,6 +112,7 @@ class TrackedCellProcessor:
         self.cell = cell
         self.state = state
         self.rs_dl = RsDl(cell.n_id_cell, 6, cell.cp_type)
+        self._rs_conj = np.conj(self.rs_dl.rs_table)
         m_bit = 1920 if cell.cp_type is CpType.NORMAL else 1728
         self.scr = lte_pn(cell.n_id_cell, m_bit)
         self.slot_num = 0
@@ -86,13 +122,15 @@ class TrackedCellProcessor:
         self.data_fifo: Deque = deque()
         self.ce_raw_fifo: List[Deque[_RsPdu]] = [deque() for _ in range(n_ports)]
         self.ce_filt_fifo: List[Deque[_FiltPdu]] = [deque() for _ in range(n_ports)]
-        self.ce_interp_fifo: List[Deque[_InterpPdu]] = [deque() for _ in range(n_ports)]
+        self.ce_interp_fifo: List[_ChunkFifo] = [_ChunkFifo() for _ in range(n_ports)]
         self.ce_interp_init = [False] * n_ports
+        self._alpha_cache = {}
         self.ce_history = [(np.zeros((72, 12), np.complex128),
                             np.zeros(1, np.int64))
                            for _ in range(n_ports)]
         self.mib_fifo: Deque = deque()
         self.mib_fifo_synchronized = False
+        self._pbch_keep = None
         self.sss_sym: Optional[np.ndarray] = None
         # native per-RS-window numerics (native/tracker_math.cpp),
         # numpy fallback when the library is unavailable
@@ -282,8 +320,12 @@ class TrackedCellProcessor:
         fifo = self.ce_filt_fifo[port]
         fc_req, fc_prog = st.fc_requested, st.fc_programmed
         fs_prog = st.fs_programmed
+        # feedback applications stay sequential in window order; pure
+        # scalar float math (this runs once per RS symbol per port)
+        sc_list = scalars.tolist()
+        two_pi = 2 * math.pi
         for i, (prev, curr, nxt) in enumerate(windows):
-            sc = scalars[i]
+            sc = sc_list[i]
             fifo.append(_FiltPdu(
                 shift=curr.shift, slot_num=curr.slot_num,
                 sym_num=curr.sym_num, tp=sc[1], sp=sc[3], sp_raw=sc[2],
@@ -291,13 +333,13 @@ class TrackedCellProcessor:
             # FOE feedback (tail of _do_foe)
             fo = prev.fo
             k_factor = (fc_req - fo) / fc_prog
-            dt = 0.0005 + _wrap(nxt.ft - prev.ft, -9600.0, 9600.0) \
+            dt = 0.0005 + ((nxt.ft - prev.ft + 9600.0) % 19200.0 - 9600.0) \
                 / (fs_prog * k_factor)
-            residual_f = np.arctan2(sc[5], sc[4]) / (2 * np.pi) / dt
+            residual_f = math.atan2(sc[5], sc[4]) / two_pi / dt
             st.blend_frequency_offset(fo + residual_f, max(sc[6] / 2, 0.001))
             # frame-timing feedback (tail of _do_toe_v2)
-            diff = _wrap((curr.ft + sc[7]) - c.frame_timing,
-                         -9600.0, 9600.0)
+            diff = ((curr.ft + sc[7]) - c.frame_timing + 9600.0) \
+                % 19200.0 - 9600.0
             diff = diff * (1 / sc[8]) / (1 / 0.0001 + 1 / sc[8])
             c.update_frame_timing(c.frame_timing + diff)
 
@@ -319,28 +361,33 @@ class TrackedCellProcessor:
         l_x = pdu.shift + 6 * k
         return (y[k + 1] - y[k]) / 6.0 * (t - l_x) + y[k]
 
-    def _interp2d(self, port: int, prev: _FiltPdu, curr: _FiltPdu) -> None:
+    def _alphas(self, port: int, prev: _FiltPdu, curr: _FiltPdu
+                ) -> np.ndarray:
+        """Interpolation weights for the intermediate symbols between two
+        consecutive RS symbols (reference interp2d's time axis,
+        tracker_thread.cpp:395-477).  The (slot, sym) step walk depends
+        only on (port>2, prev.sym_num, symbol distance), so the weight
+        vector is computed once per pattern and cached."""
         n_symb = self.cell.n_symb_dl()
-        prev_i = self._interp72(prev)
-        curr_i = self._interp72(curr)
+        dist = ((curr.slot_num - prev.slot_num) % 20) * n_symb \
+            + (curr.sym_num - prev.sym_num)
+        key = (port > 2, prev.sym_num, dist)
+        al = self._alpha_cache.get(key)
+        if al is not None:
+            return al
+        ext = self.cell.cp_type is CpType.EXTENDED
         if port > 2:
             time_diff = 0.0005
-        elif self.cell.cp_type is CpType.EXTENDED:
+        elif ext:
             time_diff = 3 * (128 + 32) * (16 / FS_LTE)
         elif prev.sym_num == 0:
             time_diff = 4 * (128 + 9) * (16 / FS_LTE)
         else:
             time_diff = (2 * (128 + 9) + (128 + 10)) * (16 / FS_LTE)
-
-        # enumerate the (slot, sym) steps and their time offsets, then
-        # interpolate ALL intermediate symbols as one [n, 72] batch
-        slot_num, sym_num = prev.slot_num, prev.sym_num
-        steps = []
         offsets = []
         time_offset = 0.0
-        ext = self.cell.cp_type is CpType.EXTENDED
-        while (slot_num, sym_num) != (curr.slot_num, curr.sym_num):
-            steps.append((slot_num, sym_num))
+        sym_num = prev.sym_num
+        for _ in range(max(dist, 0)):
             offsets.append(time_offset)
             if ext:
                 time_offset += (128 + 32) * (16 / FS_LTE)
@@ -350,36 +397,65 @@ class TrackedCellProcessor:
             sym_num += 1
             if sym_num == n_symb:
                 sym_num = 0
-                slot_num = (slot_num + 1) % 20
-        if not steps:
-            return
-        alphas = np.asarray(offsets) / time_diff
-        ce_batch = prev_i[None, :] + (curr_i - prev_i)[None, :] \
-            * alphas[:, None]
-        d_tp, d_sp = curr.tp - prev.tp, curr.sp - prev.sp
-        d_spr, d_np = curr.sp_raw - prev.sp_raw, curr.np - prev.np
+        al = np.asarray(offsets) / time_diff
+        self._alpha_cache[key] = al
+        return al
 
-        fifo = self.ce_interp_fifo[port]
-        for i, (sl, sy) in enumerate(steps):
-            a = alphas[i]
-            pdu = _InterpPdu(
-                slot_num=sl, sym_num=sy, ce=ce_batch[i],
-                tp=prev.tp + d_tp * a, sp=prev.sp + d_sp * a,
-                sp_raw=prev.sp_raw + d_spr * a, np=prev.np + d_np * a)
-            if not self.ce_interp_init[port]:
-                # bootstrap: repeat the first CE back to slot 0 sym 0
-                self.ce_interp_init[port] = True
-                tsl = tsy = 0
-                while (tsl, tsy) != (sl, sy):
-                    boot = _InterpPdu(
-                        slot_num=tsl, sym_num=tsy, ce=pdu.ce, tp=pdu.tp,
-                        sp=pdu.sp, sp_raw=pdu.sp_raw, np=pdu.np)
-                    fifo.append(boot)
-                    tsy += 1
-                    if tsy == n_symb:
-                        tsy = 0
-                        tsl = (tsl + 1) % 20
-            fifo.append(pdu)
+    def _interp2d_batch(self, port: int) -> None:
+        """Time-interpolate ALL complete filt pairs of this tick into one
+        array chunk (same math as per-pair, batched; each RS symbol's
+        72-SC interpolation computed once and cached on the pdu)."""
+        filt = self.ce_filt_fifo[port]
+        if len(filt) < 2:
+            return
+        pdus = list(filt)
+        for _ in range(len(pdus) - 1):
+            filt.popleft()
+        for p in pdus:
+            if p.ce72 is None:
+                p.ce72 = self._interp72(p)
+
+        alphas = []
+        pair_lens = []
+        for i in range(len(pdus) - 1):
+            al = self._alphas(port, pdus[i], pdus[i + 1])
+            alphas.append(al)
+            pair_lens.append(len(al))
+        alpha = np.concatenate(alphas) if alphas else np.empty(0)
+        if len(alpha) == 0:
+            return
+        pidx = np.repeat(np.arange(len(pdus) - 1), pair_lens)
+
+        ce72 = np.stack([p.ce72 for p in pdus])
+        tp = np.array([p.tp for p in pdus])
+        sp = np.array([p.sp for p in pdus])
+        spr = np.array([p.sp_raw for p in pdus])
+        npv = np.array([p.np for p in pdus])
+
+        prev_ce = ce72[pidx]
+        ce_rows = prev_ce + (ce72[1:][pidx] - prev_ce) * alpha[:, None]
+        tp_rows = tp[pidx] + (tp[1:] - tp[:-1])[pidx] * alpha
+        sp_rows = sp[pidx] + (sp[1:] - sp[:-1])[pidx] * alpha
+        spr_rows = spr[pidx] + (spr[1:] - spr[:-1])[pidx] * alpha
+        np_rows = npv[pidx] + (npv[1:] - npv[:-1])[pidx] * alpha
+
+        if not self.ce_interp_init[port]:
+            # bootstrap: repeat the first CE back to slot 0 sym 0
+            # (the first emitted symbol IS the first pair's prev label)
+            self.ce_interp_init[port] = True
+            n_symb = self.cell.n_symb_dl()
+            boot = pdus[0].slot_num * n_symb + pdus[0].sym_num
+            if boot:
+                ce_rows = np.concatenate(
+                    [np.broadcast_to(ce_rows[0], (boot, 72)), ce_rows])
+                tp_rows = np.concatenate([np.full(boot, tp_rows[0]), tp_rows])
+                sp_rows = np.concatenate([np.full(boot, sp_rows[0]), sp_rows])
+                spr_rows = np.concatenate(
+                    [np.full(boot, spr_rows[0]), spr_rows])
+                np_rows = np.concatenate([np.full(boot, np_rows[0]), np_rows])
+
+        self.ce_interp_fifo[port].append(ce_rows, tp_rows, sp_rows,
+                                         spr_rows, np_rows)
 
     # ------------------------------------------------------------------
     def _do_pss_sss_sigpower_ce(self, syms, slot_num, sym_num) -> None:
@@ -399,11 +475,15 @@ class TrackedCellProcessor:
         sss_tab = SSS_FD()[c.n_id_1, c.n_id_2, 0 if slot_num == 0 else 1]
         ce_sss = sss_sym[5:67] * sss_tab.astype(np.float64)
         ce_pss = pss_sym[5:67] * np.conj(PSS_FD()[c.n_id_2])
-        ce_smooth = np.empty(62, dtype=np.complex128)
-        for t in range(62):
-            lo, hi = max(0, t - 6), min(61, t + 6)
-            ce_smooth[t] = (ce_sss[lo:hi + 1].sum()
-                            + ce_pss[lo:hi + 1].sum()) / (2 * (hi - lo + 1))
+        # 13-tap clamped sliding mean over both estimates, via prefix
+        # sums: sum[lo..hi] = cs[hi+1] - cs[lo] with lo/hi railed to the
+        # band edges (identical to the reference's scalar window loop)
+        cs = np.zeros(63, dtype=np.complex128)
+        np.cumsum(ce_sss + ce_pss, out=cs[1:])
+        t = np.arange(62)
+        lo = np.maximum(0, t - 6)
+        hi = np.minimum(61, t + 6)
+        ce_smooth = (cs[hi + 1] - cs[lo]) / (2.0 * (hi - lo + 1))
         np_est = (_sigpower(ce_smooth - ce_sss) * 13 / 12
                   + _sigpower(ce_smooth - ce_pss) * 13 / 12) / 2
         tp = _sigpower(ce_smooth)
@@ -421,38 +501,36 @@ class TrackedCellProcessor:
             c.sync_np_blank_av = 0.999 * c.sync_np_blank_av + 0.001 * np_blank
 
     # ------------------------------------------------------------------
-    def _do_mib_decode(self, syms, ce, sp, np_v, slot_num, sym_num) -> bool:
-        """Returns False if the cell should be dropped
+    def _mib_try_decode(self) -> bool:
+        """Attempt the 4-frame blind MIB re-decode once 16 PBCH symbols
+        are queued; returns False if the cell should be dropped
         (reference do_mib_decode, tracker_thread.cpp:531-749)."""
         from ..models.coding import conv_decode_tailbite, conv_deratematch
         from ..models.modulation import lte_demodulate
         import jax.numpy as jnp
 
         c = self.cell
-        if slot_num == 1 and sym_num <= 3:
-            self.mib_fifo.append((syms, ce, sp, np_v))
         if len(self.mib_fifo) != 16:
             return True
 
         n_ports = c.n_ports
         v3 = c.n_id_cell % 3
         n_symb = c.n_symb_dl()
-        pbch_sym = []
-        pbch_ce = []
-        pbch_np = []
-        for fr in range(4):
-            for symn in range(4):
-                s_syms, s_ce, s_sp, s_np = self.mib_fifo[fr * 4 + symn]
-                for sc in range(72):
-                    if sc % 3 == v3 and (symn in (0, 1)
-                                         or (symn == 3 and n_symb == 6)):
-                        continue
-                    pbch_sym.append(s_syms[sc])
-                    pbch_ce.append(s_ce[:, sc])
-                    pbch_np.append(s_np)
-        pbch_sym = np.asarray(pbch_sym)
-        pbch_ce = np.asarray(pbch_ce).T          # [n_ports, n_syms]
-        pbch_np = np.asarray(pbch_np).T          # [n_ports, n_syms]
+        keep = self._pbch_keep
+        if keep is None:
+            # [16, 72] RE-selection mask: skip possible-RS positions
+            # (sc % 3 == v_shift_m3) in CRS-bearing symbols
+            symn = np.arange(16) % 4
+            rs_sym = (symn <= 1) | ((symn == 3) & (n_symb == 6))
+            keep = ~(rs_sym[:, None]
+                     & (np.arange(72)[None, :] % 3 == v3))
+            keep = self._pbch_keep = keep.reshape(-1)
+        syms16 = np.stack([e[0] for e in self.mib_fifo])     # [16, 72]
+        ce16 = np.stack([e[1] for e in self.mib_fifo])       # [16, P, 72]
+        np16 = np.stack([e[3] for e in self.mib_fifo])       # [16, P]
+        pbch_sym = syms16.reshape(-1)[keep]
+        pbch_ce = ce16.transpose(1, 0, 2).reshape(n_ports, -1)[:, keep]
+        pbch_np = np.repeat(np16.T, 72, axis=1)[:, keep]
 
         if n_ports == 1:
             h = pbch_ce[0]
@@ -536,35 +614,60 @@ class TrackedCellProcessor:
         """
         c = self.cell
         n_ports = c.n_ports
+        n_symb_dl = c.n_symb_dl()
         fd_idx = 0
 
         # Phase A -- ingest every pending PDU: frequency-domain symbols
         # into data_fifo, CRS extraction into the per-port raw fifos.
+        # The (slot, sym) labels are a running symbol counter, and the
+        # CRS REs of all new symbols extract as one gather per port
+        # against the precomputed shift/RS tables.
+        new_rows: List[np.ndarray] = []
+        fos: List[float] = []
+        fts: List[float] = []
+        host_fd = False
         while pdus and not c.kill_me:
             pdu = pdus.popleft()
             if fd_syms is not None and fd_idx < len(fd_syms):
-                syms = fd_syms[fd_idx]
+                new_rows.append(fd_syms[fd_idx])
                 fd_idx += 1
             else:
-                syms = self._get_fd(pdu)
-            self.data_fifo.append((self.slot_num, self.sym_num, syms))
-
+                new_rows.append(self._get_fd(pdu))
+                host_fd = True
+            fos.append(pdu.frequency_offset)
+            fts.append(pdu.frame_timing)
+        n_new = len(new_rows)
+        if n_new:
+            start = self.slot_num * n_symb_dl + self.sym_num
+            k = start + np.arange(n_new)
+            slots_a = (k // n_symb_dl) % 20
+            syms_a = k % n_symb_dl
+            end = start + n_new
+            self.slot_num = (end // n_symb_dl) % 20
+            self.sym_num = end % n_symb_dl
+            if not host_fd and n_new == len(fd_syms):
+                S = np.asarray(fd_syms)
+            else:
+                S = np.stack(new_rows)
+            for i in range(n_new):
+                self.data_fifo.append(
+                    (int(slots_a[i]), int(syms_a[i]), S[i]))
+            sh_all = self.rs_dl.shift_table[slots_a, syms_a]   # [n, 4]
+            cols12 = 6 * np.arange(12)
             for port in range(n_ports):
-                shift = self.rs_dl.get_shift(self.slot_num, self.sym_num,
-                                             port)
-                if shift < 0:
+                sh = sh_all[:, port]
+                sel = np.nonzero(sh >= 0)[0]
+                if len(sel) == 0:
                     continue
-                rs_raw = syms[shift::6]
-                ce_raw = rs_raw * np.conj(
-                    self.rs_dl.get_rs(self.slot_num, self.sym_num))
-                self.ce_raw_fifo[port].append(_RsPdu(
-                    shift, self.slot_num, self.sym_num, ce_raw,
-                    pdu.frequency_offset, pdu.frame_timing))
-
-            self.sym_num += 1
-            if self.sym_num == c.n_symb_dl():
-                self.sym_num = 0
-                self.slot_num = (self.slot_num + 1) % 20
+                shv = sh[sel].astype(np.int64)
+                ce_raw = np.take_along_axis(
+                    S[sel], shv[:, None] + cols12[None, :], 1) \
+                    * self._rs_conj[slots_a[sel], syms_a[sel]]
+                fifo = self.ce_raw_fifo[port]
+                for j, i in enumerate(sel):
+                    fifo.append(_RsPdu(
+                        int(shv[j]), int(slots_a[i]), int(syms_a[i]),
+                        ce_raw[j], fos[i], fts[i]))
 
         # Phase B -- per port, process every complete 3-window this tick
         # (the statistics of each window depend only on its own PDUs, so
@@ -596,38 +699,62 @@ class TrackedCellProcessor:
                 self._do_ac_fd(curr, sp_curr, np_curr)
                 self._do_ac_td(curr, sp_curr, self.ce_history[port])
 
-        # Phase C -- per port, time-interpolate every new filt pair.
+        # Phase C -- per port, time-interpolate every new filt pair as
+        # one array chunk.
         for port in range(n_ports):
-            filt = self.ce_filt_fifo[port]
-            while len(filt) >= 2:
-                self._interp2d(port, filt[0], filt[1])
-                filt.popleft()
+            self._interp2d_batch(port)
 
         # Phase D -- pair data symbols with interpolated CEs: dashboard
         # measurements, sync-channel SNR, and the 40 ms MIB re-decode.
-        while self.data_fifo and all(f for f in self.ce_interp_fifo):
-            slot_num, sym_num, dsyms = self.data_fifo.popleft()
-            fronts = [self.ce_interp_fifo[p].popleft()
-                      for p in range(n_ports)]
-            ce = np.stack([f.ce for f in fronts])
-            tp = np.array([f.tp for f in fronts])
-            sp = np.array([f.sp for f in fronts])
-            sp_raw = np.array([f.sp_raw for f in fronts])
-            np_v = np.array([f.np for f in fronts])
+        # All ready symbols are popped as arrays; per-symbol Python work
+        # happens only at the rare special symbols (EMA updates at slots
+        # 0/10 syms 5/6, PSS/SSS SNR at the half-frame boundaries, PBCH
+        # appends at slot 1 syms 0-3), selected by mask.
+        n_ready = len(self.data_fifo)
+        for f in self.ce_interp_fifo:
+            n_ready = min(n_ready, f.n)
+        if n_ready <= 0 or c.kill_me:
+            return
+        entries = [self.data_fifo.popleft() for _ in range(n_ready)]
+        per_port = [f.pop_n(n_ready) for f in self.ce_interp_fifo]
+        ce_p = [pp[0] for pp in per_port]                  # each [n, 72]
+        tp_p = np.stack([pp[1] for pp in per_port])        # [n_ports, n]
+        sp_p = np.stack([pp[2] for pp in per_port])
+        spr_p = np.stack([pp[3] for pp in per_port])
+        np_p = np.stack([pp[4] for pp in per_port])
+        slots = np.fromiter((e[0] for e in entries), np.int64, n_ready)
+        symsn = np.fromiter((e[1] for e in entries), np.int64, n_ready)
 
-            c.ce = ce
-            c.crs_sp_raw = sp_raw
-            c.crs_np = np_v
-            if c.crs_sp_raw_av is None:
-                c.crs_tp_av = tp
-                c.crs_sp_raw_av = sp_raw
-                c.crs_np_av = np_v
-            elif slot_num in (0, 10) and sym_num in (5, 6):
-                c.crs_tp_av = 0.999 * c.crs_tp_av + 0.001 * tp
-                c.crs_sp_raw_av = 0.999 * c.crs_sp_raw_av + 0.001 * sp_raw
-                c.crs_np_av = 0.999 * c.crs_np_av + 0.001 * np_v
+        # instant dashboard registers carry the LAST processed symbol
+        c.ce = np.stack([cep[-1] for cep in ce_p])
+        c.crs_sp_raw = spr_p[:, -1].copy()
+        c.crs_np = np_p[:, -1].copy()
 
-            self._do_pss_sss_sigpower_ce(dsyms, slot_num, sym_num)
-            if not self._do_mib_decode(dsyms, ce, sp, np_v, slot_num,
-                                       sym_num):
-                return
+        first_init = c.crs_sp_raw_av is None
+        if first_init:
+            c.crs_tp_av = tp_p[:, 0].copy()
+            c.crs_sp_raw_av = spr_p[:, 0].copy()
+            c.crs_np_av = np_p[:, 0].copy()
+        ema = ((slots == 0) | (slots == 10)) & ((symsn == 5) | (symsn == 6))
+        for i in np.nonzero(ema)[0]:
+            if first_init and i == 0:
+                continue   # the init symbol itself takes no EMA step
+            c.crs_tp_av = 0.999 * c.crs_tp_av + 0.001 * tp_p[:, i]
+            c.crs_sp_raw_av = 0.999 * c.crs_sp_raw_av + 0.001 * spr_p[:, i]
+            c.crs_np_av = 0.999 * c.crs_np_av + 0.001 * np_p[:, i]
+
+        n_symb = c.n_symb_dl()
+        sync = ((slots == 0) | (slots == 10)) \
+            & ((symsn == n_symb - 2) | (symsn == n_symb - 1))
+        pbch = (slots == 1) & (symsn <= 3)
+        for i in np.nonzero(sync | pbch)[0]:
+            sl, sy = int(slots[i]), int(symsn[i])
+            dsyms = entries[i][2]
+            if sync[i]:
+                self._do_pss_sss_sigpower_ce(dsyms, sl, sy)
+            if pbch[i]:
+                self.mib_fifo.append(
+                    (dsyms, np.stack([cep[i] for cep in ce_p]),
+                     sp_p[:, i], np_p[:, i]))
+                if len(self.mib_fifo) == 16 and not self._mib_try_decode():
+                    return

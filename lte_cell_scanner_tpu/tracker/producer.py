@@ -76,14 +76,14 @@ def _next_trigger(ts, t, target, step, lo=-0.5, hi=3.0):
             return t
         m = int(np.ceil(((lo - d) % 19200.0) / step))
         t2 = t + max(m, 1)
-        w0 = max(t, t2 - 2)
-        w = (ts[w0: t2 + 6] - target + 9600.0) % 19200.0 - 9600.0
-        hit = np.nonzero((w > lo) & (w < hi))[0]
-        if len(hit):
-            cand = w0 + int(hit[0])
-            if cand < n:
-                return cand
-            return None
+        # verify against float rounding with a tiny scalar scan around
+        # the predicted crossing (same window the vectorized check
+        # covered, but with no per-call array allocations -- this runs
+        # once per OFDM symbol per cell on the streaming hot path)
+        for c in range(max(t, t2 - 2), min(t2 + 6, n)):
+            dc = (float(ts[c]) - target + 9600.0) % 19200.0 - 9600.0
+            if lo < dc < hi:
+                return c
         if t2 + 6 >= n:
             return None
         # the window was hopped over (step > interval width); try the

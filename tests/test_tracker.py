@@ -161,8 +161,10 @@ def test_backpressure_dumps_symbols_and_counts():
     assert len(runner.producer.fifos[277]) <= 1.5 * sym_per_sec + 1
 
 
-def test_batched_get_fd_matches_host():
-    """The jitted [cells, symbols, 128] get_fd batch (tracker/batched.py)
+@pytest.mark.parametrize("backend", ["device", "numpy"])
+def test_batched_get_fd_matches_host(backend):
+    """The batched [cells, symbols, 128] get_fd (tracker/batched.py, both
+    the jitted device program and the vectorized-numpy CPU fast path)
     must reproduce the per-symbol host path bit-close, including the
     bulk-phase accumulator carried across symbols."""
     from lte_cell_scanner_tpu.tracker.batched import batched_get_fd
@@ -195,7 +197,7 @@ def test_batched_get_fd_matches_host():
     a1, b1, p1 = make(277, CpType.NORMAL, 7)
     a2, b2, p2 = make(100, CpType.EXTENDED, 13)
 
-    outs = batched_get_fd([(a1, p1), (a2, p2)], state)
+    outs = batched_get_fd([(a1, p1), (a2, p2)], state, backend=backend)
     for proc_b, pdus, out in ((b1, p1, outs[0]), (b2, p2, outs[1])):
         host = np.stack([proc_b._get_fd(p) for p in pdus])
         assert np.allclose(out, host, atol=1e-10), \
