@@ -141,6 +141,49 @@ def conv_decode_tailbite(d_llr) -> jnp.ndarray:
     return bits_rev.astype(jnp.int32)
 
 
+def conv_decode_tailbite_host(d_llr: np.ndarray) -> np.ndarray:
+    """Host-path tail-biting Viterbi with the exact conv_decode_tailbite
+    contract: native C (native/tracker_math.cpp viterbi_tailbite) when
+    available, vectorized numpy otherwise.  Used by the tracker's
+    per-40 ms MIB re-decode where a jit dispatch per call dominates the
+    actual trellis work; parity pinned in tests/test_coding.py."""
+    from ..io.native import get_lib
+
+    d_llr = np.ascontiguousarray(d_llr, dtype=np.float64)
+    n = d_llr.shape[1]
+    lib = get_lib()
+    if lib is not None:
+        bits = np.empty(n, dtype=np.int32)
+        lib.viterbi_tailbite(d_llr.ctypes.data, n, bits.ctypes.data)
+        return bits
+
+    next_state, out_bits = _trellis()
+    signs = (1 - 2 * out_bits.astype(np.int64)).astype(np.float64)
+    flat_target = next_state.reshape(-1)
+    preds = np.zeros((64, 2), dtype=np.int64)
+    for t in range(64):
+        preds[t] = np.nonzero(flat_target == t)[0]
+    pm = np.full((64, 64), -1e30)
+    pm[np.arange(64), np.arange(64)] = 0.0
+    choices = np.zeros((n, 64, 64), dtype=np.int64)
+    for k in range(n):
+        gain = signs @ d_llr[:, k] * 0.5                # [64, 2]
+        cand = (pm[:, :, None] + gain[None, :, :]).reshape(64, 128)
+        c2 = cand[:, preds]                             # [start, new, 2]
+        choices[k] = np.argmax(c2, axis=-1)
+        pm = np.max(c2, axis=-1)
+    best_start = int(np.argmax(pm[np.arange(64), np.arange(64)]))
+    pred_state = preds // 2
+    pred_bit = preds % 2
+    bits = np.zeros(n, dtype=np.int32)
+    state = best_start
+    for k in range(n - 1, -1, -1):
+        b = choices[k, best_start, state]
+        bits[k] = pred_bit[state, b]
+        state = pred_state[state, b]
+    return bits
+
+
 # ---------------------------------------------------------------------------
 # Rate matching
 # ---------------------------------------------------------------------------
@@ -213,6 +256,23 @@ def conv_deratematch(e_llr, n_c: int) -> jnp.ndarray:
     e_llr = jnp.asarray(e_llr)
     flat_idx = jnp.asarray(_ratematch_flat_idx(n_c, int(e_llr.shape[0])))
     return _deratematch_core(e_llr, flat_idx, n_c)
+
+
+@lru_cache(maxsize=None)
+def _deratematch_counts(n_c: int, n_e: int) -> np.ndarray:
+    idx = _ratematch_flat_idx(n_c, n_e)
+    return np.bincount(idx, minlength=3 * n_c).astype(np.float64)
+
+
+def conv_deratematch_host(e_llr: np.ndarray, n_c: int) -> np.ndarray:
+    """Numpy conv_deratematch (same averaging contract, no jit dispatch):
+    one bincount against the cached index plan."""
+    e_llr = np.asarray(e_llr, dtype=np.float64)
+    idx = _ratematch_flat_idx(n_c, len(e_llr))
+    counts = _deratematch_counts(n_c, len(e_llr))
+    sums = np.bincount(idx, weights=e_llr, minlength=3 * n_c)
+    avg = np.where(counts > 1, sums / np.maximum(counts, 1.0), sums)
+    return avg.reshape(3, n_c)
 
 
 # ---------------------------------------------------------------------------

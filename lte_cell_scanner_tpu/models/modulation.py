@@ -87,3 +87,28 @@ def lte_demodulate(syms, np_vec, modulation: str = "qpsk") -> jnp.ndarray:
         m1 = logsumexp(metric, axis=1, b=jnp.asarray(bit == 1, syms.real.dtype))
         out.append(m0 - m1)
     return jnp.stack(out, axis=1).reshape(-1)
+
+
+def lte_demodulate_host(syms: np.ndarray, np_vec: np.ndarray,
+                        modulation: str = "qpsk") -> np.ndarray:
+    """Numpy lte_demodulate (identical log-MAP math, no jit dispatch) --
+    the tracker's per-40 ms MIB re-decode path; parity pinned in
+    tests/test_coding.py."""
+    syms = np.asarray(syms)
+    np_vec = np.asarray(np_vec, dtype=np.float64)
+    bps = _BPS[modulation]
+    table = mod_map(modulation)
+
+    d = syms[:, None] - table[None, :]
+    metric = -(d.real ** 2 + d.imag ** 2) / np_vec[:, None]
+
+    idx = np.arange(table.shape[0])
+    out = np.empty((syms.shape[0], bps))
+    for b in range(bps):
+        bit = (idx >> (bps - 1 - b)) & 1
+        m0 = np.logaddexp.reduce(
+            np.where(bit == 0, metric, -np.inf), axis=1)
+        m1 = np.logaddexp.reduce(
+            np.where(bit == 1, metric, -np.inf), axis=1)
+        out[:, b] = m0 - m1
+    return out.reshape(-1)

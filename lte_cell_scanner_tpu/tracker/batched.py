@@ -81,7 +81,41 @@ def n_samp_elapsed_of(sym_num: int, extended_cp: bool) -> int:
     return 128 + 10 if sym_num == 0 else 128 + 9
 
 
-def _get_fd_numpy(cell_pdus: Sequence[Tuple[object, List]], state
+def _nse_of_chunk(chunk, n_symb: int) -> np.ndarray:
+    """Per-symbol sample strides for a PduChunk (n_samp_elapsed_of,
+    vectorized over the chunk's running symbol index)."""
+    n = len(chunk)
+    if n_symb == 6:
+        return np.full(n, 160.0)
+    sym = (chunk.sym0 + np.arange(n)) % n_symb
+    return np.where(sym == 0, 138.0, 137.0)
+
+
+def _get_fd_native(cell_pdus: Sequence[Tuple[object, object]], state,
+                   lib) -> List[np.ndarray]:
+    """One native C call per cell (native/tracker_math.cpp get_fd_batch:
+    mixer + radix-2 FFT-128 + phase compensation) -- the CPU fast path."""
+    out: List[np.ndarray] = []
+    fc_req = float(state.fc_requested)
+    fc_prog = float(state.fc_programmed)
+    fs_prog = float(state.fs_programmed)
+    for proc, chunk in cell_pdus:
+        m = len(chunk)
+        data = np.ascontiguousarray(chunk.data, dtype=np.complex128)
+        fo = np.ascontiguousarray(chunk.fo, dtype=np.float64)
+        late = np.ascontiguousarray(chunk.late, dtype=np.float64)
+        nse = _nse_of_chunk(chunk, proc.cell.n_symb_dl())
+        o = np.empty((m, 72), np.complex128)
+        final = lib.get_fd_batch(
+            data.ctypes.data, m, fo.ctypes.data, late.ctypes.data,
+            nse.ctypes.data, proc.bulk_phase_offset, fc_req, fc_prog,
+            fs_prog, FS_LTE, o.ctypes.data)
+        proc.bulk_phase_offset = float(final)
+        out.append(o)
+    return out
+
+
+def _get_fd_numpy(cell_pdus: Sequence[Tuple[object, object]], state
                   ) -> List[np.ndarray]:
     """Vectorized numpy batch with the exact _get_fd_core math."""
     out: List[np.ndarray] = []
@@ -89,13 +123,9 @@ def _get_fd_numpy(cell_pdus: Sequence[Tuple[object, List]], state
     fc_req = float(state.fc_requested)
     fc_prog = float(state.fc_programmed)
     fs_prog = float(state.fs_programmed)
-    for proc, pdus in cell_pdus:
-        ext = proc.cell.n_symb_dl() == 6
-        data = np.stack([p.data for p in pdus])
-        fo = np.array([p.frequency_offset for p in pdus])
-        late = np.array([p.late for p in pdus])
-        nse = np.array([float(n_samp_elapsed_of(p.sym_num, ext))
-                        for p in pdus])
+    for proc, chunk in cell_pdus:
+        data, fo, late = chunk.data, chunk.fo, chunk.late
+        nse = _nse_of_chunk(chunk, proc.cell.n_symb_dl())
         k_factor = (fc_req - fo) / fc_prog
         mix = np.exp((-2j * np.pi) * fo[:, None] * n
                      / (fs_prog * k_factor)[:, None])
@@ -119,31 +149,42 @@ _AUTO_BACKEND = None
 def _auto_backend() -> str:
     global _AUTO_BACKEND
     if _AUTO_BACKEND is None:
-        _AUTO_BACKEND = ("numpy" if jax.default_backend() == "cpu"
+        _AUTO_BACKEND = ("host" if jax.default_backend() == "cpu"
                          else "device")
     return _AUTO_BACKEND
 
 
-def batched_get_fd(cell_pdus: Sequence[Tuple[object, List]], state,
+def _native_lib():
+    from ..io.native import get_lib
+    return get_lib()
+
+
+def batched_get_fd(cell_pdus: Sequence[Tuple[object, object]], state,
                    dtype=np.complex128, backend: str = "auto"
                    ) -> List[np.ndarray]:
-    """Run get_fd for every (processor, pdu-list) pair in one batch call.
+    """Run get_fd for every (processor, PduChunk) pair in one batch call.
 
-    cell_pdus: sequence of (TrackedCellProcessor, [SymbolPdu, ...]).
     Updates each processor's bulk_phase_offset and returns, per cell, an
     array [n_pdus, 72] of compensated frequency-domain symbols.
-    backend: 'device' (jitted), 'numpy' (vectorized host), or 'auto'
-    (numpy when the default JAX backend is the host CPU).
+    backend: 'device' (jitted), 'native' (C runtime), 'numpy'
+    (vectorized host), or 'auto' (host path when the default JAX backend
+    is the host CPU -- native C when the library is available, numpy
+    otherwise).
     """
     import jax.numpy as jnp
 
     if backend == "auto":
         backend = _auto_backend()
+    if backend == "host":
+        lib = _native_lib()
+        if lib is not None:
+            return _get_fd_native(cell_pdus, state, lib)
+        return _get_fd_numpy(cell_pdus, state)
     if backend == "numpy":
         return _get_fd_numpy(cell_pdus, state)
 
     B = len(cell_pdus)
-    s_max = max(len(p) for _, p in cell_pdus)
+    s_max = max(len(c) for _, c in cell_pdus)
     S = -(-s_max // _BUCKET) * _BUCKET
 
     data = np.zeros((B, S, 128), dtype=dtype)
@@ -152,14 +193,13 @@ def batched_get_fd(cell_pdus: Sequence[Tuple[object, List]], state,
     nse = np.zeros((B, S))
     valid = np.zeros((B, S), dtype=bool)
     init_phase = np.zeros(B)
-    for b, (proc, pdus) in enumerate(cell_pdus):
-        ext = proc.cell.n_symb_dl() == 6
-        for s, pdu in enumerate(pdus):
-            data[b, s] = pdu.data
-            fo[b, s] = pdu.frequency_offset
-            late[b, s] = pdu.late
-            nse[b, s] = n_samp_elapsed_of(pdu.sym_num, ext)
-            valid[b, s] = True
+    for b, (proc, chunk) in enumerate(cell_pdus):
+        m = len(chunk)
+        data[b, :m] = chunk.data
+        fo[b, :m] = chunk.fo
+        late[b, :m] = chunk.late
+        nse[b, :m] = _nse_of_chunk(chunk, proc.cell.n_symb_dl())
+        valid[b, :m] = True
         init_phase[b] = proc.bulk_phase_offset
 
     syms, final = _get_fd_core(
@@ -172,7 +212,7 @@ def batched_get_fd(cell_pdus: Sequence[Tuple[object, List]], state,
     final = np.asarray(final)
 
     out: List[np.ndarray] = []
-    for b, (proc, pdus) in enumerate(cell_pdus):
+    for b, (proc, chunk) in enumerate(cell_pdus):
         proc.bulk_phase_offset = float(final[b])
-        out.append(syms[b, : len(pdus)])
+        out.append(syms[b, : len(chunk)])
     return out

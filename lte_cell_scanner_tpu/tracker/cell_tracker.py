@@ -8,17 +8,19 @@ do_mib_decode (:494-749), do_pss_sss_sigpower_ce (:754-820), and the main
 per-OFDM-symbol loop (:823-1068).
 
 Re-design: one TrackedCellProcessor object per cell, driven by the event
-loop with batches of symbol PDUs; the per-cell thread + FIFO/condvar
-machinery becomes plain deques.  The small per-symbol math (12-subcarrier
-vectors) runs in numpy float64 on host, exactly mirroring the reference's
-double math; the heavy front-end (the searcher) stays on device.
-"""
+loop with struct-of-arrays PDU CHUNKS (tracker/producer.py PduChunk); the
+per-cell thread + FIFO/condvar machinery becomes array fifos drained once
+per tick.  The per-RS-window numerics and the sequential FOE/TOE feedback
+chain run in the native C++ runtime (native/tracker_math.cpp
+rs_window_update_batch2 -- the reference's tracker math is C++ too), with
+a numpy float64 fallback that mirrors the reference's double math
+loop-for-loop (pinned by parity tests).  The heavy demod front end
+(mixer + DFT) is batched across all cells (tracker/batched.py)."""
 
 from __future__ import annotations
 
-import math
 from collections import deque
-from typing import Deque, List, Optional
+from typing import Deque, List, Optional, Tuple
 
 import numpy as np
 
@@ -30,7 +32,7 @@ from ..models.pss import PSS_FD
 from ..models.rs import RsDl
 from ..models.sss import SSS_FD
 from .batched import _CN, n_samp_elapsed_of
-from .producer import SymbolPdu
+from .producer import PduChunk, SymbolPdu
 from .state import GlobalState, TrackedCell
 
 
@@ -43,6 +45,8 @@ def _sigpower(v):
 
 
 class _RsPdu:
+    """Per-RS-symbol view used by the numpy fallback path and tests."""
+
     __slots__ = ("shift", "slot_num", "sym_num", "ce", "fo", "ft")
 
     def __init__(self, shift, slot_num, sym_num, ce, fo, ft):
@@ -64,33 +68,31 @@ class _FiltPdu:
             setattr(self, k, v)
 
 
-class _ChunkFifo:
-    """FIFO of interpolated-CE rows stored as array chunks.
+class _SoaFifo:
+    """FIFO of per-symbol rows stored as struct-of-arrays chunks.
 
-    Replaces the reference's per-symbol ce_interp FIFO entries
-    (tracker_thread.cpp ce_interp_fifo): each element is one OFDM
-    symbol's (ce[72], tp, sp, sp_raw, np), but appended and popped as
-    whole [n, ...] array chunks so the streaming hot path never builds
-    per-symbol Python objects."""
+    Each append is a tuple of k same-length arrays (axis 0 = symbols);
+    pops return the first n symbols re-merged.  Replaces per-symbol
+    Python objects on the streaming hot path (reference ce_interp_fifo
+    and data fifos, tracker_thread.cpp)."""
 
     __slots__ = ("chunks", "n")
 
     def __init__(self):
-        self.chunks: Deque = deque()
+        self.chunks: Deque[Tuple[np.ndarray, ...]] = deque()
         self.n = 0
 
-    def append(self, ce, tp, sp, sp_raw, npv) -> None:
-        self.chunks.append((ce, tp, sp, sp_raw, npv))
-        self.n += len(tp)
+    def append(self, *arrays) -> None:
+        self.chunks.append(arrays)
+        self.n += arrays[0].shape[0]
 
-    def pop_n(self, k: int):
-        """Pop the first k symbols as one (ce[k,72], tp[k], sp[k],
-        sp_raw[k], np[k]) tuple."""
+    def pop_n(self, k: int) -> Tuple[np.ndarray, ...]:
+        """Pop the first k symbols as one tuple of arrays."""
         parts = []
         need = k
         while need > 0:
             chunk = self.chunks[0]
-            m = len(chunk[1])
+            m = chunk[0].shape[0]
             if m <= need:
                 parts.append(self.chunks.popleft())
                 need -= m
@@ -101,8 +103,9 @@ class _ChunkFifo:
         self.n -= k
         if len(parts) == 1:
             return parts[0]
+        nf = len(parts[0])
         return tuple(np.concatenate([p[i] for p in parts])
-                     for i in range(5))
+                     for i in range(nf))
 
 
 class TrackedCellProcessor:
@@ -119,10 +122,16 @@ class TrackedCellProcessor:
         self.sym_num = 0
         self.bulk_phase_offset = 0.0
         n_ports = cell.n_ports
-        self.data_fifo: Deque = deque()
-        self.ce_raw_fifo: List[Deque[_RsPdu]] = [deque() for _ in range(n_ports)]
-        self.ce_filt_fifo: List[Deque[_FiltPdu]] = [deque() for _ in range(n_ports)]
-        self.ce_interp_fifo: List[_ChunkFifo] = [_ChunkFifo() for _ in range(n_ports)]
+        # (slots, syms, fd-symbols) awaiting interpolated CEs
+        self.data_fifo = _SoaFifo()
+        # per-port pending raw-CE rows: (ce[m,12], shift, slot, sym, fo, ft)
+        self.rs_pending: List[Optional[Tuple[np.ndarray, ...]]] = \
+            [None] * n_ports
+        # per-port carry row between interpolation pairs:
+        # (ce72[72], tp, sp, sp_raw, np, slot, sym)
+        self.filt_carry: List[Optional[tuple]] = [None] * n_ports
+        self.ce_interp_fifo: List[_SoaFifo] = [_SoaFifo()
+                                               for _ in range(n_ports)]
         self.ce_interp_init = [False] * n_ports
         self._alpha_cache = {}
         self.ce_history = [(np.zeros((72, 12), np.complex128),
@@ -136,12 +145,12 @@ class TrackedCellProcessor:
         # numpy fallback when the library is unavailable
         from ..io.native import get_lib
         self._native = get_lib()
-        self._scalars = np.zeros(10, np.float64)
 
     # ------------------------------------------------------------------
     def _get_fd(self, pdu: SymbolPdu) -> np.ndarray:
         """FOC + DFT + 72-SC extraction + timing/bulk-phase compensation
-        (reference get_fd, tracker_thread.cpp:91-174)."""
+        (reference get_fd, tracker_thread.cpp:91-174).  Per-symbol host
+        parity path; production runs tracker/batched.py."""
         st = self.state
         fo = pdu.frequency_offset
         k_factor = (st.fc_requested - fo) / st.fc_programmed
@@ -248,100 +257,75 @@ class TrackedCellProcessor:
             self.cell.ac_td = (self.cell.ac_td * w_old + xc) / (w_old + 1)
 
     # ------------------------------------------------------------------
-    def _rs_window_native(self, port: int, prev: _RsPdu, curr: _RsPdu,
-                          nxt: _RsPdu) -> None:
-        """One native call for the whole RS-window update: filter_ce,
-        powers, FOE/TOE statistics, and the ac_fd/ac_td state blends
-        (native/tracker_math.cpp rs_window_update); only the global
-        feedback applications stay here, identical to _do_foe/_do_toe_v2."""
+    def _rs_windows(self, port: int, ce, shift, slot, sym, fo, ft):
+        """All of this tick's complete RS 3-windows for one port: CE
+        filtering, powers, FOE/TOE statistics, ac_fd/ac_td blends, the
+        12->72 interpolation AND the sequential FOE / frame-timing
+        feedback applications -- one native call
+        (rs_window_update_batch2) or the loop-exact numpy fallback.
+
+        Inputs are the port's pending raw-CE rows [m]; windows are the
+        m-2 consecutive triples.  Returns (ce72[m-2,72], tp, sp, sp_raw,
+        np) for the curr rows."""
         c = self.cell
         st = self.state
-        p_ce = np.ascontiguousarray(prev.ce, dtype=np.complex128)
-        c_ce = np.ascontiguousarray(curr.ce, dtype=np.complex128)
-        n_ce = np.ascontiguousarray(nxt.ce, dtype=np.complex128)
-        ce_filt = np.empty(12, np.complex128)
+        m = ce.shape[0]
+        nwin = m - 2
         buf, pos = self.ce_history[port]
-        sc = self._scalars
-        self._native.rs_window_update(
-            p_ce.ctypes.data, c_ce.ctypes.data, n_ce.ctypes.data,
-            1 if prev.shift < curr.shift else 0,
-            ce_filt.ctypes.data, sc.ctypes.data,
-            c.ac_fd.ctypes.data, c.ac_td.ctypes.data,
-            buf.ctypes.data, pos.ctypes.data)
-        np_curr, tp_curr, sp_raw, sp_curr = sc[0], sc[1], sc[2], sc[3]
-        self.ce_filt_fifo[port].append(_FiltPdu(
-            shift=curr.shift, slot_num=curr.slot_num, sym_num=curr.sym_num,
-            tp=tp_curr, sp=sp_curr, sp_raw=sp_raw, np=np_curr,
-            ce_filt=ce_filt))
+        if self._native is not None:
+            ce = np.ascontiguousarray(ce, dtype=np.complex128)
+            shift = np.ascontiguousarray(shift, dtype=np.int64)
+            left = (shift[0: m - 2] < shift[1: m - 1]).astype(np.int64)
+            curr_shift = np.ascontiguousarray(shift[1: m - 1])
+            fo = np.ascontiguousarray(fo)
+            ft = np.ascontiguousarray(ft)
+            ce_filt = np.empty((nwin, 12), np.complex128)
+            ce72 = np.empty((nwin, 72), np.complex128)
+            scalars = np.empty((nwin, 10), np.float64)
+            regs = np.array([st.frequency_offset, c.frame_timing])
+            self._native.rs_window_update_batch2(
+                nwin, ce.ctypes.data, ce[1:].ctypes.data,
+                ce[2:].ctypes.data, left.ctypes.data,
+                curr_shift.ctypes.data, fo.ctypes.data, ft.ctypes.data,
+                ft[2:].ctypes.data, ft[1:].ctypes.data,
+                st.fc_requested, st.fc_programmed, st.fs_programmed,
+                ce_filt.ctypes.data, ce72.ctypes.data, scalars.ctypes.data,
+                c.ac_fd.ctypes.data, c.ac_td.ctypes.data,
+                buf.ctypes.data, pos.ctypes.data, regs.ctypes.data)
+            st.frequency_offset = float(regs[0])
+            c.frame_timing = float(regs[1])
+            return (ce72, scalars[:, 1].copy(), scalars[:, 3].copy(),
+                    scalars[:, 2].copy(), scalars[:, 0].copy())
 
-        # FOE feedback (tail of _do_foe)
-        foe_comb = complex(sc[4], sc[5])
-        fo = prev.fo
-        k_factor = (st.fc_requested - fo) / st.fc_programmed
-        dt = 0.0005 + _wrap(nxt.ft - prev.ft, -9600.0, 9600.0) \
-            / (st.fs_programmed * k_factor)
-        residual_f = np.angle(foe_comb) / (2 * np.pi) / dt
-        residual_f_np = max(sc[6] / 2, 0.001)
-        st.blend_frequency_offset(fo + residual_f, residual_f_np)
-
-        # frame-timing feedback (tail of _do_toe_v2)
-        delay, delay_np = sc[7], sc[8]
-        diff = _wrap((curr.ft + delay) - c.frame_timing, -9600.0, 9600.0)
-        diff = diff * (1 / delay_np) / (1 / 0.0001 + 1 / delay_np)
-        c.update_frame_timing(c.frame_timing + diff)
-
-    # ------------------------------------------------------------------
-    def _rs_windows_batch_native(self, port: int, windows) -> None:
-        """All of a tick's RS windows for one port in ONE native call
-        (rs_window_update_batch), then the sequential feedback
-        applications -- identical results to per-window calls since
-        every window's statistics depend only on its own PDUs."""
-        c = self.cell
-        st = self.state
-        n = len(windows)
-        prev_b = np.ascontiguousarray(
-            np.stack([w[0].ce for w in windows]), dtype=np.complex128)
-        curr_b = np.ascontiguousarray(
-            np.stack([w[1].ce for w in windows]), dtype=np.complex128)
-        next_b = np.ascontiguousarray(
-            np.stack([w[2].ce for w in windows]), dtype=np.complex128)
-        left_b = np.ascontiguousarray(
-            [1 if w[0].shift < w[1].shift else 0 for w in windows],
-            dtype=np.int64)
-        ce_filt = np.empty((n, 12), np.complex128)
-        scalars = np.empty((n, 10), np.float64)
-        buf, pos = self.ce_history[port]
-        self._native.rs_window_update_batch(
-            n, prev_b.ctypes.data, curr_b.ctypes.data, next_b.ctypes.data,
-            left_b.ctypes.data, ce_filt.ctypes.data, scalars.ctypes.data,
-            c.ac_fd.ctypes.data, c.ac_td.ctypes.data,
-            buf.ctypes.data, pos.ctypes.data)
-
-        fifo = self.ce_filt_fifo[port]
-        fc_req, fc_prog = st.fc_requested, st.fc_programmed
-        fs_prog = st.fs_programmed
-        # feedback applications stay sequential in window order; pure
-        # scalar float math (this runs once per RS symbol per port)
-        sc_list = scalars.tolist()
-        two_pi = 2 * math.pi
-        for i, (prev, curr, nxt) in enumerate(windows):
-            sc = sc_list[i]
-            fifo.append(_FiltPdu(
-                shift=curr.shift, slot_num=curr.slot_num,
-                sym_num=curr.sym_num, tp=sc[1], sp=sc[3], sp_raw=sc[2],
-                np=sc[0], ce_filt=ce_filt[i]))
-            # FOE feedback (tail of _do_foe)
-            fo = prev.fo
-            k_factor = (fc_req - fo) / fc_prog
-            dt = 0.0005 + ((nxt.ft - prev.ft + 9600.0) % 19200.0 - 9600.0) \
-                / (fs_prog * k_factor)
-            residual_f = math.atan2(sc[5], sc[4]) / two_pi / dt
-            st.blend_frequency_offset(fo + residual_f, max(sc[6] / 2, 0.001))
-            # frame-timing feedback (tail of _do_toe_v2)
-            diff = ((curr.ft + sc[7]) - c.frame_timing + 9600.0) \
-                % 19200.0 - 9600.0
-            diff = diff * (1 / sc[8]) / (1 / 0.0001 + 1 / sc[8])
-            c.update_frame_timing(c.frame_timing + diff)
+        ce72 = np.empty((nwin, 72), np.complex128)
+        tp = np.empty(nwin)
+        sp = np.empty(nwin)
+        spr = np.empty(nwin)
+        npv = np.empty(nwin)
+        for i in range(nwin):
+            prev = _RsPdu(int(shift[i]), int(slot[i]), int(sym[i]),
+                          ce[i], float(fo[i]), float(ft[i]))
+            curr = _RsPdu(int(shift[i + 1]), int(slot[i + 1]),
+                          int(sym[i + 1]), ce[i + 1], float(fo[i + 1]),
+                          float(ft[i + 1]))
+            nxt = _RsPdu(int(shift[i + 2]), int(slot[i + 2]),
+                         int(sym[i + 2]), ce[i + 2], float(fo[i + 2]),
+                         float(ft[i + 2]))
+            ce_filt = self._filter_ce(prev, curr, nxt)
+            np_curr = _sigpower(curr.ce - ce_filt) * 7 / 6
+            tp_curr = _sigpower(ce_filt)
+            sp_raw = tp_curr - np_curr / 7
+            sp_curr = max(1e-5, sp_raw)
+            self._do_foe(prev, nxt, np_curr, ce_filt)
+            self._do_toe_v2(prev, curr, sp_curr, np_curr)
+            self._do_ac_fd(curr, sp_curr, np_curr)
+            self._do_ac_td(curr, sp_curr, self.ce_history[port])
+            ce72[i] = self._interp72(_FiltPdu(
+                shift=int(shift[i + 1]), slot_num=int(slot[i + 1]),
+                sym_num=int(sym[i + 1]), tp=tp_curr, sp=sp_curr,
+                sp_raw=sp_raw, np=np_curr, ce_filt=ce_filt))
+            tp[i], sp[i], spr[i], npv[i] = tp_curr, sp_curr, sp_raw, np_curr
+        return ce72, tp, sp, spr, npv
 
     # ------------------------------------------------------------------
     def _interp72(self, pdu: _FiltPdu) -> np.ndarray:
@@ -361,17 +345,14 @@ class TrackedCellProcessor:
         l_x = pdu.shift + 6 * k
         return (y[k + 1] - y[k]) / 6.0 * (t - l_x) + y[k]
 
-    def _alphas(self, port: int, prev: _FiltPdu, curr: _FiltPdu
-                ) -> np.ndarray:
+    def _alphas(self, port: int, prev_sym: int, dist: int) -> np.ndarray:
         """Interpolation weights for the intermediate symbols between two
         consecutive RS symbols (reference interp2d's time axis,
         tracker_thread.cpp:395-477).  The (slot, sym) step walk depends
-        only on (port>2, prev.sym_num, symbol distance), so the weight
+        only on (port>2, prev_sym, symbol distance), so the weight
         vector is computed once per pattern and cached."""
         n_symb = self.cell.n_symb_dl()
-        dist = ((curr.slot_num - prev.slot_num) % 20) * n_symb \
-            + (curr.sym_num - prev.sym_num)
-        key = (port > 2, prev.sym_num, dist)
+        key = (port > 2, prev_sym, dist)
         al = self._alpha_cache.get(key)
         if al is not None:
             return al
@@ -380,13 +361,13 @@ class TrackedCellProcessor:
             time_diff = 0.0005
         elif ext:
             time_diff = 3 * (128 + 32) * (16 / FS_LTE)
-        elif prev.sym_num == 0:
+        elif prev_sym == 0:
             time_diff = 4 * (128 + 9) * (16 / FS_LTE)
         else:
             time_diff = (2 * (128 + 9) + (128 + 10)) * (16 / FS_LTE)
         offsets = []
         time_offset = 0.0
-        sym_num = prev.sym_num
+        sym_num = prev_sym
         for _ in range(max(dist, 0)):
             offsets.append(time_offset)
             if ext:
@@ -401,36 +382,35 @@ class TrackedCellProcessor:
         self._alpha_cache[key] = al
         return al
 
-    def _interp2d_batch(self, port: int) -> None:
-        """Time-interpolate ALL complete filt pairs of this tick into one
-        array chunk (same math as per-pair, batched; each RS symbol's
-        72-SC interpolation computed once and cached on the pdu)."""
-        filt = self.ce_filt_fifo[port]
-        if len(filt) < 2:
+    def _interp_pairs(self, port: int, ce72, tp, sp, spr, npv, slot, sym
+                      ) -> None:
+        """Time-interpolate this tick's new filtered-CE rows (plus the
+        carried last row of the previous tick) into one ce_interp chunk
+        (same math as the reference's per-pair interp2d, batched)."""
+        carry = self.filt_carry[port]
+        if carry is not None:
+            ce72 = np.concatenate([carry[0][None], ce72])
+            tp = np.concatenate([[carry[1]], tp])
+            sp = np.concatenate([[carry[2]], sp])
+            spr = np.concatenate([[carry[3]], spr])
+            npv = np.concatenate([[carry[4]], npv])
+            slot = np.concatenate([[carry[5]], slot])
+            sym = np.concatenate([[carry[6]], sym])
+        n = len(tp)
+        self.filt_carry[port] = (ce72[-1], float(tp[-1]), float(sp[-1]),
+                                 float(spr[-1]), float(npv[-1]),
+                                 int(slot[-1]), int(sym[-1]))
+        if n < 2:
             return
-        pdus = list(filt)
-        for _ in range(len(pdus) - 1):
-            filt.popleft()
-        for p in pdus:
-            if p.ce72 is None:
-                p.ce72 = self._interp72(p)
-
-        alphas = []
-        pair_lens = []
-        for i in range(len(pdus) - 1):
-            al = self._alphas(port, pdus[i], pdus[i + 1])
-            alphas.append(al)
-            pair_lens.append(len(al))
+        n_symb = self.cell.n_symb_dl()
+        dists = ((slot[1:] - slot[:-1]) % 20) * n_symb + (sym[1:] - sym[:-1])
+        alphas = [self._alphas(port, int(sym[i]), int(dists[i]))
+                  for i in range(n - 1)]
+        pair_lens = [len(a) for a in alphas]
         alpha = np.concatenate(alphas) if alphas else np.empty(0)
         if len(alpha) == 0:
             return
-        pidx = np.repeat(np.arange(len(pdus) - 1), pair_lens)
-
-        ce72 = np.stack([p.ce72 for p in pdus])
-        tp = np.array([p.tp for p in pdus])
-        sp = np.array([p.sp for p in pdus])
-        spr = np.array([p.sp_raw for p in pdus])
-        npv = np.array([p.np for p in pdus])
+        pidx = np.repeat(np.arange(n - 1), pair_lens)
 
         prev_ce = ce72[pidx]
         ce_rows = prev_ce + (ce72[1:][pidx] - prev_ce) * alpha[:, None]
@@ -443,8 +423,7 @@ class TrackedCellProcessor:
             # bootstrap: repeat the first CE back to slot 0 sym 0
             # (the first emitted symbol IS the first pair's prev label)
             self.ce_interp_init[port] = True
-            n_symb = self.cell.n_symb_dl()
-            boot = pdus[0].slot_num * n_symb + pdus[0].sym_num
+            boot = int(slot[0]) * n_symb + int(sym[0])
             if boot:
                 ce_rows = np.concatenate(
                     [np.broadcast_to(ce_rows[0], (boot, 72)), ce_rows])
@@ -505,9 +484,9 @@ class TrackedCellProcessor:
         """Attempt the 4-frame blind MIB re-decode once 16 PBCH symbols
         are queued; returns False if the cell should be dropped
         (reference do_mib_decode, tracker_thread.cpp:531-749)."""
-        from ..models.coding import conv_decode_tailbite, conv_deratematch
-        from ..models.modulation import lte_demodulate
-        import jax.numpy as jnp
+        from ..models.coding import (conv_decode_tailbite_host,
+                                     conv_deratematch_host)
+        from ..models.modulation import lte_demodulate_host
 
         c = self.cell
         if len(self.mib_fifo) != 16:
@@ -561,11 +540,15 @@ class TrackedCellProcessor:
                 + (np.abs(h2) / scale) ** 2 * np_t
             np_mib = np.stack([np_pair, np_pair], 1).reshape(-1)
 
-        e_est = np.asarray(lte_demodulate(jnp.asarray(syms_mib),
-                                          jnp.asarray(np_mib), "qpsk"))
+        # host decode chain (numpy log-MAP demod, cached-plan
+        # de-ratematch, native/numpy tail-biting Viterbi): this runs
+        # every 40 ms per cell; a jit dispatch per stage dominated the
+        # actual math here (the scanner's batched blind decode stays on
+        # the jitted path, models/mib.py)
+        e_est = lte_demodulate_host(syms_mib, np_mib, "qpsk")
         e_est = e_est * (1.0 - 2.0 * self.scr.astype(np.float64))
-        d_est = conv_deratematch(jnp.asarray(e_est), 40)
-        c_est = np.asarray(conv_decode_tailbite(d_est))
+        d_est = conv_deratematch_host(e_est, 40)
+        c_est = conv_decode_tailbite_host(d_est)
         crc_est = crc_parity(c_est[:24].astype(np.uint8), "crc16")
         if n_ports == 2:
             crc_est = crc_est ^ 1
@@ -602,42 +585,27 @@ class TrackedCellProcessor:
         return True
 
     # ------------------------------------------------------------------
-    def process(self, pdus: Deque[SymbolPdu],
+    def process(self, chunk: Optional[PduChunk],
                 fd_syms: Optional[np.ndarray] = None) -> None:
-        """Consume all pending symbol PDUs (one reference loop iteration
-        per PDU, tracker_thread.cpp:856-1067).
+        """Consume one tick's symbol-PDU chunk (one reference loop
+        iteration per symbol, tracker_thread.cpp:856-1067).
 
         fd_syms, when given, carries the precomputed frequency-domain
-        symbols for the first len(fd_syms) PDUs (the batched device
-        get_fd, tracker/batched.py); the host _get_fd is skipped and
-        bulk_phase_offset is assumed already advanced.
+        symbols of the whole chunk (the batched device/numpy get_fd,
+        tracker/batched.py); otherwise the per-symbol host _get_fd runs
+        (parity path).
         """
         c = self.cell
         n_ports = c.n_ports
         n_symb_dl = c.n_symb_dl()
-        fd_idx = 0
 
-        # Phase A -- ingest every pending PDU: frequency-domain symbols
-        # into data_fifo, CRS extraction into the per-port raw fifos.
+        # Phase A -- ingest the tick's PDUs: frequency-domain symbols
+        # into data_fifo, CRS extraction into the per-port pending rows.
         # The (slot, sym) labels are a running symbol counter, and the
         # CRS REs of all new symbols extract as one gather per port
         # against the precomputed shift/RS tables.
-        new_rows: List[np.ndarray] = []
-        fos: List[float] = []
-        fts: List[float] = []
-        host_fd = False
-        while pdus and not c.kill_me:
-            pdu = pdus.popleft()
-            if fd_syms is not None and fd_idx < len(fd_syms):
-                new_rows.append(fd_syms[fd_idx])
-                fd_idx += 1
-            else:
-                new_rows.append(self._get_fd(pdu))
-                host_fd = True
-            fos.append(pdu.frequency_offset)
-            fts.append(pdu.frame_timing)
-        n_new = len(new_rows)
-        if n_new:
+        n_new = 0 if chunk is None else len(chunk)
+        if n_new and not c.kill_me:
             start = self.slot_num * n_symb_dl + self.sym_num
             k = start + np.arange(n_new)
             slots_a = (k // n_symb_dl) % 20
@@ -645,13 +613,17 @@ class TrackedCellProcessor:
             end = start + n_new
             self.slot_num = (end // n_symb_dl) % 20
             self.sym_num = end % n_symb_dl
-            if not host_fd and n_new == len(fd_syms):
+            if fd_syms is not None and len(fd_syms) == n_new:
                 S = np.asarray(fd_syms)
             else:
-                S = np.stack(new_rows)
-            for i in range(n_new):
-                self.data_fifo.append(
-                    (int(slots_a[i]), int(syms_a[i]), S[i]))
+                S = np.empty((n_new, 72), np.complex128)
+                for i in range(n_new):
+                    S[i] = self._get_fd(SymbolPdu(
+                        data=chunk.data[i], slot_num=int(slots_a[i]),
+                        sym_num=int(syms_a[i]), late=float(chunk.late[i]),
+                        frequency_offset=float(chunk.fo[i]),
+                        frame_timing=float(chunk.ft[i])))
+            self.data_fifo.append(slots_a, syms_a, S)
             sh_all = self.rs_dl.shift_table[slots_a, syms_a]   # [n, 4]
             cols12 = 6 * np.arange(12)
             for port in range(n_ports):
@@ -663,67 +635,49 @@ class TrackedCellProcessor:
                 ce_raw = np.take_along_axis(
                     S[sel], shv[:, None] + cols12[None, :], 1) \
                     * self._rs_conj[slots_a[sel], syms_a[sel]]
-                fifo = self.ce_raw_fifo[port]
-                for j, i in enumerate(sel):
-                    fifo.append(_RsPdu(
-                        int(shv[j]), int(slots_a[i]), int(syms_a[i]),
-                        ce_raw[j], fos[i], fts[i]))
+                new = (ce_raw, shv, slots_a[sel], syms_a[sel],
+                       chunk.fo[sel], chunk.ft[sel])
+                pend = self.rs_pending[port]
+                if pend is None:
+                    self.rs_pending[port] = new
+                else:
+                    self.rs_pending[port] = tuple(
+                        np.concatenate([a, b]) for a, b in zip(pend, new))
 
         # Phase B -- per port, process every complete 3-window this tick
-        # (the statistics of each window depend only on its own PDUs, so
-        # the tick's windows run as ONE native batch; the FOE/TOE
-        # feedback applications stay sequential in window order).
+        # (statistics batched natively; the FOE/TOE feedback applications
+        # run sequentially in window order inside the same call), then
+        # time-interpolate the new filtered rows as one chunk.
         for port in range(n_ports):
-            raw = self.ce_raw_fifo[port]
-            windows = []
-            while len(raw) >= 3:
-                windows.append((raw[0], raw[1], raw[2]))
-                raw.popleft()
-            if not windows:
+            pend = self.rs_pending[port]
+            if pend is None or pend[0].shape[0] < 3:
                 continue
-            if self._native is not None:
-                self._rs_windows_batch_native(port, windows)
-                continue
-            for prev, curr, nxt in windows:
-                ce_filt = self._filter_ce(prev, curr, nxt)
-                np_curr = _sigpower(curr.ce - ce_filt) * 7 / 6
-                tp_curr = _sigpower(ce_filt)
-                sp_raw = tp_curr - np_curr / 7
-                sp_curr = max(1e-5, sp_raw)
-                self.ce_filt_fifo[port].append(_FiltPdu(
-                    shift=curr.shift, slot_num=curr.slot_num,
-                    sym_num=curr.sym_num, tp=tp_curr, sp=sp_curr,
-                    sp_raw=sp_raw, np=np_curr, ce_filt=ce_filt))
-                self._do_foe(prev, nxt, np_curr, ce_filt)
-                self._do_toe_v2(prev, curr, sp_curr, np_curr)
-                self._do_ac_fd(curr, sp_curr, np_curr)
-                self._do_ac_td(curr, sp_curr, self.ce_history[port])
+            m = pend[0].shape[0]
+            ce72, tp, sp, spr, npv = self._rs_windows(port, *pend)
+            slot_w = pend[2][1: m - 1]
+            sym_w = pend[3][1: m - 1]
+            self.rs_pending[port] = tuple(
+                np.ascontiguousarray(a[m - 2:]) for a in pend)
+            self._interp_pairs(port, ce72, tp, sp, spr, npv, slot_w, sym_w)
 
-        # Phase C -- per port, time-interpolate every new filt pair as
-        # one array chunk.
-        for port in range(n_ports):
-            self._interp2d_batch(port)
-
-        # Phase D -- pair data symbols with interpolated CEs: dashboard
+        # Phase C -- pair data symbols with interpolated CEs: dashboard
         # measurements, sync-channel SNR, and the 40 ms MIB re-decode.
         # All ready symbols are popped as arrays; per-symbol Python work
         # happens only at the rare special symbols (EMA updates at slots
         # 0/10 syms 5/6, PSS/SSS SNR at the half-frame boundaries, PBCH
         # appends at slot 1 syms 0-3), selected by mask.
-        n_ready = len(self.data_fifo)
+        n_ready = self.data_fifo.n
         for f in self.ce_interp_fifo:
             n_ready = min(n_ready, f.n)
         if n_ready <= 0 or c.kill_me:
             return
-        entries = [self.data_fifo.popleft() for _ in range(n_ready)]
+        slots, symsn, S_rdy = self.data_fifo.pop_n(n_ready)
         per_port = [f.pop_n(n_ready) for f in self.ce_interp_fifo]
         ce_p = [pp[0] for pp in per_port]                  # each [n, 72]
         tp_p = np.stack([pp[1] for pp in per_port])        # [n_ports, n]
         sp_p = np.stack([pp[2] for pp in per_port])
         spr_p = np.stack([pp[3] for pp in per_port])
         np_p = np.stack([pp[4] for pp in per_port])
-        slots = np.fromiter((e[0] for e in entries), np.int64, n_ready)
-        symsn = np.fromiter((e[1] for e in entries), np.int64, n_ready)
 
         # instant dashboard registers carry the LAST processed symbol
         c.ce = np.stack([cep[-1] for cep in ce_p])
@@ -749,7 +703,7 @@ class TrackedCellProcessor:
         pbch = (slots == 1) & (symsn <= 3)
         for i in np.nonzero(sync | pbch)[0]:
             sl, sy = int(slots[i]), int(symsn[i])
-            dsyms = entries[i][2]
+            dsyms = S_rdy[i]
             if sync[i]:
                 self._do_pss_sss_sigpower_ce(dsyms, sl, sy)
             if pbch[i]:

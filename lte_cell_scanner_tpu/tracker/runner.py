@@ -117,29 +117,32 @@ class TrackerRunner:
         self._samples_fed += len(samples)
         self.producer.process(samples, self.cells)
 
-        # drive the per-cell trackers; with device_fd, the get_fd stage
-        # (mixer + DFT + phase compensation) of every cell's pending
-        # symbols runs as ONE jitted [n_cells, n_sym, 128] batch first
+        # drive the per-cell trackers: pop each cell's pending symbols as
+        # ONE struct-of-arrays chunk, run the get_fd stage (mixer + DFT +
+        # phase compensation) of every cell as one batch (a jitted
+        # [n_cells, n_sym, 128] program on an accelerator, vectorized
+        # numpy on a CPU-only box), then the per-cell control loops.
+        # The per-tick pop is capped so a backlogged fifo drains over a
+        # few ticks instead of staging one huge batch (the backpressure
+        # dump in the producer bounds total fifo growth).
+        cap = 1024
+        work = []
+        for tc in self.cells:
+            fifo = self.producer.fifos.get(tc.n_id_cell)
+            chunk = fifo.pop_upto(cap) if fifo is not None else None
+            work.append((tc, fifo, chunk))
         fd_map = {}
         if self.device_fd:
-            # cap the per-tick device batch so a backlogged fifo (stalled
-            # consumer) doesn't re-stage an ever-growing batch each tick;
-            # symbols past the cap fall back to the host path in process()
-            cap = 1024
-            work = [(self.processors[tc.n_id_cell],
-                     list(self.producer.fifos.get(tc.n_id_cell)
-                          or ())[:cap])
-                    for tc in self.cells]
-            work = [(p, pdus) for p, pdus in work if pdus]
-            if work:
+            batch = [(self.processors[tc.n_id_cell], ch)
+                     for tc, _, ch in work if ch is not None]
+            if batch:
                 from .batched import batched_get_fd
-                outs = batched_get_fd(work, self.state)
-                fd_map = {id(p): o for (p, _), o in zip(work, outs)}
-        for tc in list(self.cells):
+                outs = batched_get_fd(batch, self.state)
+                fd_map = {id(p): o for (p, _), o in zip(batch, outs)}
+        for tc, fifo, chunk in work:
             proc = self.processors[tc.n_id_cell]
-            fifo = self.producer.fifos.get(tc.n_id_cell)
-            if fifo:
-                proc.process(fifo, fd_syms=fd_map.get(id(proc)))
+            if chunk is not None:
+                proc.process(chunk, fd_syms=fd_map.get(id(proc)))
             if fifo is not None:
                 tc.fifo_depth = len(fifo)   # post-drain depth for the dash
             if tc.kill_me:

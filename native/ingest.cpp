@@ -117,4 +117,128 @@ uint64_t ring_drop(void* rv, uint64_t n) {
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Per-cell OFDM-symbol framing (the producer's per-cell inner loop,
+// reference producer_thread.cpp:165-249): walk the block's LTE-timescale
+// timestamp ramp, start a 128-sample window when the ramp crosses
+// frame_timing + target within (-0.5, 3.0), and emit completed symbols.
+// One call per (cell, block) replaces the per-symbol Python trigger scan.
+//
+// state (doubles), persisted across calls:
+//   [0]=target_cap_start_time  [1]=filling  [2]=buffer_offset
+//   [3]=sym_num  [4]=slot_num  [5]=pdu_late  [6]=pdu_fo  [7]=pdu_ft
+// partial: 256 doubles (the in-progress symbol, interleaved re/im)
+// samples: interleaved double[2n]; ts(t) = pymod(ts0 + step*(t+1), 19200)
+// Outputs per completed symbol i:
+//   out_data[256*i], out_late[i], out_fo[i], out_ft[i],
+//   out_sym[i] = slot_num*n_symb + sym_num at completion.
+// Returns the number of completed symbols.
+// ---------------------------------------------------------------------------
+static inline double pymod(double x, double m) {
+    double r = fmod(x, m);
+    return r < 0 ? r + m : r;
+}
+
+int64_t cell_frame_symbols(const double* samples, int64_t n, double ts0,
+                           double step, double frame_timing, double fo,
+                           int64_t n_symb, double* state, double* partial,
+                           double* out_data, double* out_late,
+                           double* out_fo, double* out_ft,
+                           int64_t* out_sym) {
+    double target = state[0];
+    bool filling = state[1] != 0.0;
+    int64_t off = (int64_t)state[2];
+    int64_t sym_num = (int64_t)state[3];
+    int64_t slot_num = (int64_t)state[4];
+    double pdu_late = state[5], pdu_fo = state[6], pdu_ft = state[7];
+    int64_t n_out = 0;
+    int64_t t = 0;
+    while (t < n) {
+        if (!filling) {
+            // per-sample trigger scan (exact _next_trigger semantics:
+            // first t with wrap(ts[t] - (frame_timing+target)) in
+            // (-0.5, 3.0); the wrapped difference advances by `step`
+            // per sample, so jump ahead arithmetically like the Python
+            // locator and verify per sample around the landing point)
+            double tgt = frame_timing + target;
+            bool found = false;
+            while (t < n) {
+                double tsw = pymod(ts0 + step * (double)(t + 1), 19200.0);
+                double d = pymod(tsw - tgt + 9600.0, 19200.0) - 9600.0;
+                if (-0.5 < d && d < 3.0) {
+                    pdu_late = d;
+                    found = true;
+                    break;
+                }
+                double m = ceil(pymod(-0.5 - d, 19200.0) / step);
+                int64_t hop = (int64_t)m;
+                if (hop < 1) hop = 1;
+                // scan a small window around the predicted crossing
+                int64_t t2 = t + hop;
+                int64_t lo = t2 - 2 > t ? t2 - 2 : t;
+                int64_t hi = t2 + 6 < n ? t2 + 6 : n;
+                bool hit = false;
+                for (int64_t c = lo; c < hi; c++) {
+                    double tsc = pymod(ts0 + step * (double)(c + 1), 19200.0);
+                    double dc = pymod(tsc - tgt + 9600.0, 19200.0) - 9600.0;
+                    if (-0.5 < dc && dc < 3.0) {
+                        t = c;
+                        pdu_late = dc;
+                        hit = true;
+                        break;
+                    }
+                }
+                if (hit) {
+                    found = true;
+                    break;
+                }
+                if (t2 + 6 >= n) {
+                    t = n;
+                    break;
+                }
+                t = t2 + 6;
+            }
+            if (!found) break;
+            filling = true;
+            off = 0;
+            pdu_fo = fo;
+            pdu_ft = frame_timing;
+        }
+        int64_t take = 128 - off < n - t ? 128 - off : n - t;
+        memcpy(partial + 2 * off, samples + 2 * t,
+               (size_t)(2 * take) * sizeof(double));
+        off += take;
+        t += take;
+        if (off == 128) {
+            memcpy(out_data + 256 * n_out, partial, 256 * sizeof(double));
+            out_late[n_out] = pdu_late;
+            out_fo[n_out] = pdu_fo;
+            out_ft[n_out] = pdu_ft;
+            out_sym[n_out] = slot_num * n_symb + sym_num;
+            n_out++;
+            filling = false;
+            if (n_symb == 6) {
+                target += 32.0 + 128.0;
+            } else {
+                target += sym_num == 6 ? (128.0 + 10.0) : (128.0 + 9.0);
+            }
+            target = pymod(target, 19200.0);
+            sym_num++;
+            if (sym_num == n_symb) {
+                sym_num = 0;
+                slot_num = (slot_num + 1) % 20;
+            }
+        }
+    }
+    state[0] = target;
+    state[1] = filling ? 1.0 : 0.0;
+    state[2] = (double)off;
+    state[3] = (double)sym_num;
+    state[4] = (double)slot_num;
+    state[5] = pdu_late;
+    state[6] = pdu_fo;
+    state[7] = pdu_ft;
+    return n_out;
+}
+
 }  // extern "C"

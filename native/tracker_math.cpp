@@ -207,4 +207,262 @@ void rs_window_update_batch(int64_t n, const double* prev_ce,
     }
 }
 
+// rs_window_update_batch2: the whole per-port RS pipeline for one tick in
+// one call -- n windows' statistics (rs_window_update), the 12 -> 72
+// interpolation of each window's filtered CE (interp72), AND the
+// sequential FOE / frame-timing feedback chain that the Python event loop
+// used to run per window (cell_tracker.py _rs_windows_batch_native tail;
+// reference do_foe tracker_thread.cpp:204-243 and do_toe_v2 :245-316).
+//
+// In:  prev/curr/next_ce [n,24], prev_leftmost [n], curr_shift [n],
+//      prev_fo/prev_ft/next_ft/curr_ft [n] (the PDU stamps),
+//      fc_requested/fc_programmed/fs_programmed
+// Out: ce_filt [n,24], ce72 [n,144], scalars [n,10]
+// In/out: ac_fd/ac_td/hist/hist_pos (state), regs[2] = {global
+//      frequency-offset register, cell frame-timing register} -- updated
+//      in window order exactly as the sequential Python applications.
+void rs_window_update_batch2(
+    int64_t n, const double* prev_ce, const double* curr_ce,
+    const double* next_ce, const int64_t* prev_leftmost,
+    const int64_t* curr_shift, const double* prev_fo, const double* prev_ft,
+    const double* next_ft, const double* curr_ft, double fc_requested,
+    double fc_programmed, double fs_programmed, double* ce_filt,
+    double* ce72, double* scalars, double* ac_fd_state, double* ac_td_state,
+    double* hist, int64_t* hist_pos, double* regs) {
+    double fo_reg = regs[0];
+    double ft_reg = regs[1];
+    const double two_pi = 2.0 * M_PI;
+    for (int64_t i = 0; i < n; i++) {
+        double* sc = scalars + 10 * i;
+        rs_window_update(prev_ce + 24 * i, curr_ce + 24 * i,
+                         next_ce + 24 * i, (int)prev_leftmost[i],
+                         ce_filt + 24 * i, sc, ac_fd_state, ac_td_state,
+                         hist, hist_pos);
+        interp72(ce_filt + 24 * i, curr_shift[i], ce72 + 144 * i);
+
+        // FOE feedback (tail of cell_tracker._do_foe)
+        double k_factor = (fc_requested - prev_fo[i]) / fc_programmed;
+        double dt_w = fmod(next_ft[i] - prev_ft[i] + 9600.0, 19200.0);
+        if (dt_w < 0) dt_w += 19200.0;
+        double dt = 0.0005 + (dt_w - 9600.0) / (fs_programmed * k_factor);
+        double residual_f = atan2(sc[5], sc[4]) / two_pi / dt;
+        double rnp = sc[6] / 2.0;
+        if (rnp < 0.001) rnp = 0.001;
+        double w_old = 1.0 / 0.000001;
+        double w_new = 1.0 / rnp;
+        fo_reg = (fo_reg * w_old + (prev_fo[i] + residual_f) * w_new)
+            / (w_old + w_new);
+
+        // frame-timing feedback (tail of cell_tracker._do_toe_v2)
+        double diff = fmod(curr_ft[i] + sc[7] - ft_reg + 9600.0, 19200.0);
+        if (diff < 0) diff += 19200.0;
+        diff -= 9600.0;
+        diff = diff * (1.0 / sc[8]) / (1.0 / 0.0001 + 1.0 / sc[8]);
+        ft_reg = fmod(ft_reg + diff, 19200.0);
+        if (ft_reg < 0) ft_reg += 19200.0;
+    }
+    regs[0] = fo_reg;
+    regs[1] = ft_reg;
+}
+
+// ---------------------------------------------------------------------------
+// get_fd_batch: the tracker's demod front end for one cell's tick --
+// ICI-removal mixer, 2-sample rotation, unitary 128-pt DFT,
+// 72-subcarrier extraction, bulk-phase + lateness compensation
+// (reference get_fd, tracker_thread.cpp:91-174) for n symbols in one
+// call.  The bulk-phase accumulator threads through the batch as a
+// running sum of per-symbol increments (same cumulative form as the
+// batched JAX/numpy paths, tracker/batched.py).
+//
+// data [n,256] interleaved doubles; fo/late/nse [n]; out [n,144].
+// Returns the final wrapped bulk phase.
+// ---------------------------------------------------------------------------
+static int g_fft_init = 0;
+static double g_tw_re[64], g_tw_im[64];   // exp(-2*pi*i*k/128)
+static int g_bitrev[128];
+
+static void fft_init() {
+    if (g_fft_init) return;
+    for (int k = 0; k < 64; k++) {
+        g_tw_re[k] = cos(-2.0 * M_PI * k / 128.0);
+        g_tw_im[k] = sin(-2.0 * M_PI * k / 128.0);
+    }
+    for (int i = 0; i < 128; i++) {
+        int r = 0;
+        for (int b = 0; b < 7; b++) r |= ((i >> b) & 1) << (6 - b);
+        g_bitrev[i] = r;
+    }
+    g_fft_init = 1;
+}
+
+// in-place iterative radix-2 DIT on interleaved doubles [256]
+static void fft128(double* x) {
+    for (int i = 0; i < 128; i++) {
+        int j = g_bitrev[i];
+        if (j > i) {
+            double tr = x[2 * i], ti = x[2 * i + 1];
+            x[2 * i] = x[2 * j];
+            x[2 * i + 1] = x[2 * j + 1];
+            x[2 * j] = tr;
+            x[2 * j + 1] = ti;
+        }
+    }
+    for (int len = 2; len <= 128; len <<= 1) {
+        int half = len >> 1;
+        int stride = 128 / len;
+        for (int start = 0; start < 128; start += len) {
+            for (int k = 0; k < half; k++) {
+                double wr = g_tw_re[k * stride];
+                double wi = g_tw_im[k * stride];
+                int a = start + k, b = start + k + half;
+                double br = x[2 * b] * wr - x[2 * b + 1] * wi;
+                double bi = x[2 * b] * wi + x[2 * b + 1] * wr;
+                double ar = x[2 * a], ai = x[2 * a + 1];
+                x[2 * a] = ar + br;
+                x[2 * a + 1] = ai + bi;
+                x[2 * b] = ar - br;
+                x[2 * b + 1] = ai - bi;
+            }
+        }
+    }
+}
+
+double get_fd_batch(const double* data, int64_t n, const double* fo,
+                    const double* late, const double* nse,
+                    double init_phase, double fc_requested,
+                    double fc_programmed, double fs_programmed,
+                    double fs_lte, double* out) {
+    fft_init();
+    const double inv_sqrt128 = 1.0 / sqrt(128.0);
+    double phase = init_phase;
+    double buf[256];
+    for (int64_t i = 0; i < n; i++) {
+        const double* d = data + 256 * i;
+        double k_factor = (fc_requested - fo[i]) / fc_programmed;
+        double w = -2.0 * M_PI * fo[i] / (fs_programmed * k_factor);
+        // mix + roll(-2): buf[j] = d[j+2 mod 128] * exp(i*w*(j+2 mod 128))
+        for (int j = 0; j < 128; j++) {
+            int src = (j + 2) & 127;
+            double cr = cos(w * src), ci = sin(w * src);
+            buf[2 * j] = d[2 * src] * cr - d[2 * src + 1] * ci;
+            buf[2 * j + 1] = d[2 * src] * ci + d[2 * src + 1] * cr;
+        }
+        fft128(buf);
+        // bulk phase advance (cumulative across the batch)
+        phase += 2.0 * M_PI * nse[i] * (16.0 / fs_lte) * (-fo[i]);
+        double lt = -2.0 * M_PI * late[i] / 128.0;
+        double* o = out + 144 * i;
+        // subcarriers -36..-1 (bins 92..127) then 1..36 (bins 1..36)
+        for (int j = 0; j < 72; j++) {
+            int bin = j < 36 ? 92 + j : j - 35;
+            int cn = j < 36 ? j - 36 : j - 35;
+            double ang = phase + lt * cn;
+            double cr = cos(ang), ci = sin(ang);
+            double sr = buf[2 * bin] * inv_sqrt128;
+            double si = buf[2 * bin + 1] * inv_sqrt128;
+            o[2 * j] = sr * cr - si * ci;
+            o[2 * j + 1] = sr * ci + si * cr;
+        }
+    }
+    double wrapped = fmod(phase + M_PI, 2.0 * M_PI);
+    if (wrapped < 0) wrapped += 2.0 * M_PI;
+    return wrapped - M_PI;
+}
+
+// ---------------------------------------------------------------------------
+// Tail-biting Viterbi decode for the K=7 (133,171,165) LTE convolutional
+// code (reference lte_conv_decode, lte_lib.cpp:538-551 via IT++
+// decode_tailbite): all 64 start-state hypotheses in one pass, winner =
+// best path with start == end state.  llr [3, n] row-major
+// (ln P(0)/P(1)); bits out [n].  Used by the tracker's 40 ms MIB
+// re-decode hot path (the jitted JAX decoder stays authoritative for the
+// scanner's batched blind decode; parity pinned in tests/test_coding.py).
+// ---------------------------------------------------------------------------
+static int g_vit_init = 0;
+static int g_next_state[64][2];
+static double g_out_sign[64][2][3];
+
+static void vit_init() {
+    if (g_vit_init) return;
+    const int taps_oct[3] = {0133, 0171, 0165};
+    int taps[3][7];
+    for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 7; j++)
+            taps[i][j] = (taps_oct[i] >> (6 - j)) & 1;
+    for (int s = 0; s < 64; s++) {
+        int past[6];
+        for (int i = 0; i < 6; i++) past[i] = (s >> (5 - i)) & 1;
+        for (int b = 0; b < 2; b++) {
+            int window[7];
+            window[0] = b;
+            for (int i = 0; i < 6; i++) window[i + 1] = past[i];
+            for (int i = 0; i < 3; i++) {
+                int o = 0;
+                for (int j = 0; j < 7; j++) o ^= window[j] & taps[i][j];
+                g_out_sign[s][b][i] = o ? -1.0 : 1.0;
+            }
+            g_next_state[s][b] = (b << 5) | (s >> 1);
+        }
+    }
+    g_vit_init = 1;
+}
+
+void viterbi_tailbite(const double* llr, int64_t n, int32_t* bits) {
+    vit_init();
+    // path metrics pm[start][state]; choices[k][start][state] packs the
+    // winning (old_state, bit) edge
+    double* pm = new double[64 * 64];
+    double* pm2 = new double[64 * 64];
+    uint16_t* choices = new uint16_t[(size_t)n * 64 * 64];
+    for (int i = 0; i < 64 * 64; i++) pm[i] = -1e30;
+    for (int s = 0; s < 64; s++) pm[s * 64 + s] = 0.0;
+
+    for (int64_t k = 0; k < n; k++) {
+        double gain[64][2];
+        for (int s = 0; s < 64; s++)
+            for (int b = 0; b < 2; b++)
+                gain[s][b] = 0.5 * (g_out_sign[s][b][0] * llr[k]
+                                    + g_out_sign[s][b][1] * llr[n + k]
+                                    + g_out_sign[s][b][2] * llr[2 * n + k]);
+        uint16_t* ch_k = choices + (size_t)k * 64 * 64;
+        for (int st = 0; st < 64; st++) {
+            const double* pin = pm + st * 64;
+            double* pout = pm2 + st * 64;
+            uint16_t* ch = ch_k + st * 64;
+            for (int t = 0; t < 64; t++) pout[t] = -2e30;
+            for (int s = 0; s < 64; s++) {
+                for (int b = 0; b < 2; b++) {
+                    int t = g_next_state[s][b];
+                    double m = pin[s] + gain[s][b];
+                    if (m > pout[t]) {
+                        pout[t] = m;
+                        ch[t] = (uint16_t)((s << 1) | b);
+                    }
+                }
+            }
+        }
+        double* tmp = pm;
+        pm = pm2;
+        pm2 = tmp;
+    }
+
+    int best_start = 0;
+    double best = -3e30;
+    for (int s = 0; s < 64; s++) {
+        if (pm[s * 64 + s] > best) {
+            best = pm[s * 64 + s];
+            best_start = s;
+        }
+    }
+    int state = best_start;
+    for (int64_t k = n - 1; k >= 0; k--) {
+        uint16_t e = choices[(size_t)k * 64 * 64 + best_start * 64 + state];
+        bits[k] = (int32_t)(e & 1);
+        state = e >> 1;
+    }
+    delete[] pm;
+    delete[] pm2;
+    delete[] choices;
+}
+
 }  // extern "C"

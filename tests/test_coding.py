@@ -104,3 +104,60 @@ def test_demodulate_roundtrip_qam():
         llr = np.asarray(lte_demodulate(jnp.asarray(syms),
                                         jnp.asarray(np.full(8, 0.01)), m))
         assert np.array_equal(llr < 0, bits.astype(bool))
+
+
+def test_host_decode_chain_matches_jitted():
+    """The tracker's host MIB-decode chain (numpy log-MAP demod, cached
+    de-ratematch, native/numpy tail-biting Viterbi) must match the
+    jitted implementations bit-for-bit on the decoded output and
+    tolerance-close on the LLRs, across noise levels and both native and
+    numpy Viterbi paths."""
+    from lte_cell_scanner_tpu.io.native import get_lib
+    from lte_cell_scanner_tpu.models.coding import (
+        conv_decode_tailbite, conv_decode_tailbite_host, conv_deratematch,
+        conv_deratematch_host, conv_encode, conv_ratematch)
+    from lte_cell_scanner_tpu.models.modulation import (
+        lte_demodulate, lte_demodulate_host, lte_modulate)
+
+    rng = np.random.default_rng(6)
+    for snr_db in (20.0, 0.0, -3.0):
+        bits = rng.integers(0, 2, 40)
+        d = conv_encode(bits)
+        e = conv_ratematch(1.0 - 2.0 * d.astype(float), 1920)
+        syms = lte_modulate((e < 0).astype(int), "qpsk")
+        npow = 10 ** (-snr_db / 10)
+        syms = syms + (rng.normal(size=syms.shape)
+                       + 1j * rng.normal(size=syms.shape)) \
+            * np.sqrt(npow / 2)
+        np_vec = np.full(len(syms), npow)
+
+        llr_host = lte_demodulate_host(syms, np_vec, "qpsk")
+        llr_jit = np.asarray(lte_demodulate(jnp.asarray(syms),
+                                            jnp.asarray(np_vec), "qpsk"))
+        assert np.allclose(llr_host, llr_jit, rtol=1e-9, atol=1e-9)
+
+        d_host = conv_deratematch_host(llr_host, 40)
+        d_jit = np.asarray(conv_deratematch(jnp.asarray(llr_host), 40))
+        assert np.allclose(d_host, d_jit, rtol=1e-9, atol=1e-9)
+
+        out_jit = np.asarray(conv_decode_tailbite(jnp.asarray(d_host)))
+        out_host = conv_decode_tailbite_host(d_host)
+        assert np.array_equal(out_host, out_jit)
+        if snr_db > 0:
+            assert np.array_equal(out_host, bits)
+
+    # both host Viterbi paths agree (native vs numpy fallback)
+    if get_lib() is not None:
+        import lte_cell_scanner_tpu.io.native as native_mod
+        d_llr = rng.normal(size=(3, 40))
+        a = conv_decode_tailbite_host(d_llr)
+        saved = native_mod._lib
+        try:
+            native_mod._lib = None
+            native_mod_ensure = native_mod.ensure_built
+            native_mod.ensure_built = lambda *a, **k: False
+            b = conv_decode_tailbite_host(d_llr)
+        finally:
+            native_mod.ensure_built = native_mod_ensure
+            native_mod._lib = saved
+        assert np.array_equal(a, b)

@@ -142,37 +142,38 @@ def test_backpressure_dumps_symbols_and_counts():
     from lte_cell_scanner_tpu.sim import create_dl_sig
     from lte_cell_scanner_tpu.tracker.state import TrackedCell
 
+    from lte_cell_scanner_tpu.tracker.producer import Producer
+    from lte_cell_scanner_tpu.tracker.state import GlobalState
+
     rng = np.random.default_rng(4)
     # content is irrelevant: the producer slices symbols on frame timing
     n = int(2.2 * FS)
     sig = (rng.normal(size=n) + 1j * rng.normal(size=n)) * 0.1
-    runner = TrackerRunner(FC, FC, FS, device_fd=False)
-    runner._search_enabled = False
-    runner.add_cell(TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
-                                cp_type=CpType.NORMAL, n_ports=2,
-                                frame_timing=0.0))
-    proc = runner.processors[277]
-    proc.process = lambda *a, **k: None           # stalled consumer
+    state = GlobalState(fc_requested=FC, fc_programmed=FC, fs_programmed=FS)
+    producer = Producer(state)
+    cells = [TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
+                         cp_type=CpType.NORMAL, n_ports=2,
+                         frame_timing=0.0)]
+    # nothing ever pops the fifo = stalled consumer
     for i in range(0, len(sig), 10000):
-        runner.process_block(sig[i: i + 10000])
-    st = runner.state
-    assert st.cell_seconds_dropped >= 1
+        producer.process(sig[i: i + 10000], cells)
+    assert state.cell_seconds_dropped >= 1
     sym_per_sec = FS * 140 / 19200.0
-    assert len(runner.producer.fifos[277]) <= 1.5 * sym_per_sec + 1
+    assert len(producer.fifos[277]) <= 1.5 * sym_per_sec + 1
 
 
-@pytest.mark.parametrize("backend", ["device", "numpy"])
+@pytest.mark.parametrize("backend", ["device", "numpy", "host"])
 def test_batched_get_fd_matches_host(backend):
-    """The batched [cells, symbols, 128] get_fd (tracker/batched.py, both
-    the jitted device program and the vectorized-numpy CPU fast path)
-    must reproduce the per-symbol host path bit-close, including the
-    bulk-phase accumulator carried across symbols."""
+    """The batched [cells, symbols, 128] get_fd (tracker/batched.py: the
+    jitted device program, the vectorized-numpy path, and the native C
+    path with its own radix-2 FFT) must reproduce the per-symbol host
+    path bit-close, including the bulk-phase accumulator carried across
+    symbols."""
     from lte_cell_scanner_tpu.tracker.batched import batched_get_fd
     from lte_cell_scanner_tpu.tracker.cell_tracker import \
         TrackedCellProcessor
-    from lte_cell_scanner_tpu.tracker.producer import SymbolPdu
+    from lte_cell_scanner_tpu.tracker.producer import PduChunk, SymbolPdu
     from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
-    from lte_cell_scanner_tpu.cell import Cell
 
     rng = np.random.default_rng(5)
     state = GlobalState(fc_requested=FC, fc_programmed=FC,
@@ -185,21 +186,26 @@ def test_batched_get_fd_matches_host(backend):
         proc_a = TrackedCellProcessor(cell, state)
         proc_b = TrackedCellProcessor(cell, state)
         proc_a.bulk_phase_offset = proc_b.bulk_phase_offset = 0.3
-        pdus = []
-        for s in range(n_sym):
-            pdus.append(SymbolPdu(
-                data=rng.normal(size=128) + 1j * rng.normal(size=128),
-                slot_num=0, sym_num=s % cell.n_symb_dl(),
-                late=float(rng.uniform(-0.5, 2.0)),
-                frequency_offset=250.0 + 10 * s, frame_timing=0.0))
-        return proc_a, proc_b, pdus
+        chunk = PduChunk(
+            data=rng.normal(size=(n_sym, 128))
+            + 1j * rng.normal(size=(n_sym, 128)),
+            late=rng.uniform(-0.5, 2.0, size=n_sym),
+            fo=250.0 + 10 * np.arange(n_sym, dtype=float),
+            ft=np.zeros(n_sym), sym0=0)
+        return proc_a, proc_b, chunk
 
-    a1, b1, p1 = make(277, CpType.NORMAL, 7)
-    a2, b2, p2 = make(100, CpType.EXTENDED, 13)
+    a1, b1, c1 = make(277, CpType.NORMAL, 7)
+    a2, b2, c2 = make(100, CpType.EXTENDED, 13)
 
-    outs = batched_get_fd([(a1, p1), (a2, p2)], state, backend=backend)
-    for proc_b, pdus, out in ((b1, p1, outs[0]), (b2, p2, outs[1])):
-        host = np.stack([proc_b._get_fd(p) for p in pdus])
+    outs = batched_get_fd([(a1, c1), (a2, c2)], state, backend=backend)
+    for proc_b, chunk, out in ((b1, c1, outs[0]), (b2, c2, outs[1])):
+        n_symb = proc_b.cell.n_symb_dl()
+        host = np.stack([
+            proc_b._get_fd(SymbolPdu(
+                data=chunk.data[s], slot_num=0, sym_num=s % n_symb,
+                late=float(chunk.late[s]),
+                frequency_offset=float(chunk.fo[s]), frame_timing=0.0))
+            for s in range(len(chunk))])
         assert np.allclose(out, host, atol=1e-10), \
             np.abs(out - host).max()
     assert np.isclose(a1.bulk_phase_offset, b1.bulk_phase_offset)
@@ -311,13 +317,15 @@ def test_next_trigger_matches_bruteforce_scan():
 
 
 def test_native_rs_window_matches_numpy_path():
-    """The native rs_window_update (native/tracker_math.cpp) must track
-    the numpy control loops: identical CE filtering, powers, FOE/TOE
-    feedback trajectories, and ac_fd/ac_td statistics over a long
+    """The native batched RS-window pipeline (rs_window_update_batch2:
+    CE filtering, powers, FOE/TOE statistics, ac_fd/ac_td blends,
+    interp72, AND the sequential feedback chain) must track the numpy
+    fallback loop: identical filtered/interpolated CEs and identical
+    frequency-offset / frame-timing register trajectories over a long
     random window sequence (tolerances cover summation-order rounding)."""
     from lte_cell_scanner_tpu.io.native import get_lib
-    from lte_cell_scanner_tpu.tracker.cell_tracker import (
-        TrackedCellProcessor, _RsPdu)
+    from lte_cell_scanner_tpu.tracker.cell_tracker import \
+        TrackedCellProcessor
     from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
 
     if get_lib() is None:
@@ -337,31 +345,25 @@ def test_native_rs_window_matches_numpy_path():
     st_b, cell_b, proc_b = make_pair()
     proc_b._native = None                      # force the numpy path
 
-    shifts = [2, 5]
-    ft = 1234.5
-    pdus = []
-    for i in range(200):
-        ce = rng.normal(size=12) + 1j * rng.normal(size=12)
-        pdus.append(_RsPdu(shifts[i % 2], (i // 2) % 20, 0, ce,
-                           100.0 + 0.1 * i, ft))
+    m = 200
+    ce = rng.normal(size=(m, 12)) + 1j * rng.normal(size=(m, 12))
+    shift = np.where(np.arange(m) % 2 == 0, 2, 5).astype(np.int64)
+    slot = (np.arange(m) // 2) % 20
+    sym = np.zeros(m, np.int64)
+    fo = 100.0 + 0.1 * np.arange(m)
+    ft = np.full(m, 1234.5)
 
-    for i in range(len(pdus) - 2):
-        prev, curr, nxt = pdus[i], pdus[i + 1], pdus[i + 2]
-        proc_a._rs_window_native(0, prev, curr, nxt)
-        ce_filt = proc_b._filter_ce(prev, curr, nxt)
-        np_curr = float(np.mean(np.abs(curr.ce - ce_filt) ** 2)) * 7 / 6
-        tp_curr = float(np.mean(np.abs(ce_filt) ** 2))
-        sp_raw = tp_curr - np_curr / 7
-        sp_curr = max(1e-5, sp_raw)
-        proc_b._do_foe(prev, nxt, np_curr, ce_filt)
-        proc_b._do_toe_v2(prev, curr, sp_curr, np_curr)
-        proc_b._do_ac_fd(curr, sp_curr, np_curr)
-        proc_b._do_ac_td(curr, sp_curr, proc_b.ce_history[0])
+    # run in several batches to exercise the tick-boundary carry too
+    outs_a, outs_b = [], []
+    for sl in (slice(0, 50), slice(48, 131), slice(129, 200)):
+        # overlap by 2 rows = the pending-tail carry between ticks
+        args = (ce[sl], shift[sl], slot[sl], sym[sl], fo[sl], ft[sl])
+        outs_a.append(proc_a._rs_windows(0, *args))
+        outs_b.append(proc_b._rs_windows(0, *args))
 
-        filt_a = proc_a.ce_filt_fifo[0][-1]
-        assert np.allclose(filt_a.ce_filt, ce_filt, atol=1e-13)
-        assert abs(filt_a.np - np_curr) < 1e-13
-        assert abs(filt_a.sp - sp_curr) < 1e-13
+    for (a, b) in zip(outs_a, outs_b):
+        for x, y in zip(a, b):
+            assert np.allclose(x, y, atol=1e-12)
 
     assert abs(st_a.frequency_offset - st_b.frequency_offset) < 1e-6
     assert abs(cell_a.frame_timing - cell_b.frame_timing) < 1e-8
@@ -391,6 +393,55 @@ def test_native_interp72_matches_numpy():
         want = proc._interp72(pdu)
         proc._native = get_lib()
         assert np.allclose(got, want, atol=1e-14), shift
+
+
+def test_native_framing_matches_python():
+    """The native per-cell symbol framing (ingest.cpp cell_frame_symbols)
+    must produce bit-identical PDU chunks (data, late, fo, ft stamps and
+    symbol labels) to the Python fallback loop across block boundaries,
+    partial symbols, CP types, and a moving frequency-offset register."""
+    from lte_cell_scanner_tpu.io.native import get_lib
+    from lte_cell_scanner_tpu.tracker.producer import Producer
+    from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(9)
+    n = int(0.12 * FS)
+    sig = rng.normal(size=n) + 1j * rng.normal(size=n)
+
+    for cp, ftiming in ((CpType.NORMAL, 1234.5), (CpType.EXTENDED, 0.25),
+                        (CpType.NORMAL, 19199.0)):
+        state_a = GlobalState(fc_requested=FC, fc_programmed=FC,
+                              fs_programmed=FS, frequency_offset=3000.0)
+        state_b = GlobalState(fc_requested=FC, fc_programmed=FC,
+                              fs_programmed=FS, frequency_offset=3000.0)
+        prod_a = Producer(state_a)
+        prod_b = Producer(state_b)
+        prod_b._native = None
+        cell_a = TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
+                             cp_type=cp, n_ports=2, frame_timing=ftiming)
+        cell_b = TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
+                             cp_type=cp, n_ports=2, frame_timing=ftiming)
+        # odd block size exercises partial symbols across block edges
+        for i in range(0, n, 7777):
+            prod_a.process(sig[i: i + 7777], [cell_a])
+            prod_b.process(sig[i: i + 7777], [cell_b])
+            # drift the registers like the live feedback loops do
+            state_a.frequency_offset += 1.0
+            state_b.frequency_offset += 1.0
+            cell_a.frame_timing = (cell_a.frame_timing + 0.01) % 19200.0
+            cell_b.frame_timing = (cell_b.frame_timing + 0.01) % 19200.0
+        fa, fb = prod_a.fifos[277], prod_b.fifos[277]
+        assert len(fa) == len(fb) > 100
+        ca = fa.pop_upto(len(fa))
+        cb = fb.pop_upto(len(fb))
+        assert ca.sym0 == cb.sym0
+        assert np.array_equal(ca.data, cb.data)
+        assert np.array_equal(ca.late, cb.late)
+        assert np.array_equal(ca.fo, cb.fo)
+        assert np.array_equal(ca.ft, cb.ft)
 
 
 def test_tracker_with_sharded_searcher():
