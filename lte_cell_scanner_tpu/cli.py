@@ -227,7 +227,8 @@ def cmd_track(args) -> int:
     runner = TrackerRunner(args.freq, args.freq, FS_WORK,
                            initial_fo=initial_fo,
                            search_period=args.search_period,
-                           search_mesh=mesh)
+                           search_mesh=mesh,
+                           search_async=args.async_search)
     if not args.no_warmup:
         if args.verbose:
             print("Compiling the search/decode path (one-time warmup) ...")
@@ -246,6 +247,8 @@ def cmd_track(args) -> int:
                 break
     except KeyboardInterrupt:
         pass
+    finally:
+        runner.close()
     print(render(runner.state, runner.cells, plots=args.expert))
     return 0
 
@@ -368,6 +371,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="min stream-seconds between background-search "
                          "cycles once tracking (0 = every capture, the "
                          "reference's continuous low-priority cadence)")
+    pt.add_argument("--async-search", action="store_true",
+                    help="run the background searcher on a nice+19 "
+                         "worker thread concurrent with streaming (the "
+                         "reference's searcher-thread layout; use with "
+                         "wall-clock-paced sources -- file/sim replay "
+                         "feeds faster than realtime, so an async "
+                         "acquisition could land after a short stream "
+                         "ends)")
     pt.add_argument("--shard-search", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="run the background searcher's front end sharded "

@@ -42,6 +42,18 @@ def kalibrate(capture_fn: Callable[[], np.ndarray], fc_requested: float,
     raise RuntimeError("kalibrate: no cell found")
 
 
+def _deprioritize_thread() -> None:
+    """Drop the searcher worker thread to nice+19 (the reference runs
+    its searcher thread at nice(20), searcher_thread.cpp:66) so the
+    streaming event loop keeps CPU priority."""
+    try:
+        import os
+        import threading
+        os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), 19)
+    except (OSError, AttributeError):
+        pass
+
+
 class TrackerRunner:
     """Realtime multi-cell tracker over a sample stream."""
 
@@ -49,7 +61,7 @@ class TrackerRunner:
                  fs_programmed: float, initial_fo: float = 0.0,
                  search_config: Optional[SearchConfig] = None,
                  device_fd: bool = True, search_period: float = 0.0,
-                 search_mesh=None):
+                 search_mesh=None, search_async: bool = False):
         self.state = GlobalState(fc_requested=fc_requested,
                                  fc_programmed=fc_programmed,
                                  fs_programmed=fs_programmed,
@@ -76,6 +88,15 @@ class TrackerRunner:
         # batched device get_fd over all cells' pending symbols
         # (tracker/batched.py); False = per-symbol host path
         self.device_fd = device_fd
+        # Concurrent background search (the reference's dedicated
+        # searcher thread at nice+20, searcher_thread.cpp:66): one
+        # worker thread at nice+19 runs search_once on a capbuf
+        # snapshot while streaming continues; results integrate on the
+        # event loop at the next tick.  Off by default so the pure
+        # event loop stays deterministic for tests; the CLI enables it.
+        self.search_async = search_async
+        self._search_future = None
+        self._search_pool = None
 
     # ------------------------------------------------------------------
     def warmup(self) -> None:
@@ -152,28 +173,70 @@ class TrackerRunner:
 
         # searcher handshake: issue / consume capture requests
         if self._search_enabled:
-            if self.producer.capbuf_ready:
+            if self._search_future is not None and self._search_future.done():
+                new_cells, had_cells = self._search_future.result()
+                self._search_future = None
+                self._integrate_search(new_cells, had_cells)
+            if self.producer.capbuf_ready and self._search_future is None:
                 self.producer.capbuf_ready = False
                 had_cells = bool(self.cells)
-                new_cells = search_once(
-                    self.producer.capbuf, self.producer.capbuf_late,
-                    self.state, self.cells, self.search_config,
-                    mesh=self.search_mesh)
-                if new_cells and not had_cells:
-                    # First acquisition doubles as the reference's
-                    # kalibrate() bootstrap (LTE-Tracker.cpp:565-741): seed
-                    # the global FO register from the strongest cell's
-                    # superfine estimate.
-                    best = max(new_cells,
-                               key=lambda t: 0 if np.isnan(t.freq_superfine)
-                               else 1)
-                    if np.isfinite(best.freq_superfine):
-                        self.state.frequency_offset = best.freq_superfine
-                for tc in new_cells:
-                    self.add_cell(tc)
-                self._last_search_at = self._samples_fed
-            elif self.producer.capture_idle() and self._search_due():
+                if self.search_async:
+                    capbuf = self.producer.capbuf.copy()
+                    late = self.producer.capbuf_late
+                    self._search_future = self._pool().submit(
+                        self._search_job, capbuf, late, had_cells)
+                else:
+                    new_cells = search_once(
+                        self.producer.capbuf, self.producer.capbuf_late,
+                        self.state, self.cells, self.search_config,
+                        mesh=self.search_mesh)
+                    self._integrate_search(new_cells, had_cells)
+            elif (self.producer.capture_idle()
+                  and self._search_future is None and self._search_due()):
                 self.producer.request_capture()
+
+    # ------------------------------------------------------------------
+    def close(self) -> None:
+        """Stop the background searcher worker (an in-flight search is
+        left to finish; it is ~1 s bounded)."""
+        if self._search_pool is not None:
+            self._search_pool.shutdown(wait=False, cancel_futures=True)
+            self._search_pool = None
+            self._search_future = None
+
+    def _pool(self):
+        if self._search_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._search_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="searcher",
+                initializer=_deprioritize_thread)
+        return self._search_pool
+
+    def _search_job(self, capbuf, capbuf_late, had_cells):
+        new_cells = search_once(capbuf, capbuf_late, self.state,
+                                self.cells, self.search_config,
+                                mesh=self.search_mesh)
+        return new_cells, had_cells
+
+    def _integrate_search(self, new_cells: List[TrackedCell],
+                          had_cells: bool) -> None:
+        if new_cells and not had_cells:
+            # First acquisition doubles as the reference's kalibrate()
+            # bootstrap (LTE-Tracker.cpp:565-741): seed the global FO
+            # register from the strongest cell's superfine estimate.
+            best = max(new_cells,
+                       key=lambda t: 0 if np.isnan(t.freq_superfine)
+                       else 1)
+            if np.isfinite(best.freq_superfine):
+                self.state.frequency_offset = best.freq_superfine
+        tracked = {tc.n_id_cell for tc in self.cells}
+        for tc in new_cells:
+            # an async search may complete after the same cell id was
+            # re-acquired (or raced a kill/re-add); keep single-tracker-
+            # per-cell like the producer's registry
+            if tc.n_id_cell not in tracked:
+                self.add_cell(tc)
+        self._last_search_at = self._samples_fed
 
     def _search_due(self) -> bool:
         if not self.cells or self._last_search_at is None:

@@ -546,3 +546,41 @@ def test_no_timing_drift_through_coupled_crystal_channel():
     assert abs(slope) < 0.05, f"drift {slope} samples/s"
     assert abs(runner.state.frequency_offset - f_off) < 50.0
     assert runner.cells[0].health_pct() > 99.0
+
+
+def test_async_searcher_acquires_and_tracks():
+    """The concurrent background searcher (reference searcher thread at
+    nice+20, searcher_thread.cpp:55-248 -- here a nice+19 worker) must
+    acquire a cell while the event loop keeps streaming, integrate it
+    at a later tick, and then track it at full health."""
+    import time
+
+    rng = np.random.default_rng(17)
+    sig = create_dl_sig(CpType.NORMAL, 900, 0, 92, 1, 0.4, rng=rng,
+                        n_ports=2, sfn=4)
+    sig = awgn(apply_freq_offset(sig, F_OFF), 10.0, rng=rng)
+
+    runner = TrackerRunner(FC, FC, FS, search_period=5.0,
+                           search_async=True)
+    try:
+        deadline = time.monotonic() + 120.0
+        acquired_at = None
+        # loop the signal until the background search lands (wall-paced:
+        # the worker needs real time to finish its ~1 s pipeline pass)
+        while time.monotonic() < deadline:
+            for i in range(0, len(sig), 10000):
+                runner.process_block(sig[i: i + 10000])
+            if runner.cells and acquired_at is None:
+                acquired_at = time.monotonic()
+            if acquired_at is not None:
+                break
+        assert runner.cells, "async searcher never acquired the cell"
+        assert runner.cells[0].n_id_cell == 277
+        # stream another pass: the tracker must hold the cell (the
+        # looped signal repeats SFN=4, so MIB re-decode syncs are
+        # imperfect across the splice; 90% still means solidly held)
+        for i in range(0, len(sig), 10000):
+            runner.process_block(sig[i: i + 10000])
+        assert runner.cells[0].health_pct() > 90.0
+    finally:
+        runner.close()
