@@ -228,7 +228,8 @@ def cmd_track(args) -> int:
                            initial_fo=initial_fo,
                            search_period=args.search_period,
                            search_mesh=mesh,
-                           search_async=args.async_search)
+                           search_async=args.async_search,
+                           search_duty=args.search_duty)
     if not args.no_warmup:
         if args.verbose:
             print("Compiling the search/decode path (one-time warmup) ...")
@@ -371,6 +372,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="min stream-seconds between background-search "
                          "cycles once tracking (0 = every capture, the "
                          "reference's continuous low-priority cadence)")
+    pt.add_argument("--search-duty", type=float, default=0.5,
+                    help="max CPU share of the background searcher once "
+                         "tracking: the next search waits until "
+                         "cycle_time/duty stream-seconds since the last "
+                         "(load-adaptive nice+20 analog; 0 = period-only "
+                         "cadence)")
     pt.add_argument("--async-search", action="store_true",
                     help="run the background searcher on a nice+19 "
                          "worker thread concurrent with streaming (the "

@@ -61,7 +61,8 @@ class TrackerRunner:
                  fs_programmed: float, initial_fo: float = 0.0,
                  search_config: Optional[SearchConfig] = None,
                  device_fd: bool = True, search_period: float = 0.0,
-                 search_mesh=None, search_async: bool = False):
+                 search_mesh=None, search_async: bool = False,
+                 search_duty: float = 0.5):
         self.state = GlobalState(fc_requested=fc_requested,
                                  fc_programmed=fc_programmed,
                                  fs_programmed=fs_programmed,
@@ -79,6 +80,14 @@ class TrackerRunner:
         # cycle.  0 = search every capture (reference cadence while
         # acquiring; acquisition always searches unthrottled).
         self.search_period = search_period
+        # CPU-share cap for the background searcher once tracking: the
+        # next search is deferred until at least cycle_time/duty seconds
+        # of stream have passed since the last one finished.  This is
+        # the load-adaptive half of the reference's nice+20 semantics:
+        # when the trackers saturate the machine a low-priority searcher
+        # naturally cycles slower (searcher_thread.cpp:66).  0 disables
+        # (pure search_period cadence).  Acquisition never throttles.
+        self.search_duty = search_duty
         self._samples_fed = 0
         self._last_search_at = None
         # optional (t x 1) device mesh: the background searcher's front
@@ -243,7 +252,11 @@ class TrackerRunner:
             return True   # acquiring: search at full cadence
         elapsed = (self._samples_fed - self._last_search_at) \
             / self.state.fs_programmed
-        return elapsed >= self.search_period
+        floor = self.search_period
+        if self.search_duty > 0:
+            floor = max(floor,
+                        self.state.searcher_cycle_time / self.search_duty)
+        return elapsed >= floor
 
     def run(self, sample_blocks: Iterable[np.ndarray],
             on_block: Optional[Callable[["TrackerRunner"], None]] = None

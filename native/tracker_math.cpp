@@ -340,28 +340,47 @@ double get_fd_batch(const double* data, int64_t n, const double* fo,
         const double* d = data + 256 * i;
         double k_factor = (fc_requested - fo[i]) / fc_programmed;
         double w = -2.0 * M_PI * fo[i] / (fs_programmed * k_factor);
-        // mix + roll(-2): buf[j] = d[j+2 mod 128] * exp(i*w*(j+2 mod 128))
-        for (int j = 0; j < 128; j++) {
-            int src = (j + 2) & 127;
-            double cr = cos(w * src), ci = sin(w * src);
-            buf[2 * j] = d[2 * src] * cr - d[2 * src + 1] * ci;
-            buf[2 * j + 1] = d[2 * src] * ci + d[2 * src + 1] * cr;
+        // mix + roll(-2): buf[j] = d[j+2 mod 128] * exp(i*w*(j+2 mod 128));
+        // the mixer phasor advances by a constant step per sample, so
+        // build it by complex rotation (2 sincos per symbol instead of
+        // 128; 128 rotation steps accumulate ~1e-14 relative error,
+        // far inside the 1e-10 parity contract with the numpy path)
+        {
+            double rr = cos(w), ri = sin(w);
+            double cr = 1.0, ci = 0.0;
+            for (int src = 0; src < 128; src++) {
+                int j = (src - 2) & 127;
+                buf[2 * j] = d[2 * src] * cr - d[2 * src + 1] * ci;
+                buf[2 * j + 1] = d[2 * src] * ci + d[2 * src + 1] * cr;
+                double nr = cr * rr - ci * ri;
+                ci = cr * ri + ci * rr;
+                cr = nr;
+            }
         }
         fft128(buf);
         // bulk phase advance (cumulative across the batch)
         phase += 2.0 * M_PI * nse[i] * (16.0 / fs_lte) * (-fo[i]);
         double lt = -2.0 * M_PI * late[i] / 128.0;
         double* o = out + 144 * i;
-        // subcarriers -36..-1 (bins 92..127) then 1..36 (bins 1..36)
+        // subcarriers -36..-1 (bins 92..127) then 1..36 (bins 1..36);
+        // the late-phase ramp advances by lt per subcarrier -> one
+        // rotation recurrence from cn=-36, re-anchored at the DC skip
+        double rr = cos(lt), ri = sin(lt);
+        double cr = cos(phase - 36.0 * lt), ci = sin(phase - 36.0 * lt);
         for (int j = 0; j < 72; j++) {
             int bin = j < 36 ? 92 + j : j - 35;
-            int cn = j < 36 ? j - 36 : j - 35;
-            double ang = phase + lt * cn;
-            double cr = cos(ang), ci = sin(ang);
+            if (j == 36) {   // cn jumps -1 -> +1: skip the DC step twice
+                double nr = cr * rr - ci * ri;
+                ci = cr * ri + ci * rr;
+                cr = nr;
+            }
             double sr = buf[2 * bin] * inv_sqrt128;
             double si = buf[2 * bin + 1] * inv_sqrt128;
             o[2 * j] = sr * cr - si * ci;
             o[2 * j + 1] = sr * ci + si * cr;
+            double nr = cr * rr - ci * ri;
+            ci = cr * ri + ci * rr;
+            cr = nr;
         }
     }
     double wrapped = fmod(phase + M_PI, 2.0 * M_PI);
@@ -409,11 +428,27 @@ static void vit_init() {
 
 void viterbi_tailbite(const double* llr, int64_t n, int32_t* bits) {
     vit_init();
-    // path metrics pm[start][state]; choices[k][start][state] packs the
-    // winning (old_state, bit) edge
+    // Each trellis state t has exactly two incoming edges; listing them
+    // in (old_state, bit) lexicographic order and breaking metric ties
+    // toward the earlier edge reproduces the scan order of the scalar
+    // formulation (and the numpy fallback's argmax) exactly.
+    static int g_pred_init = 0;
+    static uint16_t g_pred[64][2];     // packed (old_state << 1) | bit
+    if (!g_pred_init) {
+        int fill[64] = {0};
+        for (int s = 0; s < 64; s++)
+            for (int b = 0; b < 2; b++) {
+                int t = g_next_state[s][b];
+                g_pred[t][fill[t]++] = (uint16_t)((s << 1) | b);
+            }
+        g_pred_init = 1;
+    }
+    // path metrics pm[state][start]: the start axis is the contiguous
+    // 64-lane vector axis, so each state's update is two broadcast adds,
+    // one compare, one blend over 64 doubles (auto-vectorized)
     double* pm = new double[64 * 64];
     double* pm2 = new double[64 * 64];
-    uint16_t* choices = new uint16_t[(size_t)n * 64 * 64];
+    uint8_t* choices = new uint8_t[(size_t)n * 64 * 64];
     for (int i = 0; i < 64 * 64; i++) pm[i] = -1e30;
     for (int s = 0; s < 64; s++) pm[s * 64 + s] = 0.0;
 
@@ -424,21 +459,21 @@ void viterbi_tailbite(const double* llr, int64_t n, int32_t* bits) {
                 gain[s][b] = 0.5 * (g_out_sign[s][b][0] * llr[k]
                                     + g_out_sign[s][b][1] * llr[n + k]
                                     + g_out_sign[s][b][2] * llr[2 * n + k]);
-        uint16_t* ch_k = choices + (size_t)k * 64 * 64;
-        for (int st = 0; st < 64; st++) {
-            const double* pin = pm + st * 64;
-            double* pout = pm2 + st * 64;
-            uint16_t* ch = ch_k + st * 64;
-            for (int t = 0; t < 64; t++) pout[t] = -2e30;
-            for (int s = 0; s < 64; s++) {
-                for (int b = 0; b < 2; b++) {
-                    int t = g_next_state[s][b];
-                    double m = pin[s] + gain[s][b];
-                    if (m > pout[t]) {
-                        pout[t] = m;
-                        ch[t] = (uint16_t)((s << 1) | b);
-                    }
-                }
+        uint8_t* ch_k = choices + (size_t)k * 64 * 64;
+        for (int t = 0; t < 64; t++) {
+            int s0 = g_pred[t][0] >> 1, b0 = g_pred[t][0] & 1;
+            int s1 = g_pred[t][1] >> 1, b1 = g_pred[t][1] & 1;
+            const double* p0 = pm + s0 * 64;
+            const double* p1 = pm + s1 * 64;
+            double g0 = gain[s0][b0], g1 = gain[s1][b1];
+            double* pout = pm2 + t * 64;
+            uint8_t* ch = ch_k + t * 64;
+            for (int j = 0; j < 64; j++) {
+                double m0 = p0[j] + g0;
+                double m1 = p1[j] + g1;
+                int take1 = m1 > m0;
+                pout[j] = take1 ? m1 : m0;
+                ch[j] = (uint8_t)take1;
             }
         }
         double* tmp = pm;
@@ -456,7 +491,8 @@ void viterbi_tailbite(const double* llr, int64_t n, int32_t* bits) {
     }
     int state = best_start;
     for (int64_t k = n - 1; k >= 0; k--) {
-        uint16_t e = choices[(size_t)k * 64 * 64 + best_start * 64 + state];
+        uint16_t e = g_pred[state][
+            choices[(size_t)k * 64 * 64 + state * 64 + best_start]];
         bits[k] = (int32_t)(e & 1);
         state = e >> 1;
     }
