@@ -72,6 +72,13 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_void_p]
     lib.viterbi_tailbite.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_void_p]
+    lib.interp_pairs.restype = ctypes.c_int64
+    lib.interp_pairs.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
     lib.get_fd_batch.restype = ctypes.c_double
     lib.get_fd_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,

@@ -405,21 +405,46 @@ class TrackedCellProcessor:
         if n < 2:
             return
         n_symb = self.cell.n_symb_dl()
+        slot = np.ascontiguousarray(slot, np.int64)
+        sym = np.ascontiguousarray(sym, np.int64)
         dists = ((slot[1:] - slot[:-1]) % 20) * n_symb + (sym[1:] - sym[:-1])
-        alphas = [self._alphas(port, int(sym[i]), int(dists[i]))
-                  for i in range(n - 1)]
-        pair_lens = [len(a) for a in alphas]
-        alpha = np.concatenate(alphas) if alphas else np.empty(0)
-        if len(alpha) == 0:
-            return
-        pidx = np.repeat(np.arange(n - 1), pair_lens)
+        if self._native is not None:
+            total = int(np.maximum(dists, 0).sum())
+            if total == 0:
+                return
+            ce72 = np.ascontiguousarray(ce72, np.complex128)
+            tp = np.ascontiguousarray(tp, np.float64)
+            sp = np.ascontiguousarray(sp, np.float64)
+            spr = np.ascontiguousarray(spr, np.float64)
+            npv = np.ascontiguousarray(npv, np.float64)
+            ce_rows = np.empty((total, 72), np.complex128)
+            tp_rows = np.empty(total)
+            sp_rows = np.empty(total)
+            spr_rows = np.empty(total)
+            np_rows = np.empty(total)
+            self._native.interp_pairs(
+                n, ce72.ctypes.data, tp.ctypes.data, sp.ctypes.data,
+                spr.ctypes.data, npv.ctypes.data, slot.ctypes.data,
+                sym.ctypes.data, n_symb, int(port > 2),
+                int(self.cell.cp_type is CpType.EXTENDED), FS_LTE,
+                ce_rows.ctypes.data, tp_rows.ctypes.data,
+                sp_rows.ctypes.data, spr_rows.ctypes.data,
+                np_rows.ctypes.data)
+        else:
+            alphas = [self._alphas(port, int(sym[i]), int(dists[i]))
+                      for i in range(n - 1)]
+            pair_lens = [len(a) for a in alphas]
+            alpha = np.concatenate(alphas) if alphas else np.empty(0)
+            if len(alpha) == 0:
+                return
+            pidx = np.repeat(np.arange(n - 1), pair_lens)
 
-        prev_ce = ce72[pidx]
-        ce_rows = prev_ce + (ce72[1:][pidx] - prev_ce) * alpha[:, None]
-        tp_rows = tp[pidx] + (tp[1:] - tp[:-1])[pidx] * alpha
-        sp_rows = sp[pidx] + (sp[1:] - sp[:-1])[pidx] * alpha
-        spr_rows = spr[pidx] + (spr[1:] - spr[:-1])[pidx] * alpha
-        np_rows = npv[pidx] + (npv[1:] - npv[:-1])[pidx] * alpha
+            prev_ce = ce72[pidx]
+            ce_rows = prev_ce + (ce72[1:][pidx] - prev_ce) * alpha[:, None]
+            tp_rows = tp[pidx] + (tp[1:] - tp[:-1])[pidx] * alpha
+            sp_rows = sp[pidx] + (sp[1:] - sp[:-1])[pidx] * alpha
+            spr_rows = spr[pidx] + (spr[1:] - spr[:-1])[pidx] * alpha
+            np_rows = npv[pidx] + (npv[1:] - npv[:-1])[pidx] * alpha
 
         if not self.ce_interp_init[port]:
             # bootstrap: repeat the first CE back to slot 0 sym 0

@@ -389,6 +389,59 @@ double get_fd_batch(const double* data, int64_t n, const double* fo,
 }
 
 // ---------------------------------------------------------------------------
+// interp_pairs: time-interpolation of consecutive filtered-CE rows to
+// every intermediate OFDM symbol (the time axis of the reference's
+// interp2d, tracker_thread.cpp:395-477), for all of a tick's pairs in
+// one call.  Row i..i+1 of ce72 [n,144] / the four scalar tracks are
+// lerped at the per-symbol time offsets of the (slot, sym) walk from
+// sym[i]; alpha_j = t_offset_j / time_diff with the reference's
+// per-port/CP time_diff rule.  Writes the emitted rows consecutively;
+// returns the row count (= sum of positive pair distances, which the
+// caller preallocates).
+// ---------------------------------------------------------------------------
+int64_t interp_pairs(int64_t n, const double* ce72, const double* tp,
+                     const double* sp, const double* spr, const double* npv,
+                     const int64_t* slot, const int64_t* sym,
+                     int64_t n_symb, int64_t port_gt2, int64_t extended,
+                     double fs_lte, double* out_ce, double* out_tp,
+                     double* out_sp, double* out_spr, double* out_npv) {
+    const double unit = 16.0 / fs_lte;
+    int64_t w = 0;
+    for (int64_t i = 0; i + 1 < n; i++) {
+        int64_t dist = (((slot[i + 1] - slot[i]) % 20 + 20) % 20) * n_symb
+                       + (sym[i + 1] - sym[i]);
+        if (dist <= 0) continue;
+        double time_diff;
+        if (port_gt2) time_diff = 0.0005;
+        else if (extended) time_diff = (3.0 * (128 + 32)) * unit;
+        else if (sym[i] == 0) time_diff = (4.0 * (128 + 9)) * unit;
+        else time_diff = (2.0 * (128 + 9) + (128 + 10)) * unit;
+        const double* pc = ce72 + 144 * i;
+        const double* nc = ce72 + 144 * (i + 1);
+        double dtp = tp[i + 1] - tp[i], dsp = sp[i + 1] - sp[i];
+        double dspr = spr[i + 1] - spr[i], dnp = npv[i + 1] - npv[i];
+        double t_off = 0.0;
+        int64_t s = sym[i];
+        for (int64_t j = 0; j < dist; j++) {
+            double a = t_off / time_diff;
+            double* oc = out_ce + 144 * w;
+            for (int q = 0; q < 144; q++)
+                oc[q] = pc[q] + (nc[q] - pc[q]) * a;
+            out_tp[w] = tp[i] + dtp * a;
+            out_sp[w] = sp[i] + dsp * a;
+            out_spr[w] = spr[i] + dspr * a;
+            out_npv[w] = npv[i] + dnp * a;
+            w++;
+            t_off += (extended ? (128 + 32)
+                               : (s == 6 ? (128 + 10) : (128 + 9))) * unit;
+            s++;
+            if (s == n_symb) s = 0;
+        }
+    }
+    return w;
+}
+
+// ---------------------------------------------------------------------------
 // Tail-biting Viterbi decode for the K=7 (133,171,165) LTE convolutional
 // code (reference lte_conv_decode, lte_lib.cpp:538-551 via IT++
 // decode_tailbite): all 64 start-state hypotheses in one pass, winner =

@@ -584,3 +584,55 @@ def test_async_searcher_acquires_and_tracks():
         assert runner.cells[0].health_pct() > 90.0
     finally:
         runner.close()
+
+
+def test_native_interp_pairs_matches_numpy():
+    """The native pair time-interpolation (interp_pairs: per-pair alpha
+    walk + 72-SC/scalar lerp) must match the numpy fallback's emitted
+    ce_interp rows exactly, including the tick-boundary carry."""
+    from lte_cell_scanner_tpu.io.native import get_lib
+    from lte_cell_scanner_tpu.tracker.cell_tracker import \
+        TrackedCellProcessor
+    from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(13)
+
+    def make_proc(cp, n_ports):
+        state = GlobalState(fc_requested=FC, fc_programmed=FC,
+                            fs_programmed=FS, frequency_offset=0.0)
+        cell = TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
+                           cp_type=cp, n_ports=n_ports, frame_timing=0.0)
+        return TrackedCellProcessor(cell, state)
+
+    for cp, port in ((CpType.NORMAL, 0), (CpType.NORMAL, 3),
+                     (CpType.EXTENDED, 0)):
+        n_symb = 7 if cp is CpType.NORMAL else 6
+        proc_a = make_proc(cp, 4)
+        proc_b = make_proc(cp, 4)
+        proc_b._native = None
+        # RS symbol walk: ports 0/1 hit syms {0, 4}/{0, 3}, ports 2/3
+        # sym 1 -- synthesize the (slot, sym) labels accordingly
+        m = 40
+        if port > 2:
+            slot = np.arange(m, dtype=np.int64) % 20
+            sym = np.ones(m, np.int64)
+        else:
+            slot = (np.arange(m, dtype=np.int64) // 2) % 20
+            sym = np.where(np.arange(m) % 2 == 0, 0,
+                           4 if n_symb == 7 else 3).astype(np.int64)
+        for sl in (slice(0, 7), slice(7, 8), slice(8, 29), slice(29, m)):
+            k = sl.stop - sl.start
+            ce72 = rng.normal(size=(k, 72)) + 1j * rng.normal(size=(k, 72))
+            tp, sp, spr, npv = rng.normal(size=(4, k))
+            args = (ce72, tp, sp, spr, npv, slot[sl], sym[sl])
+            proc_a._interp_pairs(port, *args)
+            proc_b._interp_pairs(port, *args)
+        fa, fb = proc_a.ce_interp_fifo[port], proc_b.ce_interp_fifo[port]
+        assert fa.n == fb.n and fa.n > 0
+        a = fa.pop_n(fa.n)
+        b = fb.pop_n(fb.n)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, atol=1e-14, rtol=0)
