@@ -132,6 +132,10 @@ class TrackedCellProcessor:
         # per-port carry row between interpolation pairs:
         # (ce72[72], tp, sp, sp_raw, np, slot, sym)
         self.filt_carry: List[Optional[tuple]] = [None] * n_ports
+        # fused-native carry state: [ce72, {tp,sp,spr,np}, {slot,sym}, valid]
+        self._tick_carry = [[np.zeros(72, np.complex128), np.zeros(4),
+                             np.zeros(2, np.int64), False]
+                            for _ in range(n_ports)]
         self.ce_interp_fifo: List[_SoaFifo] = [_SoaFifo()
                                                for _ in range(n_ports)]
         self.ce_interp_init = [False] * n_ports
@@ -147,6 +151,48 @@ class TrackedCellProcessor:
         # numpy fallback when the library is unavailable
         from ..io.native import get_lib
         self._native = get_lib()
+        if self._native is not None:
+            # fused-cell-tick state (native cell_tick): pending CRS rows,
+            # pair carry, and the ac_td history stacked per port.  The
+            # ce_history entries alias the stacked buffers so the
+            # two-step paths (parity tests) share the same state.
+            self._shift_i64 = np.ascontiguousarray(
+                self.rs_dl.shift_table, np.int64)
+            self._rs_conj = np.ascontiguousarray(self._rs_conj,
+                                                 np.complex128)
+            self._alloc_pending(512)
+            self._carry_ce72 = np.zeros((n_ports, 72), np.complex128)
+            self._carry_scal = np.zeros((n_ports, 4))
+            self._carry_label = np.zeros((n_ports, 2), np.int64)
+            self._carry_valid = np.zeros(n_ports, np.int64)
+            self._hist = np.zeros((n_ports, 72, 12), np.complex128)
+            self._hist_pos = np.zeros(n_ports, np.int64)
+            self.ce_history = [(self._hist[p], self._hist_pos[p:p + 1])
+                               for p in range(n_ports)]
+
+    def _alloc_pending(self, cap: int) -> None:
+        n_ports = self.cell.n_ports
+        self._pend_cap = cap
+        self._pend_ce = np.zeros((n_ports, cap, 12), np.complex128)
+        self._pend_shift = np.zeros((n_ports, cap), np.int64)
+        self._pend_slot = np.zeros((n_ports, cap), np.int64)
+        self._pend_sym = np.zeros((n_ports, cap), np.int64)
+        self._pend_fo = np.zeros((n_ports, cap))
+        self._pend_ft = np.zeros((n_ports, cap))
+        self._pend_cnt = np.zeros(n_ports, np.int64)
+
+    def _grow_pending(self, cap: int) -> None:
+        old = (self._pend_ce, self._pend_shift, self._pend_slot,
+               self._pend_sym, self._pend_fo, self._pend_ft)
+        cnt = self._pend_cnt
+        self._alloc_pending(cap)
+        new = (self._pend_ce, self._pend_shift, self._pend_slot,
+               self._pend_sym, self._pend_fo, self._pend_ft)
+        for p in range(self.cell.n_ports):
+            k = int(cnt[p])
+            for o, n in zip(old, new):
+                n[p, :k] = o[p, :k]
+        self._pend_cnt = cnt
 
     # ------------------------------------------------------------------
     def _get_fd(self, pdu: SymbolPdu) -> np.ndarray:
@@ -446,11 +492,17 @@ class TrackedCellProcessor:
             spr_rows = spr[pidx] + (spr[1:] - spr[:-1])[pidx] * alpha
             np_rows = npv[pidx] + (npv[1:] - npv[:-1])[pidx] * alpha
 
+        self._emit_rows(port, ce_rows, tp_rows, sp_rows, spr_rows, np_rows,
+                        int(slot[0]), int(sym[0]))
+
+    def _emit_rows(self, port, ce_rows, tp_rows, sp_rows, spr_rows, np_rows,
+                   slot0, sym0) -> None:
+        """Append interpolated rows to the port fifo, bootstrapping the
+        first emission back to slot 0 sym 0 (the first emitted symbol IS
+        the first pair's prev label)."""
         if not self.ce_interp_init[port]:
-            # bootstrap: repeat the first CE back to slot 0 sym 0
-            # (the first emitted symbol IS the first pair's prev label)
             self.ce_interp_init[port] = True
-            boot = int(slot[0]) * n_symb + int(sym[0])
+            boot = slot0 * self.cell.n_symb_dl() + sym0
             if boot:
                 ce_rows = np.concatenate(
                     [np.broadcast_to(ce_rows[0], (boot, 72)), ce_rows])
@@ -462,6 +514,122 @@ class TrackedCellProcessor:
 
         self.ce_interp_fifo[port].append(ce_rows, tp_rows, sp_rows,
                                          spr_rows, np_rows)
+
+    def _port_tick(self, port: int, ce, shift, slot, sym, fo, ft) -> None:
+        """One fused native call for the port's whole tick: all complete
+        RS 3-windows (stats + sequential FOE/frame-timing feedback +
+        12->72 interpolation) and the pair time-interpolation emission,
+        carrying the last row across the tick boundary in C state
+        (native port_tick; semantics pinned against the two-step
+        _rs_windows + _interp_pairs fallback)."""
+        c = self.cell
+        st = self.state
+        m = ce.shape[0]
+        n_symb = c.n_symb_dl()
+        ce = np.ascontiguousarray(ce, np.complex128)
+        shift = np.ascontiguousarray(shift, np.int64)
+        slot = np.ascontiguousarray(slot, np.int64)
+        sym = np.ascontiguousarray(sym, np.int64)
+        fo = np.ascontiguousarray(fo, np.float64)
+        ft = np.ascontiguousarray(ft, np.float64)
+        carry = self._tick_carry[port]
+        c72, cscal, clabel = carry[0], carry[1], carry[2]
+        slot_w = slot[1: m - 1]
+        sym_w = sym[1: m - 1]
+        if carry[3]:
+            seq_slot = np.concatenate([clabel[:1], slot_w])
+            seq_sym = np.concatenate([clabel[1:], sym_w])
+        else:
+            seq_slot, seq_sym = slot_w, sym_w
+        dists = ((seq_slot[1:] - seq_slot[:-1]) % 20) * n_symb \
+            + (seq_sym[1:] - seq_sym[:-1])
+        total = int(np.maximum(dists, 0).sum()) if dists.size else 0
+        buf, pos = self.ce_history[port]
+        regs = np.array([st.frequency_offset, c.frame_timing])
+        cap = max(total, 1)
+        ce_rows = np.empty((cap, 72), np.complex128)
+        tp_rows = np.empty(cap)
+        sp_rows = np.empty(cap)
+        spr_rows = np.empty(cap)
+        np_rows = np.empty(cap)
+        n_emit = self._native.port_tick(
+            m, ce.ctypes.data, shift.ctypes.data, slot.ctypes.data,
+            sym.ctypes.data, fo.ctypes.data, ft.ctypes.data, int(carry[3]),
+            c72.ctypes.data, cscal.ctypes.data, clabel.ctypes.data,
+            n_symb, int(port > 2),
+            int(c.cp_type is CpType.EXTENDED), FS_LTE,
+            st.fc_requested, st.fc_programmed, st.fs_programmed,
+            c.ac_fd.ctypes.data, c.ac_td.ctypes.data,
+            buf.ctypes.data, pos.ctypes.data, regs.ctypes.data,
+            ce_rows.ctypes.data, tp_rows.ctypes.data, sp_rows.ctypes.data,
+            spr_rows.ctypes.data, np_rows.ctypes.data)
+        carry[3] = True
+        st.frequency_offset = float(regs[0])
+        c.frame_timing = float(regs[1])
+        if n_emit == 0:
+            return
+        if n_emit != cap:
+            ce_rows, tp_rows, sp_rows, spr_rows, np_rows = (
+                a[:n_emit] for a in
+                (ce_rows, tp_rows, sp_rows, spr_rows, np_rows))
+        self._emit_rows(port, ce_rows, tp_rows, sp_rows, spr_rows, np_rows,
+                        int(seq_slot[0]), int(seq_sym[0]))
+
+    def _cell_tick(self, S, slots_a, syms_a, fo, ft) -> None:
+        """One fused native call for the whole cell tick: per-port CRS
+        extraction from the tick's fd symbols, pending-row management,
+        window statistics + sequential feedback, and the pair
+        time-interpolation emission (native cell_tick; semantics pinned
+        against the per-port two-step fallback)."""
+        c = self.cell
+        st = self.state
+        n_ports = c.n_ports
+        n_new = S.shape[0]
+        n_symb = c.n_symb_dl()
+        if int(self._pend_cnt.max()) + n_new > self._pend_cap:
+            cap = self._pend_cap
+            while int(self._pend_cnt.max()) + n_new > cap:
+                cap *= 2
+            self._grow_pending(cap)
+        cap_out = n_new + 4 * n_symb + 8
+        out_ce = np.empty((n_ports, cap_out, 72), np.complex128)
+        out_scal = np.empty((n_ports, cap_out, 4))
+        out_cnt = np.empty(n_ports, np.int64)
+        out_label0 = np.empty((n_ports, 2), np.int64)
+        regs = np.array([st.frequency_offset, c.frame_timing])
+        S = np.ascontiguousarray(S, np.complex128)
+        slots_a = np.ascontiguousarray(slots_a, np.int64)
+        syms_a = np.ascontiguousarray(syms_a, np.int64)
+        fo = np.ascontiguousarray(fo, np.float64)
+        ft = np.ascontiguousarray(ft, np.float64)
+        r = self._native.cell_tick(
+            n_new, S.ctypes.data, slots_a.ctypes.data, syms_a.ctypes.data,
+            fo.ctypes.data, ft.ctypes.data, self._shift_i64.ctypes.data,
+            self._rs_conj.ctypes.data, n_ports, n_symb,
+            int(c.cp_type is CpType.EXTENDED), FS_LTE, st.fc_requested,
+            st.fc_programmed, st.fs_programmed, self._pend_cap,
+            self._pend_ce.ctypes.data, self._pend_shift.ctypes.data,
+            self._pend_slot.ctypes.data, self._pend_sym.ctypes.data,
+            self._pend_fo.ctypes.data, self._pend_ft.ctypes.data,
+            self._pend_cnt.ctypes.data, self._carry_ce72.ctypes.data,
+            self._carry_scal.ctypes.data, self._carry_label.ctypes.data,
+            self._carry_valid.ctypes.data, c.ac_fd.ctypes.data,
+            c.ac_td.ctypes.data, self._hist.ctypes.data,
+            self._hist_pos.ctypes.data, regs.ctypes.data, cap_out,
+            out_ce.ctypes.data, out_scal.ctypes.data, out_cnt.ctypes.data,
+            out_label0.ctypes.data)
+        if r < 0:
+            raise RuntimeError("native cell_tick capacity exceeded")
+        st.frequency_offset = float(regs[0])
+        c.frame_timing = float(regs[1])
+        for p in range(n_ports):
+            w = int(out_cnt[p])
+            if w == 0:
+                continue
+            self._emit_rows(p, out_ce[p, :w], out_scal[p, :w, 0],
+                            out_scal[p, :w, 1], out_scal[p, :w, 2],
+                            out_scal[p, :w, 3], int(out_label0[p, 0]),
+                            int(out_label0[p, 1]))
 
     # ------------------------------------------------------------------
     def _do_pss_sss_sigpower_ce(self, syms, slot_num, sym_num) -> None:
@@ -651,41 +819,49 @@ class TrackedCellProcessor:
                         frequency_offset=float(chunk.fo[i]),
                         frame_timing=float(chunk.ft[i])))
             self.data_fifo.append(slots_a, syms_a, S)
-            sh_all = self.rs_dl.shift_table[slots_a, syms_a]   # [n, 4]
-            cols12 = 6 * np.arange(12)
-            for port in range(n_ports):
-                sh = sh_all[:, port]
-                sel = np.nonzero(sh >= 0)[0]
-                if len(sel) == 0:
-                    continue
-                shv = sh[sel].astype(np.int64)
-                ce_raw = np.take_along_axis(
-                    S[sel], shv[:, None] + cols12[None, :], 1) \
-                    * self._rs_conj[slots_a[sel], syms_a[sel]]
-                new = (ce_raw, shv, slots_a[sel], syms_a[sel],
-                       chunk.fo[sel], chunk.ft[sel])
-                pend = self.rs_pending[port]
-                if pend is None:
-                    self.rs_pending[port] = new
-                else:
-                    self.rs_pending[port] = tuple(
-                        np.concatenate([a, b]) for a, b in zip(pend, new))
+            if self._native is not None:
+                # fused Phases A+B: CRS extraction, pending management,
+                # windows + feedback, pair interpolation -- one C call
+                self._cell_tick(S, slots_a, syms_a, chunk.fo, chunk.ft)
+            else:
+                sh_all = self.rs_dl.shift_table[slots_a, syms_a]   # [n, 4]
+                cols12 = 6 * np.arange(12)
+                for port in range(n_ports):
+                    sh = sh_all[:, port]
+                    sel = np.nonzero(sh >= 0)[0]
+                    if len(sel) == 0:
+                        continue
+                    shv = sh[sel].astype(np.int64)
+                    ce_raw = np.take_along_axis(
+                        S[sel], shv[:, None] + cols12[None, :], 1) \
+                        * self._rs_conj[slots_a[sel], syms_a[sel]]
+                    new = (ce_raw, shv, slots_a[sel], syms_a[sel],
+                           chunk.fo[sel], chunk.ft[sel])
+                    pend = self.rs_pending[port]
+                    if pend is None:
+                        self.rs_pending[port] = new
+                    else:
+                        self.rs_pending[port] = tuple(
+                            np.concatenate([a, b])
+                            for a, b in zip(pend, new))
 
-        # Phase B -- per port, process every complete 3-window this tick
-        # (statistics batched natively; the FOE/TOE feedback applications
-        # run sequentially in window order inside the same call), then
-        # time-interpolate the new filtered rows as one chunk.
-        for port in range(n_ports):
-            pend = self.rs_pending[port]
-            if pend is None or pend[0].shape[0] < 3:
-                continue
-            m = pend[0].shape[0]
-            ce72, tp, sp, spr, npv = self._rs_windows(port, *pend)
-            slot_w = pend[2][1: m - 1]
-            sym_w = pend[3][1: m - 1]
-            self.rs_pending[port] = tuple(
-                np.ascontiguousarray(a[m - 2:]) for a in pend)
-            self._interp_pairs(port, ce72, tp, sp, spr, npv, slot_w, sym_w)
+        # Phase B (numpy fallback) -- per port, process every complete
+        # 3-window this tick, then time-interpolate the new filtered
+        # rows as one chunk.  (The native path fused this into
+        # _cell_tick above.)
+        if self._native is None:
+            for port in range(n_ports):
+                pend = self.rs_pending[port]
+                if pend is None or pend[0].shape[0] < 3:
+                    continue
+                m = pend[0].shape[0]
+                ce72, tp, sp, spr, npv = self._rs_windows(port, *pend)
+                slot_w = pend[2][1: m - 1]
+                sym_w = pend[3][1: m - 1]
+                self._interp_pairs(port, ce72, tp, sp, spr, npv,
+                                   slot_w, sym_w)
+                self.rs_pending[port] = tuple(
+                    np.ascontiguousarray(a[m - 2:]) for a in pend)
 
         # Phase C -- pair data symbols with interpolated CEs: dashboard
         # measurements, sync-channel SNR, and the 40 ms MIB re-decode.

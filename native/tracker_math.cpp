@@ -442,6 +442,257 @@ int64_t interp_pairs(int64_t n, const double* ce72, const double* tp,
 }
 
 // ---------------------------------------------------------------------------
+// port_tick: one call for a port's ENTIRE tick -- every complete RS
+// 3-window's statistics + sequential FOE/frame-timing feedback
+// (rs_window_update_batch2) immediately followed by the pair
+// time-interpolation to intermediate OFDM symbols (interp_pairs),
+// carrying the previous tick's last interpolated row across the tick
+// boundary.  Fuses what used to be two native calls plus the Python
+// concatenate/alloc glue between them (the per-tick analog of the
+// reference's per-symbol interp2d chain, tracker_thread.cpp:395-477).
+//
+// In:  pending raw-CE rows ce [m,24] with labels shift/slot/sym [m] and
+//      PDU stamps fo/ft [m]; m >= 3 (nwin = m-2 windows).
+// In/out: carry_ce72 [144], carry_scal [4] = {tp, sp, spr, np},
+//      carry_label [2] = {slot, sym}, valid iff has_carry (always valid
+//      on return); ac_fd/ac_td/hist/hist_pos/regs as batch2.
+// Out: emitted rows out_ce [total,144] / out_tp/out_sp/out_spr/out_npv
+//      [total] (caller preallocates the exact pair-walk total).
+// Returns the emitted row count.
+// ---------------------------------------------------------------------------
+static int64_t port_tick_core(
+    int64_t m, const double* ce, const int64_t* shift, const int64_t* slot,
+    const int64_t* sym, const double* fo, const double* ft,
+    int64_t has_carry, double* carry_ce72, double* carry_scal,
+    int64_t* carry_label, int64_t n_symb, int64_t port_gt2,
+    int64_t extended, double fs_lte, double fc_requested,
+    double fc_programmed, double fs_programmed, double* ac_fd_state,
+    double* ac_td_state, double* hist, int64_t* hist_pos, double* regs,
+    int64_t cap_out, double* out_ce, double* out_tp, double* out_sp,
+    double* out_spr, double* out_npv, int64_t scal_stride) {
+    double fo_reg = regs[0];
+    double ft_reg = regs[1];
+    const double two_pi = 2.0 * M_PI;
+    const double unit = 16.0 / fs_lte;
+    double prev72[144], prev_scal[4];
+    int64_t prev_slot = 0, prev_sym = 0;
+    int have_prev = has_carry != 0;
+    if (have_prev) {
+        for (int q = 0; q < 144; q++) prev72[q] = carry_ce72[q];
+        for (int q = 0; q < 4; q++) prev_scal[q] = carry_scal[q];
+        prev_slot = carry_label[0];
+        prev_sym = carry_label[1];
+    }
+    double ce_filt[24], sc[10], cur72[144], cur_scal[4];
+    int64_t w = 0;
+    for (int64_t i = 0; i + 2 < m; i++) {
+        rs_window_update(ce + 24 * i, ce + 24 * (i + 1), ce + 24 * (i + 2),
+                         (int)(shift[i] < shift[i + 1]), ce_filt, sc,
+                         ac_fd_state, ac_td_state, hist, hist_pos);
+        interp72(ce_filt, shift[i + 1], cur72);
+
+        // FOE feedback (tail of cell_tracker._do_foe)
+        double k_factor = (fc_requested - fo[i]) / fc_programmed;
+        double dt_w = fmod(ft[i + 2] - ft[i] + 9600.0, 19200.0);
+        if (dt_w < 0) dt_w += 19200.0;
+        double dt = 0.0005 + (dt_w - 9600.0) / (fs_programmed * k_factor);
+        double residual_f = atan2(sc[5], sc[4]) / two_pi / dt;
+        double rnp = sc[6] / 2.0;
+        if (rnp < 0.001) rnp = 0.001;
+        double w_old = 1.0 / 0.000001;
+        double w_new = 1.0 / rnp;
+        fo_reg = (fo_reg * w_old + (fo[i] + residual_f) * w_new)
+            / (w_old + w_new);
+
+        // frame-timing feedback (tail of cell_tracker._do_toe_v2)
+        double diff = fmod(ft[i + 1] + sc[7] - ft_reg + 9600.0, 19200.0);
+        if (diff < 0) diff += 19200.0;
+        diff -= 9600.0;
+        diff = diff * (1.0 / sc[8]) / (1.0 / 0.0001 + 1.0 / sc[8]);
+        ft_reg = fmod(ft_reg + diff, 19200.0);
+        if (ft_reg < 0) ft_reg += 19200.0;
+
+        cur_scal[0] = sc[1];   // tp
+        cur_scal[1] = sc[3];   // sp
+        cur_scal[2] = sc[2];   // sp_raw
+        cur_scal[3] = sc[0];   // np
+        int64_t cur_slot = slot[i + 1], cur_sym = sym[i + 1];
+
+        if (have_prev) {
+            // emit the pair prev -> cur (interp_pairs math)
+            int64_t dist = (((cur_slot - prev_slot) % 20 + 20) % 20) * n_symb
+                           + (cur_sym - prev_sym);
+            if (dist > 0) {
+                double time_diff;
+                if (port_gt2) time_diff = 0.0005;
+                else if (extended) time_diff = (3.0 * (128 + 32)) * unit;
+                else if (prev_sym == 0) time_diff = (4.0 * (128 + 9)) * unit;
+                else time_diff = (2.0 * (128 + 9) + (128 + 10)) * unit;
+                double d_scal[4];
+                for (int q = 0; q < 4; q++)
+                    d_scal[q] = cur_scal[q] - prev_scal[q];
+                double t_off = 0.0;
+                int64_t s = prev_sym;
+                for (int64_t j = 0; j < dist; j++) {
+                    if (w >= cap_out) return -1;   // caller bound too small
+                    double a = t_off / time_diff;
+                    double* oc = out_ce + 144 * w;
+                    for (int q = 0; q < 144; q++)
+                        oc[q] = prev72[q] + (cur72[q] - prev72[q]) * a;
+                    out_tp[w * scal_stride] = prev_scal[0] + d_scal[0] * a;
+                    out_sp[w * scal_stride] = prev_scal[1] + d_scal[1] * a;
+                    out_spr[w * scal_stride] = prev_scal[2] + d_scal[2] * a;
+                    out_npv[w * scal_stride] = prev_scal[3] + d_scal[3] * a;
+                    w++;
+                    t_off += (extended ? (128 + 32)
+                                       : (s == 6 ? (128 + 10) : (128 + 9)))
+                        * unit;
+                    s++;
+                    if (s == n_symb) s = 0;
+                }
+            }
+        }
+        for (int q = 0; q < 144; q++) prev72[q] = cur72[q];
+        for (int q = 0; q < 4; q++) prev_scal[q] = cur_scal[q];
+        prev_slot = cur_slot;
+        prev_sym = cur_sym;
+        have_prev = 1;
+    }
+    for (int q = 0; q < 144; q++) carry_ce72[q] = prev72[q];
+    for (int q = 0; q < 4; q++) carry_scal[q] = prev_scal[q];
+    carry_label[0] = prev_slot;
+    carry_label[1] = prev_sym;
+    regs[0] = fo_reg;
+    regs[1] = ft_reg;
+    return w;
+}
+
+int64_t port_tick(int64_t m, const double* ce, const int64_t* shift,
+                  const int64_t* slot, const int64_t* sym, const double* fo,
+                  const double* ft, int64_t has_carry, double* carry_ce72,
+                  double* carry_scal, int64_t* carry_label, int64_t n_symb,
+                  int64_t port_gt2, int64_t extended, double fs_lte,
+                  double fc_requested, double fc_programmed,
+                  double fs_programmed, double* ac_fd_state,
+                  double* ac_td_state, double* hist, int64_t* hist_pos,
+                  double* regs, double* out_ce, double* out_tp,
+                  double* out_sp, double* out_spr, double* out_npv) {
+    return port_tick_core(m, ce, shift, slot, sym, fo, ft, has_carry,
+                          carry_ce72, carry_scal, carry_label, n_symb,
+                          port_gt2, extended, fs_lte, fc_requested,
+                          fc_programmed, fs_programmed, ac_fd_state,
+                          ac_td_state, hist, hist_pos, regs,
+                          INT64_MAX, out_ce, out_tp, out_sp, out_spr,
+                          out_npv, 1);
+}
+
+// ---------------------------------------------------------------------------
+// cell_tick: one call for a CELL's entire tick across all ports -- the
+// per-port CRS extraction from the tick's frequency-domain symbols
+// (reference tracker_thread.cpp:888-906), pending-row management, and
+// the full per-port window pipeline (port_tick_core), ports processed
+// in order (so the sequential FOE/frame-timing feedback matches the
+// per-port loop exactly).
+//
+// In:  S [n_new,144] fd symbols; slot_a/sym_a [n_new] labels;
+//      fo_a/ft_a [n_new] PDU stamps; shift_table [20*n_symb*4] int64
+//      (per-port RS shift, -1 = no RS in that symbol); rs_conj
+//      [20*n_symb*24] (conjugated RS table).
+// In/out per-port state (stacked on axis 0 = port):
+//      pend_* [P,cap(,24)] + pend_cnt [P]; carry_* [P,...] +
+//      carry_valid [P]; hist [P,72*24] + hist_pos [P]; shared
+//      ac_fd/ac_td/regs as before.
+// Out: out_ce [P,cap_out,144], out_scal [P,cap_out,4] packed
+//      {tp,sp,spr,np}, out_cnt [P] emitted counts, out_label0 [P,2] the
+//      first seq label per port (for the Python-side bootstrap).
+// Returns total emitted rows, or -1 if cap/cap_out were exceeded (the
+// caller's bounds are sized so this cannot happen; a -1 is a bug trap).
+// ---------------------------------------------------------------------------
+int64_t cell_tick(
+    int64_t n_new, const double* S, const int64_t* slot_a,
+    const int64_t* sym_a, const double* fo_a, const double* ft_a,
+    const int64_t* shift_table, const double* rs_conj, int64_t n_ports,
+    int64_t n_symb, int64_t extended, double fs_lte, double fc_requested,
+    double fc_programmed, double fs_programmed, int64_t cap,
+    double* pend_ce, int64_t* pend_shift, int64_t* pend_slot,
+    int64_t* pend_sym, double* pend_fo, double* pend_ft, int64_t* pend_cnt,
+    double* carry_ce72, double* carry_scal, int64_t* carry_label,
+    int64_t* carry_valid, double* ac_fd_state, double* ac_td_state,
+    double* hist, int64_t* hist_pos, double* regs, int64_t cap_out,
+    double* out_ce, double* out_scal, int64_t* out_cnt,
+    int64_t* out_label0) {
+    int64_t total = 0;
+    for (int64_t p = 0; p < n_ports; p++) {
+        double* pce = pend_ce + p * cap * 24;
+        int64_t* psh = pend_shift + p * cap;
+        int64_t* psl = pend_slot + p * cap;
+        int64_t* psy = pend_sym + p * cap;
+        double* pfo = pend_fo + p * cap;
+        double* pft = pend_ft + p * cap;
+        int64_t cnt = pend_cnt[p];
+        // 1. extract this tick's CRS rows for the port
+        for (int64_t i = 0; i < n_new; i++) {
+            int64_t sh = shift_table[(slot_a[i] * n_symb + sym_a[i]) * 4 + p];
+            if (sh < 0) continue;
+            if (cnt >= cap) return -1;
+            const double* s_row = S + 144 * i;
+            const double* rc = rs_conj + (slot_a[i] * n_symb + sym_a[i]) * 24;
+            double* dst = pce + 24 * cnt;
+            for (int k = 0; k < 12; k++) {
+                Cpx sv = get(s_row, (int)(sh + 6 * k));
+                Cpx rv = get(rc, k);
+                dst[2 * k] = sv.re * rv.re - sv.im * rv.im;
+                dst[2 * k + 1] = sv.re * rv.im + sv.im * rv.re;
+            }
+            psh[cnt] = sh;
+            psl[cnt] = slot_a[i];
+            psy[cnt] = sym_a[i];
+            pfo[cnt] = fo_a[i];
+            pft[cnt] = ft_a[i];
+            cnt++;
+        }
+        // 2. process complete windows
+        out_cnt[p] = 0;
+        if (cnt >= 3) {
+            if (carry_valid[p]) {
+                out_label0[2 * p] = carry_label[2 * p];
+                out_label0[2 * p + 1] = carry_label[2 * p + 1];
+            } else {
+                out_label0[2 * p] = psl[1];
+                out_label0[2 * p + 1] = psy[1];
+            }
+            double* oce = out_ce + p * cap_out * 144;
+            double* osc = out_scal + p * cap_out * 4;
+            int64_t w = port_tick_core(
+                cnt, pce, psh, psl, psy, pfo, pft, carry_valid[p],
+                carry_ce72 + 144 * p, carry_scal + 4 * p,
+                carry_label + 2 * p, n_symb, p > 2, extended, fs_lte,
+                fc_requested, fc_programmed, fs_programmed, ac_fd_state,
+                ac_td_state, hist + p * 72 * 24, hist_pos + p, regs,
+                cap_out, oce, osc, osc + 1, osc + 2, osc + 3, 4);
+            if (w < 0) return -1;
+            carry_valid[p] = 1;
+            out_cnt[p] = w;
+            total += w;
+            // 3. keep the 2-row pending tail
+            for (int64_t r = 0; r < 2; r++) {
+                int64_t src = cnt - 2 + r;
+                for (int q = 0; q < 24; q++)
+                    pce[24 * r + q] = pce[24 * src + q];
+                psh[r] = psh[src];
+                psl[r] = psl[src];
+                psy[r] = psy[src];
+                pfo[r] = pfo[src];
+                pft[r] = pft[src];
+            }
+            cnt = 2;
+        }
+        pend_cnt[p] = cnt;
+    }
+    return total;
+}
+
+// ---------------------------------------------------------------------------
 // Tail-biting Viterbi decode for the K=7 (133,171,165) LTE convolutional
 // code (reference lte_conv_decode, lte_lib.cpp:538-551 via IT++
 // decode_tailbite): all 64 start-state hypotheses in one pass, winner =

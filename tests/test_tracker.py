@@ -636,3 +636,142 @@ def test_native_interp_pairs_matches_numpy():
         b = fb.pop_n(fb.n)
         for x, y in zip(a, b):
             np.testing.assert_allclose(x, y, atol=1e-14, rtol=0)
+
+
+def test_native_port_tick_matches_two_step():
+    """The fused native per-port tick (port_tick: windows + feedback +
+    interp72 + pair time-interp with C-side carry) must reproduce the
+    two-step numpy path (_rs_windows + _interp_pairs) exactly: same
+    emitted ce_interp rows, same FO / frame-timing register
+    trajectories, same ac_fd/ac_td blends, across tick boundaries."""
+    from lte_cell_scanner_tpu.io.native import get_lib
+    from lte_cell_scanner_tpu.tracker.cell_tracker import \
+        TrackedCellProcessor
+    from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(17)
+
+    for cp, port in ((CpType.NORMAL, 0), (CpType.EXTENDED, 0)):
+        n_symb = 7 if cp is CpType.NORMAL else 6
+
+        def make(native):
+            state = GlobalState(fc_requested=FC, fc_programmed=FC,
+                                fs_programmed=FS, frequency_offset=100.0)
+            cell = TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
+                               cp_type=cp, n_ports=1, frame_timing=1234.5)
+            proc = TrackedCellProcessor(cell, state)
+            if not native:
+                proc._native = None
+            return state, cell, proc
+
+        st_a, cell_a, proc_a = make(True)
+        st_b, cell_b, proc_b = make(False)
+
+        m = 120
+        ce = rng.normal(size=(m, 12)) + 1j * rng.normal(size=(m, 12))
+        shift = np.where(np.arange(m) % 2 == 0, 2, 5).astype(np.int64)
+        slot = (np.arange(m, dtype=np.int64) // 2) % 20
+        sym = np.where(np.arange(m) % 2 == 0, 0,
+                       4 if n_symb == 7 else 3).astype(np.int64)
+        fo = 100.0 + 0.1 * np.arange(m)
+        ft = np.full(m, 1234.5)
+
+        # ticks with the 2-row pending tail carried like process() does
+        for sl in (slice(0, 31), slice(29, 30), slice(29, 84),
+                   slice(82, m)):
+            args = (ce[sl], shift[sl], slot[sl], sym[sl], fo[sl], ft[sl])
+            if args[0].shape[0] >= 3:
+                proc_a._port_tick(0, *args)
+                mm = args[0].shape[0]
+                o = proc_b._rs_windows(0, *args)
+                proc_b._interp_pairs(0, *o, slot[sl][1:mm - 1],
+                                     sym[sl][1:mm - 1])
+
+        fa, fb = proc_a.ce_interp_fifo[0], proc_b.ce_interp_fifo[0]
+        assert fa.n == fb.n and fa.n > 0
+        a = fa.pop_n(fa.n)
+        b = fb.pop_n(fb.n)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, atol=1e-12, rtol=0)
+        assert abs(st_a.frequency_offset - st_b.frequency_offset) < 1e-6
+        assert abs(cell_a.frame_timing - cell_b.frame_timing) < 1e-8
+        np.testing.assert_allclose(cell_a.ac_fd, cell_b.ac_fd, atol=1e-10)
+        np.testing.assert_allclose(cell_a.ac_td, cell_b.ac_td, atol=1e-10)
+
+
+def test_native_cell_tick_matches_numpy_process():
+    """Full process()-level parity for the fused native cell tick
+    (cell_tick: CRS extraction + pending + windows + feedback + pair
+    interp in one C call) against the all-numpy fallback, fed identical
+    fd symbols across multiple ticks: identical register trajectories,
+    EMA measurements, and interpolated-CE state."""
+    from lte_cell_scanner_tpu.io.native import get_lib
+    from lte_cell_scanner_tpu.tracker.cell_tracker import \
+        TrackedCellProcessor
+    from lte_cell_scanner_tpu.tracker.producer import PduChunk
+    from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(23)
+
+    for cp, n_ports in ((CpType.NORMAL, 2), (CpType.EXTENDED, 1),
+                        (CpType.NORMAL, 4)):
+        n_symb = 7 if cp is CpType.NORMAL else 6
+
+        def make(native):
+            state = GlobalState(fc_requested=FC, fc_programmed=FC,
+                                fs_programmed=FS, frequency_offset=50.0)
+            cell = TrackedCell(n_id_cell=277, n_id_1=92, n_id_2=1,
+                               cp_type=cp, n_ports=n_ports,
+                               frame_timing=100.0)
+            proc = TrackedCellProcessor(cell, state)
+            if not native:
+                proc._native = None
+            return state, cell, proc
+
+        st_a, cell_a, proc_a = make(True)
+        st_b, cell_b, proc_b = make(False)
+
+        total = 20 * n_symb * 3 + 11     # ~3 frames, ragged tick edges
+        S_all = rng.normal(size=(total, 72)) \
+            + 1j * rng.normal(size=(total, 72))
+        fo_all = 50.0 + 0.05 * np.arange(total)
+        ft_all = np.full(total, 100.0)
+        start = 0
+        for n in (31, 1, 2, 54, 97, 40):
+            n = min(n, total - start)
+            if n <= 0:
+                break
+            sl = slice(start, start + n)
+            chunk = PduChunk(data=np.zeros((n, 128), np.complex128),
+                             late=np.zeros(n), fo=fo_all[sl].copy(),
+                             ft=ft_all[sl].copy(), sym0=start)
+            fd = S_all[sl]
+            proc_a.process(chunk, fd_syms=fd.copy())
+            proc_b.process(chunk, fd_syms=fd.copy())
+            start += n
+
+        assert abs(st_a.frequency_offset - st_b.frequency_offset) < 1e-6
+        assert abs(cell_a.frame_timing - cell_b.frame_timing) < 1e-8
+        np.testing.assert_allclose(cell_a.ac_fd, cell_b.ac_fd, atol=1e-10)
+        np.testing.assert_allclose(cell_a.ac_td, cell_b.ac_td, atol=1e-10)
+        assert cell_a.ce is not None and cell_b.ce is not None
+        np.testing.assert_allclose(cell_a.ce, cell_b.ce, atol=1e-10)
+        np.testing.assert_allclose(cell_a.crs_tp_av, cell_b.crs_tp_av,
+                                   atol=1e-12)
+        np.testing.assert_allclose(cell_a.crs_sp_raw_av,
+                                   cell_b.crs_sp_raw_av, atol=1e-12)
+        np.testing.assert_allclose(cell_a.crs_np_av, cell_b.crs_np_av,
+                                   atol=1e-12)
+        # remaining fifo state must match too (same pending/emitted split)
+        for p in range(n_ports):
+            fa = proc_a.ce_interp_fifo[p]
+            fb = proc_b.ce_interp_fifo[p]
+            assert fa.n == fb.n
+        assert proc_a.data_fifo.n == proc_b.data_fifo.n
+        assert cell_a.mib_decode_failures == cell_b.mib_decode_failures
