@@ -105,6 +105,7 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_void_p]
+    lib.sync_snr.argtypes = [ctypes.c_void_p] * 6
     lib.cell_frame_symbols.restype = ctypes.c_int64
     lib.cell_frame_symbols.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,

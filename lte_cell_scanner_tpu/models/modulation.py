@@ -97,6 +97,15 @@ def lte_demodulate_host(syms: np.ndarray, np_vec: np.ndarray,
     syms = np.asarray(syms)
     np_vec = np.asarray(np_vec, dtype=np.float64)
     bps = _BPS[modulation]
+    if modulation == "qpsk":
+        # exact log-MAP closed form: the log(2cosh) term of the other
+        # bit axis cancels in m0-m1, leaving llr = 2*sqrt(2)*I_or_Q/np
+        # (pinned against the generic path in tests/test_coding.py)
+        s = (2.0 * np.sqrt(2.0)) / np_vec
+        out = np.empty((syms.shape[0], 2))
+        out[:, 0] = syms.real * s
+        out[:, 1] = syms.imag * s
+        return out.reshape(-1)
     table = mod_map(modulation)
 
     d = syms[:, None] - table[None, :]

@@ -147,6 +147,9 @@ class TrackedCellProcessor:
         self.mib_fifo_synchronized = False
         self._pbch_keep = None
         self.sss_sym: Optional[np.ndarray] = None
+        # cached sync-channel tables: (sss_fd slot0 f64, slot10 f64,
+        # conj pss_fd)
+        self._sync_tabs: Optional[tuple] = None
         # native per-RS-window numerics (native/tracker_math.cpp),
         # numpy fallback when the library is unavailable
         from ..io.native import get_lib
@@ -644,24 +647,43 @@ class TrackedCellProcessor:
             return
         sss_sym = self.sss_sym
         pss_sym = syms
-        np_blank = (_sigpower(sss_sym[0:5]) + _sigpower(sss_sym[67:72])
-                    + _sigpower(pss_sym[0:5]) + _sigpower(pss_sym[67:72])) / 4
-        sss_tab = SSS_FD()[c.n_id_1, c.n_id_2, 0 if slot_num == 0 else 1]
-        ce_sss = sss_sym[5:67] * sss_tab.astype(np.float64)
-        ce_pss = pss_sym[5:67] * np.conj(PSS_FD()[c.n_id_2])
-        # 13-tap clamped sliding mean over both estimates, via prefix
-        # sums: sum[lo..hi] = cs[hi+1] - cs[lo] with lo/hi railed to the
-        # band edges (identical to the reference's scalar window loop)
-        cs = np.zeros(63, dtype=np.complex128)
-        np.cumsum(ce_sss + ce_pss, out=cs[1:])
-        t = np.arange(62)
-        lo = np.maximum(0, t - 6)
-        hi = np.minimum(61, t + 6)
-        ce_smooth = (cs[hi + 1] - cs[lo]) / (2.0 * (hi - lo + 1))
-        np_est = (_sigpower(ce_smooth - ce_sss) * 13 / 12
-                  + _sigpower(ce_smooth - ce_pss) * 13 / 12) / 2
-        tp = _sigpower(ce_smooth)
-        sp = tp - np_est / 13
+        tabs = self._sync_tabs
+        if tabs is None:
+            tabs = self._sync_tabs = (
+                np.ascontiguousarray(SSS_FD()[c.n_id_1, c.n_id_2, 0],
+                                     np.float64),
+                np.ascontiguousarray(SSS_FD()[c.n_id_1, c.n_id_2, 1],
+                                     np.float64),
+                np.ascontiguousarray(np.conj(PSS_FD()[c.n_id_2])))
+        sss_tab = tabs[0 if slot_num == 0 else 1]
+        if self._native is not None:
+            sss_c = np.ascontiguousarray(sss_sym)
+            pss_c = np.ascontiguousarray(pss_sym)
+            scal = np.empty(4)
+            ce_smooth = np.empty(62, np.complex128)
+            self._native.sync_snr(
+                sss_c.ctypes.data, pss_c.ctypes.data, sss_tab.ctypes.data,
+                tabs[2].ctypes.data, scal.ctypes.data, ce_smooth.ctypes.data)
+            tp, sp, np_est, np_blank = scal
+        else:
+            np_blank = (_sigpower(sss_sym[0:5]) + _sigpower(sss_sym[67:72])
+                        + _sigpower(pss_sym[0:5])
+                        + _sigpower(pss_sym[67:72])) / 4
+            ce_sss = sss_sym[5:67] * sss_tab
+            ce_pss = pss_sym[5:67] * tabs[2]
+            # 13-tap clamped sliding mean over both estimates, via prefix
+            # sums: sum[lo..hi] = cs[hi+1] - cs[lo] with lo/hi railed to
+            # the band edges (identical to the reference's scalar loop)
+            cs = np.zeros(63, dtype=np.complex128)
+            np.cumsum(ce_sss + ce_pss, out=cs[1:])
+            t = np.arange(62)
+            lo = np.maximum(0, t - 6)
+            hi = np.minimum(61, t + 6)
+            ce_smooth = (cs[hi + 1] - cs[lo]) / (2.0 * (hi - lo + 1))
+            np_est = (_sigpower(ce_smooth - ce_sss) * 13 / 12
+                      + _sigpower(ce_smooth - ce_pss) * 13 / 12) / 2
+            tp = _sigpower(ce_smooth)
+            sp = tp - np_est / 13
         c.sync_tp, c.sync_sp, c.sync_np, c.sync_np_blank = \
             tp, sp, np_est, np_blank
         c.sync_ce = np.concatenate([np.zeros(5), ce_smooth, np.zeros(5)])
@@ -877,28 +899,35 @@ class TrackedCellProcessor:
         slots, symsn, S_rdy = self.data_fifo.pop_n(n_ready)
         per_port = [f.pop_n(n_ready) for f in self.ce_interp_fifo]
         ce_p = [pp[0] for pp in per_port]                  # each [n, 72]
-        tp_p = np.stack([pp[1] for pp in per_port])        # [n_ports, n]
-        sp_p = np.stack([pp[2] for pp in per_port])
-        spr_p = np.stack([pp[3] for pp in per_port])
-        np_p = np.stack([pp[4] for pp in per_port])
+        # per-port scalar tracks stay as lists of [n] arrays; full
+        # [n_ports, n] matrices are never needed -- only single columns
+        # at the rare special symbols below (lazy gathers beat 4 stacks
+        # per tick on the hot path)
+        tp_p = [pp[1] for pp in per_port]
+        sp_p = [pp[2] for pp in per_port]
+        spr_p = [pp[3] for pp in per_port]
+        np_p = [pp[4] for pp in per_port]
+
+        def col(track, i):
+            return np.array([a[i] for a in track])
 
         # instant dashboard registers carry the LAST processed symbol
         c.ce = np.stack([cep[-1] for cep in ce_p])
-        c.crs_sp_raw = spr_p[:, -1].copy()
-        c.crs_np = np_p[:, -1].copy()
+        c.crs_sp_raw = col(spr_p, -1)
+        c.crs_np = col(np_p, -1)
 
         first_init = c.crs_sp_raw_av is None
         if first_init:
-            c.crs_tp_av = tp_p[:, 0].copy()
-            c.crs_sp_raw_av = spr_p[:, 0].copy()
-            c.crs_np_av = np_p[:, 0].copy()
+            c.crs_tp_av = col(tp_p, 0)
+            c.crs_sp_raw_av = col(spr_p, 0)
+            c.crs_np_av = col(np_p, 0)
         ema = ((slots == 0) | (slots == 10)) & ((symsn == 5) | (symsn == 6))
         for i in np.nonzero(ema)[0]:
             if first_init and i == 0:
                 continue   # the init symbol itself takes no EMA step
-            c.crs_tp_av = 0.999 * c.crs_tp_av + 0.001 * tp_p[:, i]
-            c.crs_sp_raw_av = 0.999 * c.crs_sp_raw_av + 0.001 * spr_p[:, i]
-            c.crs_np_av = 0.999 * c.crs_np_av + 0.001 * np_p[:, i]
+            c.crs_tp_av = 0.999 * c.crs_tp_av + 0.001 * col(tp_p, i)
+            c.crs_sp_raw_av = 0.999 * c.crs_sp_raw_av + 0.001 * col(spr_p, i)
+            c.crs_np_av = 0.999 * c.crs_np_av + 0.001 * col(np_p, i)
 
         n_symb = c.n_symb_dl()
         sync = ((slots == 0) | (slots == 10)) \
@@ -912,6 +941,6 @@ class TrackedCellProcessor:
             if pbch[i]:
                 self.mib_fifo.append(
                     (dsyms, np.stack([cep[i] for cep in ce_p]),
-                     sp_p[:, i], np_p[:, i]))
+                     col(sp_p, i), col(np_p, i)))
                 if len(self.mib_fifo) == 16 and not self._mib_try_decode():
                     return

@@ -730,6 +730,69 @@ static void vit_init() {
     g_vit_init = 1;
 }
 
+// sync_snr: the tracker's per-half-frame PSS/SSS sync-channel SNR
+// estimate (reference do_pss_sss_sigpower_ce, tracker_thread.cpp:754-820
+// incl. the 13/12 smoothing-filter noise de-bias from exp.cpp:40-66).
+//
+// In:  sss/pss [72 c128] demodulated sync symbols,
+//      sss_tab [62 f64] real-valued SSS sequence for this half-frame,
+//      pss_conj [62 c128] conjugated PSS frequency sequence.
+// Out: scal [4] = {tp, sp, np_est, np_blank}; ce_smooth [62 c128].
+void sync_snr(const double* sss, const double* pss, const double* sss_tab,
+              const double* pss_conj, double* scal, double* ce_smooth) {
+    // blank-subcarrier noise power: 4 x 5-sample mean |.|^2
+    double blank = 0.0;
+    for (int k = 0; k < 5; k++) {
+        int a = 2 * k, b = 2 * (67 + k);
+        blank += sss[a] * sss[a] + sss[a + 1] * sss[a + 1]
+               + sss[b] * sss[b] + sss[b + 1] * sss[b + 1]
+               + pss[a] * pss[a] + pss[a + 1] * pss[a + 1]
+               + pss[b] * pss[b] + pss[b + 1] * pss[b + 1];
+    }
+    blank /= 4.0 * 5.0;
+
+    double ce_s[124], ce_p[124];
+    for (int k = 0; k < 62; k++) {
+        int i = 2 * (5 + k);
+        ce_s[2 * k] = sss[i] * sss_tab[k];
+        ce_s[2 * k + 1] = sss[i + 1] * sss_tab[k];
+        double hr = pss_conj[2 * k], hi = pss_conj[2 * k + 1];
+        ce_p[2 * k] = pss[i] * hr - pss[i + 1] * hi;
+        ce_p[2 * k + 1] = pss[i] * hi + pss[i + 1] * hr;
+    }
+    // 13-tap edge-clamped sliding mean over (ce_s + ce_p) via prefix sums
+    double cs[126];
+    cs[0] = cs[1] = 0.0;
+    for (int k = 0; k < 62; k++) {
+        cs[2 * (k + 1)] = cs[2 * k] + ce_s[2 * k] + ce_p[2 * k];
+        cs[2 * (k + 1) + 1] = cs[2 * k + 1] + ce_s[2 * k + 1]
+                              + ce_p[2 * k + 1];
+    }
+    double tp = 0.0, r_s = 0.0, r_p = 0.0;
+    for (int t = 0; t < 62; t++) {
+        int lo = t - 6 < 0 ? 0 : t - 6;
+        int hi = t + 6 > 61 ? 61 : t + 6;
+        double inv = 1.0 / (2.0 * (hi - lo + 1));
+        double re = (cs[2 * (hi + 1)] - cs[2 * lo]) * inv;
+        double im = (cs[2 * (hi + 1) + 1] - cs[2 * lo + 1]) * inv;
+        ce_smooth[2 * t] = re;
+        ce_smooth[2 * t + 1] = im;
+        tp += re * re + im * im;
+        double dr = re - ce_s[2 * t], di = im - ce_s[2 * t + 1];
+        r_s += dr * dr + di * di;
+        dr = re - ce_p[2 * t];
+        di = im - ce_p[2 * t + 1];
+        r_p += dr * dr + di * di;
+    }
+    tp /= 62.0;
+    double np_est = (r_s / 62.0 * 13.0 / 12.0
+                     + r_p / 62.0 * 13.0 / 12.0) / 2.0;
+    scal[0] = tp;
+    scal[1] = tp - np_est / 13.0;
+    scal[2] = np_est;
+    scal[3] = blank;
+}
+
 void viterbi_tailbite(const double* llr, int64_t n, int32_t* bits) {
     vit_init();
     // Each trellis state t has exactly two incoming edges; listing them

@@ -768,6 +768,15 @@ def test_native_cell_tick_matches_numpy_process():
                                    cell_b.crs_sp_raw_av, atol=1e-12)
         np.testing.assert_allclose(cell_a.crs_np_av, cell_b.crs_np_av,
                                    atol=1e-12)
+        # native sync_snr vs numpy fallback (do_pss_sss_sigpower_ce)
+        for f in ("sync_tp", "sync_sp", "sync_np", "sync_np_blank",
+                  "sync_tp_av", "sync_sp_av", "sync_np_av",
+                  "sync_np_blank_av"):
+            a, b = getattr(cell_a, f), getattr(cell_b, f)
+            assert not np.isnan(a) and not np.isnan(b), f
+            np.testing.assert_allclose(a, b, atol=1e-12, err_msg=f)
+        np.testing.assert_allclose(cell_a.sync_ce, cell_b.sync_ce,
+                                   atol=1e-12)
         # remaining fifo state must match too (same pending/emitted split)
         for p in range(n_ports):
             fa = proc_a.ce_interp_fifo[p]

@@ -95,13 +95,6 @@ class MultiCellStream:
         self.pos += n
         return awgn(acc, self.snr_db, rng=self.rng).astype(np.complex64)
 
-    def blocks(self):
-        while True:
-            while len(self.pending) >= BLOCK:
-                yield self.pending[:BLOCK]
-                self.pending = self.pending[BLOCK:]
-            self.pending = np.concatenate([self.pending, self._chunk()])
-
     def take(self, n: int) -> np.ndarray:
         """Pregenerate n samples (for the TIMED segments: generation is
         ~10x slower than realtime at 4 cells and must not pollute the
@@ -117,19 +110,20 @@ class MultiCellStream:
         return buf[:n]
 
 
-def bench_one(n_cells, runs, seconds, snr_db, verbose=True):
+def bench_one(n_cells, runs, seconds, snr_db, verbose=True, profile=False):
     from lte_cell_scanner_tpu.tracker import TrackerRunner
 
     stream = MultiCellStream(n_cells, snr_db)
     runner = TrackerRunner(FC, FC, FS)
     runner.warmup()
 
-    blocks = stream.blocks()
     # ---- acquisition (untimed): all N cells tracked ----
+    # (all stream reads go through take(); a suspended generator would
+    # hold a yielded-but-not-yet-consumed block and corrupt continuity)
     fed = 0
     limit = int(30 * FS)
     while len(runner.cells) < n_cells:
-        runner.process_block(next(blocks))
+        runner.process_block(stream.take(BLOCK))
         fed += BLOCK
         if fed > limit:
             raise RuntimeError(
@@ -137,17 +131,25 @@ def bench_one(n_cells, runs, seconds, snr_db, verbose=True):
                 f"in {fed / FS:.1f} s of stream")
     # settle: let the last cell reach MIB sync before timing
     for _ in range(int(0.5 * FS) // BLOCK):
-        runner.process_block(next(blocks))
+        runner.process_block(stream.take(BLOCK))
 
     # ---- timed steady-state segments (signal pregenerated) ----
     n_blocks = int(seconds * FS) // BLOCK
     factors = []
+    prof = None
+    if profile:
+        import cProfile
+        prof = cProfile.Profile()
     for r in range(runs):
         seg = stream.take(n_blocks * BLOCK)
         views = [seg[i * BLOCK: (i + 1) * BLOCK] for i in range(n_blocks)]
         t0 = time.perf_counter()
+        if prof is not None:
+            prof.enable()
         for v in views:
             runner.process_block(v)
+        if prof is not None:
+            prof.disable()
         wall = time.perf_counter() - t0
         stream_s = n_blocks * BLOCK / FS
         factors.append(stream_s / wall)
@@ -156,10 +158,18 @@ def bench_one(n_cells, runs, seconds, snr_db, verbose=True):
                   f"{wall:.2f} s wall = {factors[-1]:.2f}x realtime",
                   file=sys.stderr)
 
+    if prof is not None:
+        import pstats
+        pstats.Stats(prof, stream=sys.stderr).sort_stats(
+            "cumulative").print_stats(35)
     ok = all(tc.health_pct() > 95.0 for tc in runner.cells)
     if not ok and verbose:
         print("  WARNING: not all cells at full health during the bench",
               file=sys.stderr)
+        for tc in runner.cells:
+            print(f"    cell {tc.n_id_cell}: health {tc.health_pct():.1f}%"
+                  f" ({tc.mib_decode_failures:.1f} failures)",
+                  file=sys.stderr)
     runner.close()
     return max(factors), ok
 
@@ -172,6 +182,8 @@ def main():
     ap.add_argument("--snr", type=float, default=12.0)
     ap.add_argument("--sweep", action="store_true",
                     help="bench 1..--cells instead of just --cells")
+    ap.add_argument("--profile", action="store_true",
+                    help="cProfile the timed segments, print top stats")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -179,7 +191,8 @@ def main():
     out = {}
     for n in counts:
         print(f"[{n} cell(s)]", file=sys.stderr)
-        factor, healthy = bench_one(n, args.runs, args.seconds, args.snr)
+        factor, healthy = bench_one(n, args.runs, args.seconds, args.snr,
+                                    profile=args.profile)
         out[n] = factor
         if args.json:
             print(json.dumps({"metric": "tracker_realtime_factor",
