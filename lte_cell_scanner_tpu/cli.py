@@ -229,7 +229,8 @@ def cmd_track(args) -> int:
                            search_period=args.search_period,
                            search_mesh=mesh,
                            search_async=args.async_search,
-                           search_duty=args.search_duty)
+                           search_duty=args.search_duty,
+                           parallel_cells=args.parallel_cells)
     if not args.no_warmup:
         if args.verbose:
             print("Compiling the search/decode path (one-time warmup) ...")
@@ -378,6 +379,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "cycle_time/duty stream-seconds since the last "
                          "(load-adaptive nice+20 analog; 0 = period-only "
                          "cadence)")
+    pt.add_argument("--parallel-cells", type=int, default=0,
+                    help=">1: run each cell's tracker tick on a worker "
+                         "pool of this size (the reference's "
+                         "thread-per-cell layout; the global FO register "
+                         "update order becomes scheduling-dependent, the "
+                         "reference's documented benign race)")
     pt.add_argument("--async-search", action="store_true",
                     help="run the background searcher on a nice+19 "
                          "worker thread concurrent with streaming (the "

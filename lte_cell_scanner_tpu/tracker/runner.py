@@ -62,7 +62,7 @@ class TrackerRunner:
                  search_config: Optional[SearchConfig] = None,
                  device_fd: bool = True, search_period: float = 0.0,
                  search_mesh=None, search_async: bool = False,
-                 search_duty: float = 0.5):
+                 search_duty: float = 0.5, parallel_cells: int = 0):
         self.state = GlobalState(fc_requested=fc_requested,
                                  fc_programmed=fc_programmed,
                                  fs_programmed=fs_programmed,
@@ -106,6 +106,17 @@ class TrackerRunner:
         self.search_async = search_async
         self._search_future = None
         self._search_pool = None
+        # >1 runs each cell's tracker tick (its get_fd + control loops)
+        # on a worker pool -- the reference's thread-per-cell layout
+        # (tracker_thread.cpp spawn, producer_thread.cpp:171-174).  The
+        # native stages release the GIL, so cells overlap on spare
+        # cores.  Off by default: the only cross-cell state is the
+        # global frequency-offset register, whose update order becomes
+        # scheduling-dependent -- the same benign race the reference
+        # documents at tracker_thread.cpp:235-238 ("worst that will
+        # happen is we lose one of many updates").
+        self.parallel_cells = int(parallel_cells)
+        self._cell_pool = None
 
     # ------------------------------------------------------------------
     def warmup(self) -> None:
@@ -161,18 +172,38 @@ class TrackerRunner:
             fifo = self.producer.fifos.get(tc.n_id_cell)
             chunk = fifo.pop_upto(cap) if fifo is not None else None
             work.append((tc, fifo, chunk))
-        fd_map = {}
-        if self.device_fd:
-            batch = [(self.processors[tc.n_id_cell], ch)
-                     for tc, _, ch in work if ch is not None]
-            if batch:
+        active = [(tc, ch) for tc, _, ch in work if ch is not None]
+        if self.parallel_cells > 1 and len(active) > 1:
+            from .batched import batched_get_fd
+
+            def _cell_job(tc, chunk):
+                proc = self.processors[tc.n_id_cell]
+                fd = None
+                if self.device_fd:
+                    fd = batched_get_fd([(proc, chunk)], self.state)[0]
+                proc.process(chunk, fd_syms=fd)
+
+            pool = self._cell_pool
+            if pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                pool = self._cell_pool = ThreadPoolExecutor(
+                    max_workers=self.parallel_cells,
+                    thread_name_prefix="cell")
+            futs = [pool.submit(_cell_job, tc, ch) for tc, ch in active]
+            for f in futs:
+                f.result()
+        else:
+            fd_map = {}
+            if self.device_fd and active:
                 from .batched import batched_get_fd
+                batch = [(self.processors[tc.n_id_cell], ch)
+                         for tc, ch in active]
                 outs = batched_get_fd(batch, self.state)
                 fd_map = {id(p): o for (p, _), o in zip(batch, outs)}
+            for tc, ch in active:
+                proc = self.processors[tc.n_id_cell]
+                proc.process(ch, fd_syms=fd_map.get(id(proc)))
         for tc, fifo, chunk in work:
-            proc = self.processors[tc.n_id_cell]
-            if chunk is not None:
-                proc.process(chunk, fd_syms=fd_map.get(id(proc)))
             if fifo is not None:
                 tc.fifo_depth = len(fifo)   # post-drain depth for the dash
             if tc.kill_me:
@@ -212,6 +243,9 @@ class TrackerRunner:
             self._search_pool.shutdown(wait=False, cancel_futures=True)
             self._search_pool = None
             self._search_future = None
+        if self._cell_pool is not None:
+            self._cell_pool.shutdown(wait=True)
+            self._cell_pool = None
 
     def _pool(self):
         if self._search_pool is None:

@@ -84,6 +84,34 @@ def test_two_cells_tracked_simultaneously():
     assert abs(runner.state.frequency_offset - 200.0) < 50.0
 
 
+def test_parallel_cells_tracked():
+    """parallel_cells>1 (per-cell tracker ticks on a worker pool, the
+    reference's thread-per-cell layout) must hold multiple cells at full
+    health with a converged global FO; only the FO register's update
+    ORDER is scheduling-dependent (the reference's documented benign
+    race, tracker_thread.cpp:235-238)."""
+    from lte_cell_scanner_tpu.sim import create_dl_sig
+
+    rng = np.random.default_rng(22)
+    a = create_dl_sig(CpType.NORMAL, 500, 0, 92, 1, 0.4, rng=rng,
+                      n_ports=2, sfn=4)
+    b = create_dl_sig(CpType.NORMAL, 500, 7, 90, 1, 0.4, rng=rng,
+                      n_ports=2, sfn=8)
+    sig = awgn(apply_freq_offset(a + 0.7 * b, 200.0), 12.0, rng=rng)
+
+    runner = TrackerRunner(FC, FC, FS, parallel_cells=2)
+    for i in range(0, len(sig), 10000):
+        runner.process_block(sig[i: i + 10000])
+    runner.close()
+
+    got = {tc.n_id_cell: tc for tc in runner.cells}
+    assert set(got) == {277, 271}
+    for tc in got.values():
+        assert tc.n_ports == 2
+        assert tc.health_pct() > 99.0
+    assert abs(runner.state.frequency_offset - 200.0) < 50.0
+
+
 def test_four_port_cell_tracked():
     """A 4-port (SFBC+FSTD) cell: CE tracking on ports 2/3 (CRS only in
     symbol 1, reference tracker_thread.cpp port loops) and the 4-port

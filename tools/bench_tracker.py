@@ -110,11 +110,12 @@ class MultiCellStream:
         return buf[:n]
 
 
-def bench_one(n_cells, runs, seconds, snr_db, verbose=True, profile=False):
+def bench_one(n_cells, runs, seconds, snr_db, verbose=True, profile=False,
+              parallel=0):
     from lte_cell_scanner_tpu.tracker import TrackerRunner
 
     stream = MultiCellStream(n_cells, snr_db)
-    runner = TrackerRunner(FC, FC, FS)
+    runner = TrackerRunner(FC, FC, FS, parallel_cells=parallel)
     runner.warmup()
 
     # ---- acquisition (untimed): all N cells tracked ----
@@ -184,6 +185,9 @@ def main():
                     help="bench 1..--cells instead of just --cells")
     ap.add_argument("--profile", action="store_true",
                     help="cProfile the timed segments, print top stats")
+    ap.add_argument("--parallel", type=int, default=0,
+                    help=">1: per-cell tracker ticks on a worker pool "
+                         "(the reference's thread-per-cell layout)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -192,7 +196,8 @@ def main():
     for n in counts:
         print(f"[{n} cell(s)]", file=sys.stderr)
         factor, healthy = bench_one(n, args.runs, args.seconds, args.snr,
-                                    profile=args.profile)
+                                    profile=args.profile,
+                                    parallel=args.parallel)
         out[n] = factor
         if args.json:
             print(json.dumps({"metric": "tracker_realtime_factor",
