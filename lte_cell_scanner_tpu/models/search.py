@@ -21,7 +21,8 @@ from ..utils.debug import debug_export, stage
 from .mib import decode_mib
 from .peaks import peak_search
 from .rs import RsDl
-from .sss_detect import pss_sss_foe, sss_detect
+from .sss_detect import (pss_sss_foe, pss_sss_foe_batch, sss_detect,
+                         sss_detect_batch)
 from .tfg import extract_tfg, tfoec
 from .xcorr import xcorr_pss
 
@@ -58,6 +59,10 @@ class SearchConfig:
     # already-tracked check sits exactly there
     # (searcher_thread.cpp:157-177)
     skip_ids: frozenset = frozenset()
+    # batch the SSS/FOE stages of all peaks into one vmapped device
+    # program per stage (False = the reference's peak-at-a-time order;
+    # same math, kept for A/B and per-peak debugging)
+    batch_peaks: bool = True
 
 
 def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
@@ -65,7 +70,30 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
                  cfg: SearchConfig) -> List[Cell]:
     """Per-peak back half of the pipeline: SSS detection, fine FOE, OFDM
     demod, superfine TOE/FOE, channel estimation, and blind MIB decode
-    (reference CellSearch.cpp:514-570)."""
+    (reference CellSearch.cpp:514-570).
+
+    The SSS-detection and fine-FOE stages of all peaks run as one
+    vmapped device program each (sss_detect_batch / pss_sss_foe_batch)
+    -- peaks are independent, and per-peak dispatch round-trips dominate
+    these tiny stages on an accelerator."""
+    if cfg.batch_peaks:
+        with stage("sss_detect"):
+            cells = sss_detect_batch(peaks, capbuf, cfg.thresh2_n_sigma,
+                                     fc_requested, fc_programmed,
+                                     fs_programmed, compat=cfg.compat)
+        cells = [c for c in cells
+                 if c.n_id_1 >= 0 and c.n_id_cell() not in cfg.skip_ids]
+        with stage("pss_sss_foe"):
+            cells = pss_sss_foe_batch(cells, capbuf, fc_requested,
+                                      fc_programmed, fs_programmed,
+                                      compat=cfg.compat)
+        if not cfg.decode:
+            return cells
+        return [c2 for c in cells
+                if (c2 := _decode_back_half(c, capbuf, fc_requested,
+                                            fc_programmed, fs_programmed,
+                                            cfg)) is not None]
+
     detected: List[Cell] = []
     for cell in peaks:
         with stage("sss_detect"):
@@ -82,19 +110,31 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
         if not cfg.decode:
             detected.append(cell)
             continue
-        with stage("extract_tfg"):
-            tfg, tfg_timestamp = extract_tfg(cell, capbuf, fc_requested,
-                                             fc_programmed, fs_programmed)
-        rs_dl = RsDl(cell.n_id_cell(), 6, cell.cp_type)
-        with stage("tfoec"):
-            cell, tfg_comp, _ = tfoec(cell, tfg, tfg_timestamp,
-                                      fc_requested, fc_programmed, rs_dl)
-        with stage("decode_mib"):
-            cell = decode_mib(cell, tfg_comp, rs_dl, interp=cfg.interp)
-        if cell.n_rb_dl < 0:
-            continue
-        detected.append(cell)
+        cell = _decode_back_half(cell, capbuf, fc_requested, fc_programmed,
+                                 fs_programmed, cfg)
+        if cell is not None:
+            detected.append(cell)
     return detected
+
+
+def _decode_back_half(cell: Cell, capbuf: np.ndarray, fc_requested: float,
+                      fc_programmed: float, fs_programmed: float,
+                      cfg: SearchConfig) -> Optional[Cell]:
+    """OFDM demod -> superfine FOE/TOE -> channel est -> blind MIB decode
+    for one SSS-accepted peak; None when the MIB never decodes
+    (reference CellSearch.cpp:542-570)."""
+    with stage("extract_tfg"):
+            tfg, tfg_timestamp = extract_tfg(cell, capbuf, fc_requested,
+                                         fc_programmed, fs_programmed)
+    rs_dl = RsDl(cell.n_id_cell(), 6, cell.cp_type)
+    with stage("tfoec"):
+        cell, tfg_comp, _ = tfoec(cell, tfg, tfg_timestamp,
+                                  fc_requested, fc_programmed, rs_dl)
+    with stage("decode_mib"):
+        cell = decode_mib(cell, tfg_comp, rs_dl, interp=cfg.interp)
+    if cell.n_rb_dl < 0:
+        return None
+    return cell
 
 
 def cell_search(capbuf, f_search_set, fc_requested: float,

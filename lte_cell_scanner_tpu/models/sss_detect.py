@@ -26,7 +26,8 @@ Two semantic variants are supported via ``compat``:
 
 from __future__ import annotations
 
-from typing import Dict
+from functools import lru_cache
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -113,17 +114,15 @@ def _pad_locs(n_cap: int, locs: np.ndarray):
     return out, mask
 
 
-def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
-                         fc_programmed: float, fs_programmed: float,
-                         compat: str = "production"):
-    """Channel-compensated SSS estimates for both CP hypotheses.
-
-    Returns (h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext), each length 62.
-    """
+def _getce_prepare(cell: Cell, n_cap: int, fc_requested: float,
+                   fc_programmed: float, fs_programmed: float,
+                   compat: str) -> Tuple[np.ndarray, np.ndarray, float, float]:
+    """Host half of sss_detect_getce_sss: the padded PSS DFT location
+    list, its validity mask, and the per-peak mixer scalars.  Float64
+    host arithmetic, exactly as the reference's double math."""
     peak_loc = float(cell.ind)
     peak_freq = cell.freq
     k_factor = (fc_requested - peak_freq) / fc_programmed
-    n_cap = int(np.asarray(capbuf).shape[0])
     fs_mix = FS_LTE / 16 if compat == "golden" else fs_programmed * k_factor
 
     # No room to the left for the SSS? skip right by 5 subframes.
@@ -143,6 +142,19 @@ def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
     # weight-0 masks, so every sum gains only exact zeros and the
     # results stay bit-identical to the unpadded math.
     locs, mask = _pad_locs(n_cap, pss_dft_locs)
+    return locs, mask, peak_freq, fs_mix
+
+
+def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
+                         fc_programmed: float, fs_programmed: float,
+                         compat: str = "production"):
+    """Channel-compensated SSS estimates for both CP hypotheses.
+
+    Returns (h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext), each length 62.
+    """
+    n_cap = int(np.asarray(capbuf).shape[0])
+    locs, mask, peak_freq, fs_mix = _getce_prepare(
+        cell, n_cap, fc_requested, fc_programmed, fs_programmed, compat)
     base = np.arange(128)[None, :]
     locs = locs[:, None]
     return _getce_core(jnp.asarray(capbuf),
@@ -154,11 +166,10 @@ def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
                        jnp.asarray(np.conj(PSS_FD()[cell.n_id_2])))
 
 
-@jax.jit
-def _getce_core(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq, fs_mix,
+def _getce_impl(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq, fs_mix,
                 pss_fd_conj):
-    """Device portion of sss_detect_getce_sss as one jitted program
-    (compiles once per capture length): PSS channel estimates, 13-tap
+    """Device portion of sss_detect_getce_sss (one traced program,
+    compiles once per capture length): PSS channel estimates, 13-tap
     smoothing, noise power, SSS extraction at both CP offsets, and the
     inverse-noise MMSE combine into h1 (even half-frames) / h2 (odd).
     Rows where mask is False are padding and contribute exact zeros."""
@@ -188,21 +199,29 @@ def _getce_core(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq, fs_mix,
     return h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext
 
 
-def sss_detect_ml(cell: Cell, h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext):
-    """Log-likelihood of all 168 N_id_1 x {h12,h21} x {normal,ext} hypotheses.
+_getce_core = jax.jit(_getce_impl)
 
-    Vectorized over the whole SSS ROM table (reference searcher.cpp:636-693
-    loops per candidate).  Returns (log_lik_nrm [168,2], log_lik_ext [168,2]).
-    """
+
+@lru_cache(maxsize=1)
+def _ml_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """SSS candidate tables for the ML stage, indexed by n_id_2:
+    try12/try21 [3, 168, 124] float64 (slot-0|slot-10 and swapped)."""
+    t = SSS_FD().astype(np.float64)                 # [168, 3, 2, 62]
+    h1 = t[:, :, 0]                                 # [168, 3, 62]
+    h2 = t[:, :, 1]
+    try12 = np.concatenate([h1, h2], axis=-1).transpose(1, 0, 2).copy()
+    try21 = np.concatenate([h2, h1], axis=-1).transpose(1, 0, 2).copy()
+    return try12, try21
+
+
+def _ml_impl(h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext, try12, try21):
+    """Log-likelihood of all 168 N_id_1 x {h12,h21} x {normal,ext}
+    hypotheses (reference searcher.cpp:636-693 loops per candidate).
+    try12/try21: [168, 124] real candidate tables for this peak's n_id_2.
+    Returns (log_lik_nrm [168,2], log_lik_ext [168,2])."""
     np12 = jnp.concatenate([h1_np, h2_np])          # [124]
     est_nrm = jnp.concatenate([h1_nrm, h2_nrm])     # [124]
     est_ext = jnp.concatenate([h1_ext, h2_ext])
-
-    table = SSS_FD()[:, cell.n_id_2]                # [168, 2, 62] (+-1)
-    h1_try = table[:, 0].astype(np.float64)
-    h2_try = table[:, 1].astype(np.float64)
-    try12 = jnp.asarray(np.concatenate([h1_try, h2_try], axis=1))  # [168,124]
-    try21 = jnp.asarray(np.concatenate([h2_try, h1_try], axis=1))
 
     def loglik(est, trys):
         # phase-align the (real) candidate to the estimate, then Gaussian LL
@@ -220,21 +239,40 @@ def sss_detect_ml(cell: Cell, h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext):
     return log_lik_nrm, log_lik_ext
 
 
-def sss_detect(cell: Cell, capbuf, thresh2_n_sigma: float, fc_requested: float,
-               fc_programmed: float, fs_programmed: float,
-               return_extras: bool = False, compat: str = "production"):
-    """Full SSS detection stage (reference searcher.cpp:696-761).
+def sss_detect_ml(cell: Cell, h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext):
+    """Per-peak ML stage over precomputed SSS estimates (public helper;
+    the fused cores below run the same math inside one jitted program)."""
+    try12, try21 = _ml_tables()
+    return _ml_impl(h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext,
+                    jnp.asarray(try12[cell.n_id_2]),
+                    jnp.asarray(try21[cell.n_id_2]))
 
-    Returns the updated Cell (n_id_1/cp_type/frame_start set on acceptance),
-    plus an extras dict when requested.
-    """
-    ests = sss_detect_getce_sss(cell, capbuf, fc_requested, fc_programmed,
-                                fs_programmed, compat=compat)
-    h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext = ests
-    log_lik_nrm, log_lik_ext = sss_detect_ml(cell, *ests)
 
-    lln = np.asarray(log_lik_nrm, dtype=np.float64)
-    lle = np.asarray(log_lik_ext, dtype=np.float64)
+def _detect_impl(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq, fs_mix,
+                 n_id_2, pss_conj_all, try12_all, try21_all):
+    """Fused device program: channel/SSS estimation (_getce_impl) plus the
+    168 x 2 x 2 ML table (_ml_impl) for one peak.  n_id_2 is a traced
+    scalar selecting rows of the ROM tables, so one compiled program
+    serves every peak (and vmaps over a batch of peaks)."""
+    ests = _getce_impl(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq,
+                       fs_mix, pss_conj_all[n_id_2])
+    lln, lle = _ml_impl(*ests, try12_all[n_id_2], try21_all[n_id_2])
+    return ests + (lln, lle)
+
+
+_detect_single = jax.jit(_detect_impl)
+_detect_batch = jax.jit(jax.vmap(
+    _detect_impl,
+    in_axes=(None, 0, 0, 0, 0, 0, 0, 0, None, None, None)))
+
+
+def _decide_sss(cell: Cell, lln: np.ndarray, lle: np.ndarray,
+                thresh2_n_sigma: float, fc_requested: float,
+                fc_programmed: float, fs_programmed: float,
+                compat: str) -> Cell:
+    """Host decision half of sss_detect: CP type + frame timing from the
+    log-likelihood tables, second-threshold acceptance (reference
+    searcher.cpp:695-761).  Float64 host scalars."""
     if lln.max() > lle.max():
         log_lik, cp_type = lln, CpType.NORMAL
     else:
@@ -269,6 +307,48 @@ def sss_detect(cell: Cell, capbuf, thresh2_n_sigma: float, fc_requested: float,
     if lik_final >= lik_mean + np.sqrt(lik_var) * thresh2_n_sigma:
         cell_out = cell.evolve(n_id_1=n_id_1_est, cp_type=cp_type,
                                frame_start=float(frame_start))
+    return cell_out
+
+
+def _detect_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
+                          fc_programmed: float, fs_programmed: float,
+                          compat: str):
+    """Per-peak device inputs for _detect_impl (everything but capbuf and
+    the shared ROM tables)."""
+    locs, mask, freq, fs_mix = _getce_prepare(
+        cell, n_cap, fc_requested, fc_programmed, fs_programmed, compat)
+    base = np.arange(128, dtype=np.int64)[None, :]
+    locs = locs[:, None]
+    return (locs + base, locs - 128 - 32 + base, locs - 128 - 9 + base,
+            mask, freq, fs_mix, cell.n_id_2)
+
+
+@lru_cache(maxsize=1)
+def _detect_rom_args():
+    try12, try21 = _ml_tables()
+    return (jnp.asarray(np.conj(PSS_FD())), jnp.asarray(try12),
+            jnp.asarray(try21))
+
+
+def sss_detect(cell: Cell, capbuf, thresh2_n_sigma: float, fc_requested: float,
+               fc_programmed: float, fs_programmed: float,
+               return_extras: bool = False, compat: str = "production"):
+    """Full SSS detection stage (reference searcher.cpp:696-761).
+
+    Returns the updated Cell (n_id_1/cp_type/frame_start set on acceptance),
+    plus an extras dict when requested.
+    """
+    n_cap = int(np.asarray(capbuf).shape[0])
+    args = _detect_device_inputs(cell, n_cap, fc_requested, fc_programmed,
+                                 fs_programmed, compat)
+    out = _detect_single(jnp.asarray(capbuf), *args, *_detect_rom_args())
+    h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext, log_lik_nrm, log_lik_ext \
+        = out
+
+    lln = np.asarray(log_lik_nrm, dtype=np.float64)
+    lle = np.asarray(log_lik_ext, dtype=np.float64)
+    cell_out = _decide_sss(cell, lln, lle, thresh2_n_sigma, fc_requested,
+                           fc_programmed, fs_programmed, compat)
 
     if return_extras:
         extras: Dict[str, np.ndarray] = {
@@ -285,16 +365,57 @@ def sss_detect(cell: Cell, capbuf, thresh2_n_sigma: float, fc_requested: float,
     return cell_out
 
 
-def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
-                fs_programmed: float, compat: str = "production") -> Cell:
-    """Fine frequency-offset estimation from PSS/SSS phase difference.
+def _bucket(n: int) -> int:
+    """Round a batch size up to a power of two so the vmapped programs
+    compile O(log n_peaks) times per capture length, not once per count."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
 
-    Behavioral contract: reference pss_sss_foe (searcher.cpp:767-850),
-    including its CP-specific pss_sss_dist formulas; the "golden" variant
-    matches Matlab/pss_sss_foe.m (verified by test/test_sss_detect.it).
-    """
+
+def sss_detect_batch(cells: Sequence[Cell], capbuf, thresh2_n_sigma: float,
+                     fc_requested: float, fc_programmed: float,
+                     fs_programmed: float, compat: str = "production"
+                     ) -> List[Cell]:
+    """sss_detect over a whole peak list as ONE device program.
+
+    The reference (and refine_peaks before this) runs the SSS stage
+    per peak; on an accelerator each tiny program pays a dispatch
+    round-trip, which dominates the back half of cell_search.  Peaks are
+    independent, so the fused detect core vmaps over them: the batch is
+    padded to a power-of-two row count (duplicating the first peak's
+    inputs; discarded) and decided per peak on host exactly as the
+    serial path."""
+    if not cells:
+        return []
+    capbuf = np.asarray(capbuf)
+    n_cap = int(capbuf.shape[0])
+    preps = [_detect_device_inputs(c, n_cap, fc_requested, fc_programmed,
+                                   fs_programmed, compat) for c in cells]
+    n = len(preps)
+    b = _bucket(n)
+    rows = preps + [preps[0]] * (b - n)
+    stacked = [np.stack([r[i] for r in rows]) for i in range(4)]
+    freq = np.array([r[4] for r in rows], dtype=np.float64)
+    fs_mix = np.array([r[5] for r in rows], dtype=np.float64)
+    n_id_2 = np.array([r[6] for r in rows], dtype=np.int64)
+    out = _detect_batch(jnp.asarray(capbuf),
+                        *(jnp.asarray(s) for s in stacked),
+                        jnp.asarray(freq), jnp.asarray(fs_mix),
+                        jnp.asarray(n_id_2), *_detect_rom_args())
+    lln = np.asarray(out[6], dtype=np.float64)
+    lle = np.asarray(out[7], dtype=np.float64)
+    return [_decide_sss(c, lln[i], lle[i], thresh2_n_sigma, fc_requested,
+                        fc_programmed, fs_programmed, compat)
+            for i, c in enumerate(cells)]
+
+
+def _foe_prepare(cell: Cell, n_cap: int, fc_requested: float,
+                 fc_programmed: float, fs_programmed: float, compat: str):
+    """Host half of pss_sss_foe: SSS DFT locations, slot-number sequence,
+    PSS-SSS distance, and the mixer/output-rate scalars."""
     k_factor = (fc_requested - cell.freq) / fc_programmed
-    n_cap = int(np.asarray(capbuf).shape[0])
     s = 16 / FS_LTE * fs_programmed * k_factor
     golden = compat == "golden"
     fs_mix = FS_LTE / 16 if golden else fs_programmed * k_factor
@@ -331,34 +452,101 @@ def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     # Compensate the per-segment phase-restart between SSS and PSS windows
     # (both variants use the nominal rate here, searcher.cpp:832).
     phase = np.pi * -cell.freq / (FS_LTE / 16 / 2) * -pss_sss_dist
-    sss_try = SSS_FD()[cell.n_id_1, cell.n_id_2]        # [2, 62]
-    # pad to a capture-length-only capacity (see _getce_core): padded
+    seg_phase = complex(np.cos(phase), np.sin(phase))
+    # pad to a capture-length-only capacity (see _getce_impl): padded
     # rows get weight 0, keeping the jitted shape peak-independent
     locs, mask = _pad_locs(n_cap, sss_locs)
     sn_pad = np.zeros(len(locs), dtype=np.int64)
     sn_pad[:n_sss] = sn_seq
-    base = np.arange(128)[None, :]
-    M = _foe_core(jnp.asarray(capbuf),
-                  jnp.asarray(locs[:, None] + pss_sss_dist + base),
-                  jnp.asarray(locs[:, None] + base),
-                  jnp.asarray(mask),
-                  cell.freq, fs_mix,
-                  jnp.asarray(np.conj(PSS_FD()[cell.n_id_2])),
-                  complex(np.cos(phase), np.sin(phase)),
-                  jnp.asarray(sss_try[sn_pad].astype(np.float64)))
+    return (locs, mask, sn_pad, pss_sss_dist, seg_phase, cell.freq, fs_mix,
+            fs_out)
+
+
+def _foe_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
+                       fc_programmed: float, fs_programmed: float,
+                       compat: str):
+    """Per-peak device inputs for _foe_impl plus the host scalars needed
+    to map M back to freq_fine."""
+    locs, mask, sn_pad, pss_sss_dist, seg_phase, freq, fs_mix, fs_out = \
+        _foe_prepare(cell, n_cap, fc_requested, fc_programmed,
+                     fs_programmed, compat)
+    base = np.arange(128, dtype=np.int64)[None, :]
+    locs = locs[:, None]
+    dev = (locs + pss_sss_dist + base, locs + base, mask, freq, fs_mix,
+           seg_phase, sn_pad, cell.n_id_1, cell.n_id_2)
+    return dev, pss_sss_dist, fs_out
+
+
+@lru_cache(maxsize=1)
+def _foe_rom_args():
+    return (jnp.asarray(np.conj(PSS_FD())),
+            jnp.asarray(SSS_FD().astype(np.float64)))
+
+
+def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
+                fs_programmed: float, compat: str = "production") -> Cell:
+    """Fine frequency-offset estimation from PSS/SSS phase difference.
+
+    Behavioral contract: reference pss_sss_foe (searcher.cpp:767-850),
+    including its CP-specific pss_sss_dist formulas; the "golden" variant
+    matches Matlab/pss_sss_foe.m (verified by test/test_sss_detect.it).
+    """
+    n_cap = int(np.asarray(capbuf).shape[0])
+    dev, pss_sss_dist, fs_out = _foe_device_inputs(
+        cell, n_cap, fc_requested, fc_programmed, fs_programmed, compat)
+    M = _foe_single(jnp.asarray(capbuf), *(jnp.asarray(a) for a in dev),
+                    *_foe_rom_args())
     M = complex(np.asarray(M))
 
     freq_fine = cell.freq + np.angle(M) / (2 * np.pi) * fs_out / pss_sss_dist
     return cell.evolve(freq_fine=float(freq_fine))
 
 
-@jax.jit
-def _foe_core(capbuf, idx_pss, idx_sss, mask, freq, fs_mix, pss_fd_conj,
-              seg_phase, sss_expect):
-    """Device portion of pss_sss_foe as one jitted program (compiles
-    once per capture length): PSS channel estimates + smoothing, SSS
+def pss_sss_foe_batch(cells: Sequence[Cell], capbuf, fc_requested: float,
+                      fc_programmed: float, fs_programmed: float,
+                      compat: str = "production") -> List[Cell]:
+    """pss_sss_foe over a whole accepted-peak list as ONE device program
+    (vmapped _foe_impl; see sss_detect_batch for the batching rules)."""
+    if not cells:
+        return []
+    capbuf = np.asarray(capbuf)
+    n_cap = int(capbuf.shape[0])
+    preps = [_foe_device_inputs(c, n_cap, fc_requested, fc_programmed,
+                                fs_programmed, compat) for c in cells]
+    n = len(preps)
+    rows = [p[0] for p in preps]
+    rows = rows + [rows[0]] * (_bucket(n) - n)
+    idx_pss = np.stack([r[0] for r in rows])
+    idx_sss = np.stack([r[1] for r in rows])
+    mask = np.stack([r[2] for r in rows])
+    freq = np.array([r[3] for r in rows], dtype=np.float64)
+    fs_mix = np.array([r[4] for r in rows], dtype=np.float64)
+    seg_phase = np.array([r[5] for r in rows], dtype=np.complex128)
+    sn_pad = np.stack([r[6] for r in rows])
+    n_id_1 = np.array([r[7] for r in rows], dtype=np.int64)
+    n_id_2 = np.array([r[8] for r in rows], dtype=np.int64)
+    M = np.asarray(_foe_batch(
+        jnp.asarray(capbuf), jnp.asarray(idx_pss), jnp.asarray(idx_sss),
+        jnp.asarray(mask), jnp.asarray(freq), jnp.asarray(fs_mix),
+        jnp.asarray(seg_phase), jnp.asarray(sn_pad), jnp.asarray(n_id_1),
+        jnp.asarray(n_id_2), *_foe_rom_args()))
+    out = []
+    for i, (c, (_, pss_sss_dist, fs_out)) in enumerate(zip(cells, preps)):
+        freq_fine = c.freq + np.angle(complex(M[i])) / (2 * np.pi) \
+            * fs_out / pss_sss_dist
+        out.append(c.evolve(freq_fine=float(freq_fine)))
+    return out
+
+
+def _foe_impl(capbuf, idx_pss, idx_sss, mask, freq, fs_mix, seg_phase,
+              sn_pad, n_id_1, n_id_2, pss_conj_all, sss_all):
+    """Device portion of pss_sss_foe (one traced program, compiles once
+    per capture length): PSS channel estimates + smoothing, SSS
     extraction/derotation, and the weighted conj(SSS)*H_pss accumulation
-    (reference searcher.cpp:816-848).  mask=False rows are padding."""
+    (reference searcher.cpp:816-848).  mask=False rows are padding;
+    n_id_1/n_id_2 are traced scalars selecting ROM rows."""
+    pss_fd_conj = pss_conj_all[n_id_2]
+    sss_expect = sss_all[n_id_1, n_id_2][sn_pad]          # [cap, 62]
     h_raw = _dft_segments_idx(capbuf, idx_pss, -freq, fs_mix) \
         * pss_fd_conj[None]
     h_sm = _smooth13(h_raw)
@@ -370,3 +558,9 @@ def _foe_core(capbuf, idx_pss, idx_sss, mask, freq, fs_mix, pss_fd_conj,
     w = h2 / (2 * h2 * pss_np[:, None] + (pss_np ** 2)[:, None])
     w = jnp.where(mask[:, None], w, 0.0)
     return jnp.sum(jnp.conj(sss_raw) * h_raw * w)
+
+
+_foe_single = jax.jit(_foe_impl)
+_foe_batch = jax.jit(jax.vmap(
+    _foe_impl,
+    in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)))

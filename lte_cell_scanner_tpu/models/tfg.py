@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..cell import Cell, CpType
@@ -68,6 +69,22 @@ def plan_dft_locations(cell: Cell, fc_requested: float, fc_programmed: float,
     return locs
 
 
+@jax.jit
+def _tfg_core(capbuf, idx, late, freq_fine, fs_true):
+    """Device half of extract_tfg as one jitted program (compiles once
+    per (capture length, CP type)): full-capture FOC mixer
+    (searcher.cpp:892), windowed gather, batched 128-pt DFTs, and the
+    per-symbol fractional-timing phase ramp (searcher.cpp:922-931)."""
+    dtype = capbuf.dtype
+    foc = capbuf * fshift_ramp(capbuf.shape[0], -freq_fine, fs_true,
+                               dtype=dtype)
+    segs = foc[idx]                                       # [n_ofdm, 128]
+    dft_out = jnp.fft.fft(segs, axis=-1) / jnp.sqrt(
+        jnp.asarray(128.0, segs.real.dtype))
+    tfg = jnp.concatenate([dft_out[:, -36:], dft_out[:, 1:37]], axis=-1)
+    return tfg * _phase_comp(late, dtype)
+
+
 def extract_tfg(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
                 fs_programmed: float) -> Tuple[jnp.ndarray, np.ndarray]:
     """OFDM-demodulate the capture into tfg [n_ofdm, 72] + timestamps.
@@ -76,7 +93,6 @@ def extract_tfg(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     and compensated by a per-symbol phase ramp across subcarriers.
     """
     capbuf = jnp.asarray(capbuf)
-    dtype = capbuf.dtype
     k_factor = (fc_requested - cell.freq_fine) / fc_programmed
 
     locs = plan_dft_locations(cell, fc_requested, fc_programmed,
@@ -84,16 +100,9 @@ def extract_tfg(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     int_locs = round_i(locs)
     late = int_locs.astype(np.float64) - locs
 
-    # Full-capture FOC at the true sample rate (searcher.cpp:892).
-    foc = capbuf * fshift_ramp(capbuf.shape[0], -cell.freq_fine,
-                               fs_programmed * k_factor, dtype=dtype)
-
     idx = int_locs[:, None] + np.arange(128)[None, :]
-    segs = foc[jnp.asarray(idx)]                          # [n_ofdm, 128]
-    dft_out = jnp.fft.fft(segs, axis=-1) / jnp.sqrt(
-        jnp.asarray(128.0, segs.real.dtype))
-    tfg = jnp.concatenate([dft_out[:, -36:], dft_out[:, 1:37]], axis=-1)
-    tfg = tfg * _phase_comp(jnp.asarray(late), dtype)
+    tfg = _tfg_core(capbuf, jnp.asarray(idx), jnp.asarray(late),
+                    cell.freq_fine, fs_programmed * k_factor)
     return tfg, locs
 
 
@@ -109,40 +118,30 @@ def _rs_index_plans(cell: Cell, rs_dl: RsDl, n_ofdm: int):
     return n_slot, shift0, shift_mid, rs0, rs_mid
 
 
-def tfoec(cell: Cell, tfg, tfg_timestamp: np.ndarray, fc_requested: float,
-          fc_programmed: float, rs_dl: RsDl):
-    """Superfine FOE/FOC then TOE/TOC (reference searcher.cpp:952-1069).
-
-    Returns (cell_out, tfg_comp, tfg_comp_timestamp).
-    """
-    tfg = jnp.asarray(tfg)
+@jax.jit
+def _tfoec_core(tfg, ts, rows0, cols0, tab0, rows_mid, cols_mid, tab_mid,
+                r1_off, cols1, r1_tab, r2_off, cols2, r2_tab,
+                fc_requested, fc_programmed):
+    """Device half of tfoec as one jitted program (compiles once per
+    (n_ofdm, CP type)): superfine FOE from CRS slot-to-slot phase drift,
+    FOC with k_factor_residual timestamp rescale, TOE from subcarrier
+    k vs k+3 CRS phase, and the TOC phase ramp (searcher.cpp:952-1069).
+    All gather indices and expected-RS tables are host-planned args."""
     dtype = tfg.dtype
-    rdt = tfg.real.dtype
-    n_ofdm = tfg.shape[0]
-    n_symb_dl = cell.n_symb_dl()
-    n_slot, shift0, shift_mid, rs0, rs_mid = _rs_index_plans(
-        cell, rs_dl, n_ofdm)
-
-    slots = np.arange(n_slot)
-    slot_mod = slots % 20
-
-    def rs_rows(sym_num, shift, rs_table):
-        rows = slots * n_symb_dl + sym_num                 # [n_slot]
-        cols = shift + 6 * np.arange(12)                   # [12]
-        ex = tfg[jnp.asarray(rows)][:, jnp.asarray(cols)]  # [n_slot, 12]
-        return ex * jnp.conj(jnp.asarray(rs_table[slot_mod], dtype=dtype))
+    rdt = jnp.real(tfg).dtype
 
     # ---- superfine FOE from CRS phase drift across slots ------------------
     foe = jnp.zeros((), dtype=dtype)
-    for sym_num, shift, table in ((0, shift0, rs0),
-                                  (n_symb_dl - 3, shift_mid, rs_mid)):
-        r = rs_rows(sym_num, shift, table)                 # [n_slot, 12]
+    for rows, cols, tab in ((rows0, cols0, tab0),
+                            (rows_mid, cols_mid, tab_mid)):
+        r = tfg[rows][:, cols] * jnp.conj(tab).astype(dtype)  # [n_slot, 12]
         foe = foe + jnp.sum(jnp.conj(r[:-1]) * r[1:])
-    residual_f = jnp.arctan2(jnp.imag(foe), jnp.real(foe)) / (2 * np.pi) / 0.0005
+    residual_f = jnp.arctan2(jnp.imag(foe), jnp.real(foe)) \
+        / (2 * np.pi) / 0.0005
 
     # ---- FOC with timestamp rescale by k_factor_residual ------------------
     k_factor_residual = (fc_requested - residual_f) / fc_programmed
-    ts = jnp.asarray(tfg_timestamp, rdt)
+    ts = ts.astype(rdt)
     tfg_comp_timestamp = k_factor_residual * ts
     ang = 2 * np.pi * (-residual_f) * tfg_comp_timestamp / (FS_LTE / 16)
     rot = (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(dtype)
@@ -151,6 +150,43 @@ def tfoec(cell: Cell, tfg, tfg_timestamp: np.ndarray, fc_requested: float,
     tfg_comp = tfg_comp * _phase_comp(late, dtype)
 
     # ---- TOE by comparing subcarrier k with k+3 across RS symbols ---------
+    r1v = tfg_comp[r1_off[:, None], cols1] * jnp.conj(r1_tab).astype(dtype)
+    r2v = tfg_comp[r2_off[:, None], cols2] * jnp.conj(r2_tab).astype(dtype)
+    toe1 = jnp.sum(jnp.conj(r1v) * r2v)
+    toe2 = jnp.sum(jnp.conj(r2v[:, 0:11]) * r1v[:, 1:12])
+    toe = toe1 + toe2
+    delay = -jnp.arctan2(jnp.imag(toe), jnp.real(toe)) / 3 / (2 * np.pi / 128)
+
+    # ---- TOC --------------------------------------------------------------
+    ang = (2 * np.pi / 128) * delay * jnp.asarray(_CN, rdt)
+    comp = (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(dtype)
+    tfg_comp = tfg_comp * comp[None, :]
+    return residual_f, tfg_comp, tfg_comp_timestamp
+
+
+def tfoec(cell: Cell, tfg, tfg_timestamp: np.ndarray, fc_requested: float,
+          fc_programmed: float, rs_dl: RsDl):
+    """Superfine FOE/FOC then TOE/TOC (reference searcher.cpp:952-1069).
+
+    Returns (cell_out, tfg_comp, tfg_comp_timestamp).  Host plans every
+    CRS gather (indices + expected RS values in float64); the numerics
+    run as one jitted device program (_tfoec_core).
+    """
+    tfg = jnp.asarray(tfg)
+    n_ofdm = tfg.shape[0]
+    n_symb_dl = cell.n_symb_dl()
+    n_slot, shift0, shift_mid, rs0, rs_mid = _rs_index_plans(
+        cell, rs_dl, n_ofdm)
+
+    slots = np.arange(n_slot)
+    slot_mod = slots % 20
+    rows0 = slots * n_symb_dl + 0
+    rows_mid = slots * n_symb_dl + (n_symb_dl - 3)
+    cols0 = shift0 + 6 * np.arange(12)
+    cols_mid = shift_mid + 6 * np.arange(12)
+    tab0 = rs0[slot_mod]                                   # [n_slot, 12]
+    tab_mid = rs_mid[slot_mod]
+
     nt = 2 * n_slot - 1
     t_arr = np.arange(nt)
     cur_sym = np.where(t_arr & 1, n_symb_dl - 3, 0)
@@ -178,23 +214,20 @@ def tfoec(cell: Cell, tfg, tfg_timestamp: np.ndarray, fc_requested: float,
         out = np.empty((nt, 12), dtype=np.complex128)
         for i in range(nt):
             out[i] = rs_dl.get_rs(int(slot_arr[i]), int(sym_arr[i]))
-        return jnp.asarray(out, dtype=dtype)
+        return out
 
     cols1 = r1_shift[:, None] + 6 * np.arange(12)[None, :]
     cols2 = r2_shift[:, None] + 6 * np.arange(12)[None, :]
-    r1v = tfg_comp[jnp.asarray(r1_off)[:, None], jnp.asarray(cols1)] \
-        * jnp.conj(rs_val(r1_slot, r1_sym))
-    r2v = tfg_comp[jnp.asarray(r2_off)[:, None], jnp.asarray(cols2)] \
-        * jnp.conj(rs_val(r2_slot, r2_sym))
-    toe1 = jnp.sum(jnp.conj(r1v) * r2v)
-    toe2 = jnp.sum(jnp.conj(r2v[:, 0:11]) * r1v[:, 1:12])
-    toe = toe1 + toe2
-    delay = -jnp.arctan2(jnp.imag(toe), jnp.real(toe)) / 3 / (2 * np.pi / 128)
 
-    # ---- TOC --------------------------------------------------------------
-    ang = (2 * np.pi / 128) * delay * jnp.asarray(_CN, rdt)
-    comp = (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(dtype)
-    tfg_comp = tfg_comp * comp[None, :]
+    residual_f, tfg_comp, tfg_comp_timestamp = _tfoec_core(
+        tfg, jnp.asarray(np.asarray(tfg_timestamp, dtype=np.float64)),
+        jnp.asarray(rows0), jnp.asarray(cols0), jnp.asarray(tab0),
+        jnp.asarray(rows_mid), jnp.asarray(cols_mid), jnp.asarray(tab_mid),
+        jnp.asarray(r1_off), jnp.asarray(cols1),
+        jnp.asarray(rs_val(r1_slot, r1_sym)),
+        jnp.asarray(r2_off), jnp.asarray(cols2),
+        jnp.asarray(rs_val(r2_slot, r2_sym)),
+        fc_requested, fc_programmed)
 
     cell_out = cell.evolve(
         freq_superfine=float(cell.freq_fine + np.asarray(residual_f)))

@@ -35,3 +35,30 @@ def test_capbuf_0000_two_cells(capbuf_0000, compat):
             assert c.n_rb_dl == 50, str(c)
             assert c.n_ports == 2, str(c)
             assert c.cp_type.value == "normal", str(c)
+
+
+def test_batched_refine_matches_serial(capbuf_0000):
+    """The vmapped peak-batch back half (sss_detect_batch /
+    pss_sss_foe_batch) must reproduce the reference's peak-at-a-time
+    order: identical decisions, float-identical frame timing, and
+    freq estimates equal to reduction-order rounding."""
+    capbuf, fc = capbuf_0000
+    f_search_set = np.arange(20e3, 60e3 + 1, 5e3)
+    batched = cell_search(capbuf, f_search_set, fc, fc, FS,
+                          SearchConfig(batch_peaks=True))
+    serial = cell_search(capbuf, f_search_set, fc, fc, FS,
+                         SearchConfig(batch_peaks=False))
+    assert len(batched) == len(serial) and len(batched) >= 2
+    for cb, cs in zip(batched, serial):
+        assert cb.n_id_cell() == cs.n_id_cell()
+        assert cb.cp_type == cs.cp_type
+        assert cb.n_rb_dl == cs.n_rb_dl
+        assert cb.n_ports == cs.n_ports
+        assert cb.phich_duration == cs.phich_duration
+        assert cb.phich_resource == cs.phich_resource
+        assert cb.sfn == cs.sfn
+        assert cb.frame_start == cs.frame_start
+        np.testing.assert_allclose(cb.freq_fine, cs.freq_fine,
+                                   rtol=1e-9, atol=1e-6)
+        np.testing.assert_allclose(cb.freq_superfine, cs.freq_superfine,
+                                   rtol=1e-6, atol=1e-3)
