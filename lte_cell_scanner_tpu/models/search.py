@@ -124,8 +124,9 @@ def _decode_back_half(cell: Cell, capbuf: np.ndarray, fc_requested: float,
     for one SSS-accepted peak; None when the MIB never decodes
     (reference CellSearch.cpp:542-570)."""
     with stage("extract_tfg"):
-            tfg, tfg_timestamp = extract_tfg(cell, capbuf, fc_requested,
+        tfg, tfg_timestamp = extract_tfg(cell, capbuf, fc_requested,
                                          fc_programmed, fs_programmed)
+
     rs_dl = RsDl(cell.n_id_cell(), 6, cell.cp_type)
     with stage("tfoec"):
         cell, tfg_comp, _ = tfoec(cell, tfg, tfg_timestamp,

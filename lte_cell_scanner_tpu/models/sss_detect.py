@@ -145,25 +145,33 @@ def _getce_prepare(cell: Cell, n_cap: int, fc_requested: float,
     return locs, mask, peak_freq, fs_mix
 
 
+def _extend_pad(locs: np.ndarray, mask: np.ndarray, rows: int):
+    """Grow a padded (locs, mask) pair to `rows` entries (same padding
+    convention as _pad_locs: location 200, mask False) so every peak of
+    a batch shares one shape even when one peak overflowed the
+    capture-length capacity (pathological ppm)."""
+    if len(locs) >= rows:
+        return locs, mask
+    out_l = np.full(rows, 200, dtype=locs.dtype)
+    out_l[: len(locs)] = locs
+    out_m = np.zeros(rows, dtype=bool)
+    out_m[: len(mask)] = mask
+    return out_l, out_m
+
+
 def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
                          fc_programmed: float, fs_programmed: float,
                          compat: str = "production"):
-    """Channel-compensated SSS estimates for both CP hypotheses.
-
-    Returns (h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext), each length 62.
+    """Channel-compensated SSS estimates for both CP hypotheses
+    (debugging/inspection helper; routes through the same fused core as
+    sss_detect).  Returns (h1_np, h2_np, h1_nrm, h2_nrm, h1_ext,
+    h2_ext), each length 62.
     """
     n_cap = int(np.asarray(capbuf).shape[0])
-    locs, mask, peak_freq, fs_mix = _getce_prepare(
-        cell, n_cap, fc_requested, fc_programmed, fs_programmed, compat)
-    base = np.arange(128)[None, :]
-    locs = locs[:, None]
-    return _getce_core(jnp.asarray(capbuf),
-                       jnp.asarray(locs + base),
-                       jnp.asarray(locs - 128 - 32 + base),
-                       jnp.asarray(locs - 128 - 9 + base),
-                       jnp.asarray(mask),
-                       peak_freq, fs_mix,
-                       jnp.asarray(np.conj(PSS_FD()[cell.n_id_2])))
+    args = _detect_device_inputs(cell, n_cap, fc_requested, fc_programmed,
+                                 fs_programmed, compat)
+    out = _detect_single(jnp.asarray(capbuf), *args, *_detect_rom_args())
+    return out[:6]
 
 
 def _getce_impl(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq, fs_mix,
@@ -197,9 +205,6 @@ def _getce_impl(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq, fs_mix,
     h2_np, h2_nrm, h2_ext = combine(h_sm[1::2], pss_np[1::2], mask[1::2],
                                     sss_nrm_raw[1::2], sss_ext_raw[1::2])
     return h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext
-
-
-_getce_core = jax.jit(_getce_impl)
 
 
 @lru_cache(maxsize=1)
@@ -312,11 +317,14 @@ def _decide_sss(cell: Cell, lln: np.ndarray, lle: np.ndarray,
 
 def _detect_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
                           fc_programmed: float, fs_programmed: float,
-                          compat: str):
+                          compat: str, rows: int = 0):
     """Per-peak device inputs for _detect_impl (everything but capbuf and
-    the shared ROM tables)."""
+    the shared ROM tables).  rows > 0 forces the padded location
+    capacity (batch paths must share one shape across peaks)."""
     locs, mask, freq, fs_mix = _getce_prepare(
         cell, n_cap, fc_requested, fc_programmed, fs_programmed, compat)
+    if rows:
+        locs, mask = _extend_pad(locs, mask, rows)
     base = np.arange(128, dtype=np.int64)[None, :]
     locs = locs[:, None]
     return (locs + base, locs - 128 - 32 + base, locs - 128 - 9 + base,
@@ -391,8 +399,14 @@ def sss_detect_batch(cells: Sequence[Cell], capbuf, thresh2_n_sigma: float,
         return []
     capbuf = np.asarray(capbuf)
     n_cap = int(capbuf.shape[0])
+    # one shared row capacity across the batch (normally the
+    # capture-length capacity; a pathological-ppm peak can exceed it)
+    rows = max(len(_getce_prepare(c, n_cap, fc_requested, fc_programmed,
+                                  fs_programmed, compat)[0])
+               for c in cells)
     preps = [_detect_device_inputs(c, n_cap, fc_requested, fc_programmed,
-                                   fs_programmed, compat) for c in cells]
+                                   fs_programmed, compat, rows=rows)
+             for c in cells]
     n = len(preps)
     b = _bucket(n)
     rows = preps + [preps[0]] * (b - n)
@@ -464,12 +478,18 @@ def _foe_prepare(cell: Cell, n_cap: int, fc_requested: float,
 
 def _foe_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
                        fc_programmed: float, fs_programmed: float,
-                       compat: str):
+                       compat: str, rows: int = 0):
     """Per-peak device inputs for _foe_impl plus the host scalars needed
-    to map M back to freq_fine."""
+    to map M back to freq_fine.  rows > 0 forces the padded location
+    capacity (batch paths must share one shape across peaks)."""
     locs, mask, sn_pad, pss_sss_dist, seg_phase, freq, fs_mix, fs_out = \
         _foe_prepare(cell, n_cap, fc_requested, fc_programmed,
                      fs_programmed, compat)
+    if rows:
+        locs, mask = _extend_pad(locs, mask, rows)
+        if len(sn_pad) < rows:
+            sn_pad = np.concatenate(
+                [sn_pad, np.zeros(rows - len(sn_pad), dtype=sn_pad.dtype)])
     base = np.arange(128, dtype=np.int64)[None, :]
     locs = locs[:, None]
     dev = (locs + pss_sss_dist + base, locs + base, mask, freq, fs_mix,
@@ -511,8 +531,12 @@ def pss_sss_foe_batch(cells: Sequence[Cell], capbuf, fc_requested: float,
         return []
     capbuf = np.asarray(capbuf)
     n_cap = int(capbuf.shape[0])
+    rows = max(len(_foe_prepare(c, n_cap, fc_requested, fc_programmed,
+                                fs_programmed, compat)[0])
+               for c in cells)
     preps = [_foe_device_inputs(c, n_cap, fc_requested, fc_programmed,
-                                fs_programmed, compat) for c in cells]
+                                fs_programmed, compat, rows=rows)
+             for c in cells]
     n = len(preps)
     rows = [p[0] for p in preps]
     rows = rows + [rows[0]] * (_bucket(n) - n)

@@ -78,3 +78,36 @@ def test_strongest_peak_is_cell_277(golden):
     # 17449.525 in MATLAB 1-based indexing = 17448.525 zero-based
     assert abs(d["peaks_out_frame_start"][0] - 1 - 17448.525) < 1e-2
     assert abs(d["peaks_out_freq_fine"][0] - 39967.89) < 1e-1
+
+
+def test_batch_handles_ragged_pad_capacity():
+    """A peak whose frequency hypothesis exceeds the ~2000 ppm padding
+    design margin gets a LONGER location list than _pad_locs's
+    capture-length capacity; the batch paths must re-pad the whole batch
+    to the widest peak instead of crashing in np.stack, and the results
+    must match the serial path peak-for-peak."""
+    from lte_cell_scanner_tpu.models.sss_detect import (pss_sss_foe_batch,
+                                                        sss_detect_batch)
+
+    rng = np.random.default_rng(7)
+    capbuf = (rng.normal(size=40000) + 1j * rng.normal(size=40000)) * 0.1
+    fc = 739e6
+    peaks = [
+        Cell(fc_requested=fc, fc_programmed=fc, pss_pow=0.1, ind=4000,
+             freq=0.0, n_id_2=1),
+        # 3000 ppm: k_factor ~ 0.997 < the 0.998 capacity margin
+        Cell(fc_requested=fc, fc_programmed=fc, pss_pow=0.1, ind=4000,
+             freq=fc * 3000e-6, n_id_2=2),
+    ]
+    batched = sss_detect_batch(peaks, capbuf, -1e9, fc, fc, FS)
+    serial = [sss_detect(p, capbuf, -1e9, fc, fc, FS) for p in peaks]
+    for cb, cs in zip(batched, serial):
+        assert cb.n_id_1 == cs.n_id_1
+        assert cb.cp_type is cs.cp_type
+        np.testing.assert_allclose(cb.frame_start, cs.frame_start)
+
+    fb = pss_sss_foe_batch(batched, capbuf, fc, fc, FS)
+    fs_ = [pss_sss_foe(c, capbuf, fc, fc, FS) for c in serial]
+    for cb, cs in zip(fb, fs_):
+        np.testing.assert_allclose(cb.freq_fine, cs.freq_fine,
+                                   rtol=1e-9, atol=1e-6)

@@ -47,7 +47,7 @@ ARGS = _parser.parse_args()
 jax.config.update("jax_platforms", ARGS.platform)
 jax.config.update("jax_enable_x64", True)
 
-from lte_cell_scanner_tpu.constants import FS_LTE  # noqa: E402
+from lte_cell_scanner_tpu.constants import DS_COMB_ARM, FS_LTE  # noqa: E402
 from lte_cell_scanner_tpu.models.peaks import peak_search  # noqa: E402
 from lte_cell_scanner_tpu.models.search import (  # noqa: E402
     SearchConfig, compute_z_th1, default_f_search_set, refine_peaks)
@@ -75,11 +75,11 @@ def main():
     fss = default_f_search_set(fc, ARGS.ppm)
 
     def front():
-        res = xcorr_pss(capbuf, fss, 2, fc, fc, fs)
+        res = xcorr_pss(capbuf, fss, DS_COMB_ARM, fc, fc, fs)
         z = compute_z_th1(res.sp_incoherent, res.n_comb_xc)
         return peak_search(res.xc_incoherent_collapsed_pow,
                            res.xc_incoherent_collapsed_frq, z, fss, fc, fc,
-                           res.xc_incoherent_single, 2)
+                           res.xc_incoherent_single, DS_COMB_ARM)
 
     peaks = front()                       # warm compile
     t_front, peaks = _best(front, ARGS.repeats)
@@ -93,17 +93,22 @@ def main():
             lambda: refine_peaks(peaks, capbuf, fc, fc, fs, cfg),
             ARGS.repeats)
         results[f"back_half_{label}_s"] = t
-        results["n_cells"] = len(cells)
+        results[f"n_cells_{label}"] = len(cells)
 
     total = results["front_end_s"] + results["back_half_batched_s"]
     results["total_s"] = total
     results["vs_baseline"] = REF_SECONDS_PER_CARRIER / total
+    if results["n_cells_serial"] != results["n_cells_batched"]:
+        print(f"WARNING: serial decoded {results['n_cells_serial']} cells "
+              f"but batched decoded {results['n_cells_batched']}",
+              file=sys.stderr)
 
     if ARGS.json:
         print(json.dumps(results))
     else:
         print(f"backend {results['backend']}  grid {results['n_hyp']} hyps  "
-              f"{results['n_peaks']} peaks -> {results['n_cells']} cells")
+              f"{results['n_peaks']} peaks -> "
+              f"{results['n_cells_batched']} cells")
         print(f"front end        {results['front_end_s']*1e3:9.2f} ms")
         print(f"back half serial {results['back_half_serial_s']*1e3:9.2f} ms")
         print(f"back half batch  {results['back_half_batched_s']*1e3:9.2f} ms")

@@ -111,7 +111,7 @@ class MultiCellStream:
 
 
 def bench_one(n_cells, runs, seconds, snr_db, verbose=True, profile=False,
-              parallel=0):
+              parallel=0, acq_seconds=30.0):
     from lte_cell_scanner_tpu.tracker import TrackerRunner
 
     stream = MultiCellStream(n_cells, snr_db)
@@ -122,7 +122,7 @@ def bench_one(n_cells, runs, seconds, snr_db, verbose=True, profile=False,
     # (all stream reads go through take(); a suspended generator would
     # hold a yielded-but-not-yet-consumed block and corrupt continuity)
     fed = 0
-    limit = int(30 * FS)
+    limit = int(acq_seconds * FS)
     while len(runner.cells) < n_cells:
         runner.process_block(stream.take(BLOCK))
         fed += BLOCK
@@ -181,6 +181,10 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--seconds", type=float, default=5.5)
     ap.add_argument("--snr", type=float, default=12.0)
+    ap.add_argument("--acq-seconds", type=float, default=30.0,
+                    help="acquisition stream budget before giving up "
+                         "(co-channel cells interfere; high counts "
+                         "legitimately acquire slowly)")
     ap.add_argument("--sweep", action="store_true",
                     help="bench 1..--cells instead of just --cells")
     ap.add_argument("--profile", action="store_true",
@@ -197,7 +201,8 @@ def main():
         print(f"[{n} cell(s)]", file=sys.stderr)
         factor, healthy = bench_one(n, args.runs, args.seconds, args.snr,
                                     profile=args.profile,
-                                    parallel=args.parallel)
+                                    parallel=args.parallel,
+                                    acq_seconds=args.acq_seconds)
         out[n] = factor
         if args.json:
             print(json.dumps({"metric": "tracker_realtime_factor",
