@@ -265,10 +265,20 @@ def _detect_impl(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq, fs_mix,
     return ests + (lln, lle)
 
 
+def _detect_impl_multi(capbufs, ci, *args):
+    """_detect_impl against a [C, n_cap] stack of captures; ci (traced)
+    selects this peak's carrier -- lets one vmapped program refine the
+    peaks of a whole band scan."""
+    return _detect_impl(capbufs[ci], *args)
+
+
 _detect_single = jax.jit(_detect_impl)
 _detect_batch = jax.jit(jax.vmap(
     _detect_impl,
     in_axes=(None, 0, 0, 0, 0, 0, 0, 0, None, None, None)))
+_detect_batch_multi = jax.jit(jax.vmap(
+    _detect_impl_multi,
+    in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None)))
 
 
 def _decide_sss(cell: Cell, lln: np.ndarray, lle: np.ndarray,
@@ -425,6 +435,48 @@ def sss_detect_batch(cells: Sequence[Cell], capbuf, thresh2_n_sigma: float,
             for i, c in enumerate(cells)]
 
 
+def sss_detect_batch_multi(cells: Sequence[Cell], capbufs,
+                           carrier_idx: Sequence[int],
+                           thresh2_n_sigma: float, fs_programmed: float,
+                           compat: str = "production") -> List[Cell]:
+    """sss_detect over the peaks of a whole BAND SCAN as one program.
+
+    capbufs: [C, n_cap] stack of per-carrier captures; carrier_idx[i]
+    names peak i's carrier.  Each Cell carries its own
+    fc_requested/fc_programmed (filled by peak_search), so carriers with
+    different tuning mix freely in one batch.
+    """
+    if not cells:
+        return []
+    capbufs = jnp.asarray(capbufs)
+    n_cap = int(capbufs.shape[-1])
+    rows = max(len(_getce_prepare(c, n_cap, c.fc_requested, c.fc_programmed,
+                                  fs_programmed, compat)[0])
+               for c in cells)
+    preps = [_detect_device_inputs(c, n_cap, c.fc_requested,
+                                   c.fc_programmed, fs_programmed, compat,
+                                   rows=rows)
+             for c in cells]
+    n = len(preps)
+    b = _bucket(n)
+    rows_l = preps + [preps[0]] * (b - n)
+    ci = np.asarray(list(carrier_idx) + [carrier_idx[0]] * (b - n),
+                    dtype=np.int64)
+    stacked = [np.stack([r[i] for r in rows_l]) for i in range(4)]
+    freq = np.array([r[4] for r in rows_l], dtype=np.float64)
+    fs_mix = np.array([r[5] for r in rows_l], dtype=np.float64)
+    n_id_2 = np.array([r[6] for r in rows_l], dtype=np.int64)
+    out = _detect_batch_multi(capbufs, jnp.asarray(ci),
+                              *(jnp.asarray(s) for s in stacked),
+                              jnp.asarray(freq), jnp.asarray(fs_mix),
+                              jnp.asarray(n_id_2), *_detect_rom_args())
+    lln = np.asarray(out[6], dtype=np.float64)
+    lle = np.asarray(out[7], dtype=np.float64)
+    return [_decide_sss(c, lln[i], lle[i], thresh2_n_sigma, c.fc_requested,
+                        c.fc_programmed, fs_programmed, compat)
+            for i, c in enumerate(cells)]
+
+
 def _foe_prepare(cell: Cell, n_cap: int, fc_requested: float,
                  fc_programmed: float, fs_programmed: float, compat: str):
     """Host half of pss_sss_foe: SSS DFT locations, slot-number sequence,
@@ -562,6 +614,51 @@ def pss_sss_foe_batch(cells: Sequence[Cell], capbuf, fc_requested: float,
     return out
 
 
+def pss_sss_foe_batch_multi(cells: Sequence[Cell], capbufs,
+                            carrier_idx: Sequence[int],
+                            fs_programmed: float,
+                            compat: str = "production") -> List[Cell]:
+    """pss_sss_foe over the accepted peaks of a whole band scan as one
+    vmapped program (see sss_detect_batch_multi for the capbufs/
+    carrier_idx convention)."""
+    if not cells:
+        return []
+    capbufs = jnp.asarray(capbufs)
+    n_cap = int(capbufs.shape[-1])
+    rows = max(len(_foe_prepare(c, n_cap, c.fc_requested, c.fc_programmed,
+                                fs_programmed, compat)[0])
+               for c in cells)
+    preps = [_foe_device_inputs(c, n_cap, c.fc_requested, c.fc_programmed,
+                                fs_programmed, compat, rows=rows)
+             for c in cells]
+    n = len(preps)
+    b = _bucket(n)
+    rows_l = [p[0] for p in preps]
+    rows_l = rows_l + [rows_l[0]] * (b - n)
+    ci = np.asarray(list(carrier_idx) + [carrier_idx[0]] * (b - n),
+                    dtype=np.int64)
+    idx_pss = np.stack([r[0] for r in rows_l])
+    idx_sss = np.stack([r[1] for r in rows_l])
+    mask = np.stack([r[2] for r in rows_l])
+    freq = np.array([r[3] for r in rows_l], dtype=np.float64)
+    fs_mix = np.array([r[4] for r in rows_l], dtype=np.float64)
+    seg_phase = np.array([r[5] for r in rows_l], dtype=np.complex128)
+    sn_pad = np.stack([r[6] for r in rows_l])
+    n_id_1 = np.array([r[7] for r in rows_l], dtype=np.int64)
+    n_id_2 = np.array([r[8] for r in rows_l], dtype=np.int64)
+    M = np.asarray(_foe_batch_multi(
+        capbufs, jnp.asarray(ci), jnp.asarray(idx_pss), jnp.asarray(idx_sss),
+        jnp.asarray(mask), jnp.asarray(freq), jnp.asarray(fs_mix),
+        jnp.asarray(seg_phase), jnp.asarray(sn_pad), jnp.asarray(n_id_1),
+        jnp.asarray(n_id_2), *_foe_rom_args()))
+    out = []
+    for i, (c, (_, pss_sss_dist, fs_out)) in enumerate(zip(cells, preps)):
+        freq_fine = c.freq + np.angle(complex(M[i])) / (2 * np.pi) \
+            * fs_out / pss_sss_dist
+        out.append(c.evolve(freq_fine=float(freq_fine)))
+    return out
+
+
 def _foe_impl(capbuf, idx_pss, idx_sss, mask, freq, fs_mix, seg_phase,
               sn_pad, n_id_1, n_id_2, pss_conj_all, sss_all):
     """Device portion of pss_sss_foe (one traced program, compiles once
@@ -584,7 +681,16 @@ def _foe_impl(capbuf, idx_pss, idx_sss, mask, freq, fs_mix, seg_phase,
     return jnp.sum(jnp.conj(sss_raw) * h_raw * w)
 
 
+def _foe_impl_multi(capbufs, ci, *args):
+    """_foe_impl against a [C, n_cap] capture stack (see
+    _detect_impl_multi)."""
+    return _foe_impl(capbufs[ci], *args)
+
+
 _foe_single = jax.jit(_foe_impl)
 _foe_batch = jax.jit(jax.vmap(
     _foe_impl,
     in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)))
+_foe_batch_multi = jax.jit(jax.vmap(
+    _foe_impl_multi,
+    in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)))

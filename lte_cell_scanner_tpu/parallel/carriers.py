@@ -31,8 +31,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cell import Cell
 from ..constants import HALF_FRAME_LEN, PSS_TD_LEN
-from ..models.search import SearchConfig, compute_z_th1, refine_peaks
+from ..models.search import (SearchConfig, _decode_back_half, compute_z_th1,
+                             refine_peaks)
 from ..models.peaks import peak_search
+from ..models.sss_detect import (pss_sss_foe_batch_multi,
+                                 sss_detect_batch_multi)
 from ..models.xcorr import _xcorr_core, combine_start_indices, pss_templates
 from ..utils.debug import debug_export
 
@@ -143,7 +146,8 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
     frq_c = np.asarray(frq_c)
     sp_inc = np.asarray(sp_inc)
 
-    results: List[List[Cell]] = []
+    all_peaks: List[Cell] = []
+    carrier_of: List[int] = []
     for i in range(c_real):
         Z_th1 = compute_z_th1(sp_inc[i], n_comb_xc, cfg.ds_comb_arm,
                               cfg.thresh1_n_nines)
@@ -158,7 +162,38 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
         if peaks:
             debug_export("peak_ind", np.array([p.ind for p in peaks]))
             debug_export("peak_n_id_2", np.array([p.n_id_2 for p in peaks]))
-        results.append(refine_peaks(peaks, np.asarray(capbufs[i]),
-                                    fc_list[i], fcp_list[i], fs_programmed,
-                                    cfg))
+        all_peaks.extend(peaks)
+        carrier_of.extend([i] * len(peaks))
+
+    if not cfg.batch_peaks:
+        results: List[List[Cell]] = [[] for _ in range(c_real)]
+        for i in range(c_real):
+            peaks_i = [p for p, c in zip(all_peaks, carrier_of) if c == i]
+            results[i] = refine_peaks(peaks_i, np.asarray(capbufs[i]),
+                                      fc_list[i], fcp_list[i], fs_programmed,
+                                      cfg)
+        return results
+
+    # Batched back half across the WHOLE band: the SSS/FOE stages of
+    # every carrier's peaks run as one vmapped program each, with the
+    # per-peak carrier index selecting rows of the full-precision
+    # capture stack (sss_detect_batch_multi) -- O(1) device programs
+    # for the band instead of O(carriers).
+    cap_full = np.stack([np.asarray(c) for c in capbufs])
+    cells = sss_detect_batch_multi(all_peaks, cap_full, carrier_of,
+                                   cfg.thresh2_n_sigma, fs_programmed,
+                                   compat=cfg.compat)
+    kept = [(c, ci) for c, ci in zip(cells, carrier_of)
+            if c.n_id_1 >= 0 and c.n_id_cell() not in cfg.skip_ids]
+    cells = pss_sss_foe_batch_multi([c for c, _ in kept], cap_full,
+                                    [ci for _, ci in kept], fs_programmed,
+                                    compat=cfg.compat)
+    results = [[] for _ in range(c_real)]
+    for cell, (_, ci) in zip(cells, kept):
+        if cfg.decode:
+            cell = _decode_back_half(cell, np.asarray(capbufs[ci]),
+                                     fc_list[ci], fcp_list[ci],
+                                     fs_programmed, cfg)
+        if cell is not None:
+            results[ci].append(cell)
     return results

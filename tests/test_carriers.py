@@ -70,3 +70,37 @@ def test_scan_band_finds_cell_on_right_carrier():
     assert results[1] == []
     merged = dedup(results)
     assert any(c.n_id_cell() == 277 for c in merged)
+
+
+@needs8
+def test_scan_band_batched_matches_per_carrier_refine():
+    """The cross-carrier batched back half (sss_detect_batch_multi /
+    pss_sss_foe_batch_multi with per-peak carrier indices) must
+    reproduce the per-carrier refine loop: same cells on the same
+    carriers, same decisions, matching estimates."""
+    rng = np.random.default_rng(3)
+    sig_a = awgn(create_dl_sig(CpType.NORMAL, 80, 0, 92, 1, 0.5, rng=rng,
+                               n_ports=2, sfn=0), 10.0, rng=rng)
+    sig_b = awgn(create_dl_sig(CpType.NORMAL, 80, 0, 90, 1, 0.5, rng=rng,
+                               n_ports=1, sfn=4), 10.0, rng=rng)
+
+    f_set = np.arange(-10e3, 10e3 + 1, 5e3)
+    mesh = make_carrier_mesh(2)
+    caps = [(sig_a, 739e6, 739e6), (sig_b, 739.1e6, 739.1e6)]
+    batched = scan_band(caps, f_set, FS, SearchConfig(batch_peaks=True),
+                        mesh=mesh, dtype=np.complex128)
+    serial = scan_band(caps, f_set, FS, SearchConfig(batch_peaks=False),
+                       mesh=mesh, dtype=np.complex128)
+    assert any(c.n_id_cell() == 277 for c in batched[0])
+    assert any(c.n_id_cell() == 271 for c in batched[1])
+    for rb, rs in zip(batched, serial):
+        assert len(rb) == len(rs)
+        for cb, cs in zip(rb, rs):
+            assert cb.n_id_cell() == cs.n_id_cell()
+            assert cb.cp_type is cs.cp_type
+            assert cb.n_rb_dl == cs.n_rb_dl
+            assert cb.n_ports == cs.n_ports
+            assert cb.sfn == cs.sfn
+            assert cb.frame_start == cs.frame_start
+            np.testing.assert_allclose(cb.freq_fine, cs.freq_fine,
+                                       rtol=1e-9, atol=1e-6)
