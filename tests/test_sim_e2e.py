@@ -109,3 +109,32 @@ def test_full_chain_through_coupled_crystal_channel():
     assert c.n_rb_dl == 6
     assert c.sfn in (100, 101)
     assert abs(c.freq_superfine - f_off) < 5.0
+
+
+def test_long_capture_full_chain():
+    """The long-context axis (SURVEY.md section 5): captures LONGER than
+    the reference's fixed 80 ms CAPLENGTH flow through the whole chain
+    -- the incoherent fold integrates twice the half-frame periods
+    (n_comb_xc ~doubles, raising detection SNR) and the back half's
+    padded location lists scale with the capture -- and the MIB still
+    decodes at an SNR below the reference's documented -10 dB limit."""
+    from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
+
+    rng = np.random.default_rng(11)
+    sig80 = create_dl_sig(CpType.NORMAL, 80, 0, 92, 1, 0.5, rng=rng,
+                          n_ports=2, sfn=8)
+    sig160 = np.concatenate([sig80, create_dl_sig(
+        CpType.NORMAL, 80, 0, 92, 1, 0.5, rng=rng, n_ports=2, sfn=16)])
+    sig160 = awgn(sig160, -12.0, rng=rng)
+
+    f_search_set = np.arange(-5e3, 5e3 + 1, 5e3)
+    res80 = xcorr_pss(sig160[:153600], f_search_set, 2, FC, FC, FS)
+    res160 = xcorr_pss(sig160, f_search_set, 2, FC, FC, FS)
+    assert res80.n_comb_xc == 15
+    assert res160.n_comb_xc == 31          # twice the integration
+
+    cells = cell_search(sig160, f_search_set, FC, FC, FS, SearchConfig())
+    c = max(cells, key=lambda x: x.pss_pow)
+    assert c.n_id_cell() == 277
+    assert c.n_rb_dl == 6
+    assert c.n_ports == 2
