@@ -60,7 +60,10 @@ class FileSource(CaptureSource):
     def capture(self, fc_requested: float) -> Tuple[np.ndarray, float]:
         if self._idx >= len(self.paths):
             if not self.repeat:
-                raise StopIteration("no more recorded captures")
+                # ValueError (not StopIteration, which the iteration
+                # protocol would swallow/mangle) so the CLI's error
+                # handling prints a clean message
+                raise ValueError("no more recorded captures")
             self._idx = 0
         buf, fc = self._load(self.paths[self._idx])
         self._idx += 1

@@ -75,49 +75,74 @@ def _extract_raw_ce(cell: Cell, rs_dl: RsDl, tfg, port: int):
     return raw, rs_set, shifts
 
 
+def _hex_window_weights(n_rs: int, shift0: int, shift1: int):
+    """Per-OUTPUT-row adjacent-window membership (wl, wr): whether the
+    window applied to rows t-1 and t+1 includes subcarrier offset k-1 /
+    k+1.  Reference searcher.cpp:1444-1453: the full 3-wide window when
+    the two combs coincide; otherwise the bracketing pair, chosen by the
+    OUTPUT row's current_row_leftmost (initialized shift(0)<shift(1),
+    flipped per row).  The center tap k is always included."""
+    if shift0 == shift1:
+        wl = np.ones(n_rs)
+        wr = np.ones(n_rs)
+    else:
+        leftmost = (np.arange(n_rs) % 2 == 0) == (shift0 < shift1)
+        wl = leftmost.astype(np.float64)        # leftmost row -> {k-1, k}
+        wr = 1.0 - wl                           # else          -> {k, k+1}
+    return wl, wr
+
+
 def _hex_filter(ce_raw, shift0: int, shift1: int):
     """7-point hex-lattice averaging (reference searcher.cpp:1421-1467)."""
-    n_rs = ce_raw.shape[0]
-    parity = (np.arange(n_rs) % 2 == 0) == (shift0 < shift1)
-    return _hex_filter_parity(ce_raw, jnp.asarray(parity))
+    wl, wr = _hex_window_weights(int(ce_raw.shape[0]), shift0, shift1)
+    return _hex_filter_weighted(ce_raw, jnp.asarray(wl), jnp.asarray(wr))
 
 
-def _hex_filter_parity(ce_raw, parity):
-    """7-point hex-lattice averaging, row parity given as an array.
+def _hex_filter_weighted(ce_raw, wl, wr):
+    """7-point hex-lattice averaging; wl/wr give each OUTPUT row's
+    adjacent-row window (see _hex_window_weights).
 
-    For a staggered lattice the neighbors in adjacent rows are the two
-    samples bracketing the current one on the offset comb; same-row
-    neighbors are k-1,k,k+1.  All sums are shifted adds with edge clipping.
+    Same-row neighbors are always k-1,k,k+1; the window applied to the
+    adjacent rows is selected by the output row, exactly as the
+    reference's per-t `ind` is reused for both t-1 and t+1
+    (searcher.cpp:1444-1462).  All sums are shifted adds with edge
+    clipping.
     """
+    rdt = ce_raw.real.dtype
+    wl = wl[:, None].astype(rdt)
+    wr = wr[:, None].astype(rdt)
     z = jnp.zeros_like(ce_raw[:, :1])
     left = jnp.concatenate([z, ce_raw[:, :-1]], axis=1)     # ce_raw[t,k-1]
     right = jnp.concatenate([ce_raw[:, 1:], z], axis=1)     # ce_raw[t,k+1]
-    ones = jnp.ones(ce_raw.shape, ce_raw.real.dtype)
+    ones = jnp.ones(ce_raw.shape, rdt)
     zl = jnp.concatenate([jnp.zeros_like(ones[:, :1]), ones[:, :-1]], axis=1)
     zr = jnp.concatenate([ones[:, 1:], jnp.zeros_like(ones[:, :1])], axis=1)
 
     same = left + ce_raw + right
     same_n = zl + 1.0 + zr
 
-    pairL = left + ce_raw        # neighbors {k-1, k}
-    pairL_n = zl + 1.0
-    pairR = ce_raw + right       # neighbors {k, k+1}
-    pairR_n = 1.0 + zr
-
-    # Row parity: True -> this row's comb sits leftmost of the pair.
-    parity = parity[:, None]
-    adj = jnp.where(parity, pairL, pairR)
-    adj_n = jnp.where(parity, pairL_n, pairR_n)
-
     zrow = jnp.zeros_like(ce_raw[:1])
-    prev = jnp.concatenate([zrow, adj[:-1]], axis=0)
-    nxt = jnp.concatenate([adj[1:], zrow], axis=0)
-    zrow_n = jnp.zeros_like(adj_n[:1])
-    prev_n = jnp.concatenate([zrow_n, adj_n[:-1]], axis=0)
-    nxt_n = jnp.concatenate([adj_n[1:], zrow_n], axis=0)
+    prev_rows = jnp.concatenate([zrow, ce_raw[:-1]], axis=0)
+    nxt_rows = jnp.concatenate([ce_raw[1:], zrow], axis=0)
 
-    total = same + prev + nxt
-    n_total = same_n + prev_n + nxt_n
+    def windowed(rows):
+        l = jnp.concatenate([jnp.zeros_like(rows[:, :1]), rows[:, :-1]],
+                            axis=1)
+        r = jnp.concatenate([rows[:, 1:], jnp.zeros_like(rows[:, :1])],
+                            axis=1)
+        return wl * l + rows + wr * r
+
+    # tap counts of the adjacent window per output row (edge-clipped),
+    # zeroed where the adjacent row does not exist
+    adj_n = wl * zl + 1.0 + wr * zr
+    n_rs = ce_raw.shape[0]
+    has_prev = jnp.concatenate([jnp.zeros((1, 1), rdt),
+                                jnp.ones((n_rs - 1, 1), rdt)])
+    has_nxt = jnp.concatenate([jnp.ones((n_rs - 1, 1), rdt),
+                               jnp.zeros((1, 1), rdt)])
+
+    total = same + windowed(prev_rows) + windowed(nxt_rows)
+    n_total = same_n + adj_n * has_prev + adj_n * has_nxt
     return total / n_total
 
 
@@ -315,13 +340,13 @@ def ce_interp_freq_time(ce_filt, rs_set, shifts, n_ofdm: int):
 
 
 @jax.jit
-def _chan_est_hex_core(tfg, rows, cols, rs_conj, parity, idx, w):
+def _chan_est_hex_core(tfg, rows, cols, rs_conj, wl, wr, idx, w):
     """Whole device chain for the hex interpolator as ONE program:
     raw-CE gather -> 7-point hex filter -> noise estimate -> sparse
     triangle-plane interpolation.  Compiles once per (n_ofdm, port
     class) shape; all cell-dependent data arrives as arrays."""
     raw = tfg[rows[:, None], cols] * rs_conj
-    ce_filt = _hex_filter_parity(raw, parity)
+    ce_filt = _hex_filter_weighted(raw, wl, wr)
     resid = ce_filt - raw
     np_est = jnp.mean(jnp.real(resid) ** 2 + jnp.imag(resid) ** 2)
     vals = ce_filt.reshape(-1)[idx] * w.astype(raw.real.dtype)
@@ -344,12 +369,13 @@ def chan_est(cell: Cell, rs_dl: RsDl, tfg, port: int,
             cell, rs_dl, n_ofdm, port)
         idx, w = _hex_interp_plan(n_ofdm, n_symb_dl, int(shifts[0]),
                                   int(shifts[1]), 1 if port >= 2 else 0)
-        parity = (np.arange(len(rs_set)) % 2 == 0) == \
-            (shifts[0] < shifts[1])
+        wl, wr = _hex_window_weights(len(rs_set), int(shifts[0]),
+                                     int(shifts[1]))
         return _chan_est_hex_core(
             tfg, jnp.asarray(rows), jnp.asarray(cols),
             jnp.conj(jnp.asarray(rs_vals, dtype=tfg.dtype)),
-            jnp.asarray(parity), jnp.asarray(idx.reshape(-1, 6)),
+            jnp.asarray(wl), jnp.asarray(wr),
+            jnp.asarray(idx.reshape(-1, 6)),
             jnp.asarray(w.reshape(-1, 6)))
     ce_raw, rs_set, shifts = _extract_raw_ce(cell, rs_dl, tfg, port)
     ce_filt = _hex_filter(ce_raw, int(shifts[0]), int(shifts[1]))

@@ -44,7 +44,6 @@ def peak_search(xc_incoherent_collapsed_pow: np.ndarray,
     convention transposed relative to the reference's [3][9600][n_f]).
     """
     work = np.array(xc_incoherent_collapsed_pow, dtype=np.float64, copy=True)
-    pow_in = xc_incoherent_collapsed_pow
     frq = xc_incoherent_collapsed_frq
     cells: List[Cell] = []
 
@@ -89,5 +88,4 @@ def peak_search(xc_incoherent_collapsed_pow: np.ndarray,
         # (c) CRS ghost floor: cancel everything 12 dB down
         work[work < peak_pow * 10.0 ** (-12.0 / 10.0)] = 0.0
 
-    del pow_in
     return cells

@@ -223,6 +223,17 @@ def cell_search_sharded(capbuf, f_search_set, fc_requested: float,
                         fs_programmed, cfg)
 
 
+def _true_freq(c: Cell) -> float:
+    """Best available carrier-frequency estimate: superfine when the
+    decode back half ran, else fine, else the coarse hypothesis (cells
+    from decode=False runs have NaN freq_superfine, and a NaN here would
+    disable dedup's 1 MHz match entirely)."""
+    for v in (c.freq_superfine, c.freq_fine, c.freq):
+        if np.isfinite(v):
+            return c.fc_requested + v
+    return c.fc_requested
+
+
 def dedup(cell_lists: List[List[Cell]]) -> List[Cell]:
     """Merge per-carrier results: same cell ID within 1 MHz keeps the
     strongest detection (reference CellSearch.cpp:285-319)."""
@@ -232,8 +243,7 @@ def dedup(cell_lists: List[List[Cell]]) -> List[Cell]:
             matched = False
             for i, f in enumerate(final):
                 if (c.n_id_cell() == f.n_id_cell()
-                        and abs((c.fc_requested + c.freq_superfine)
-                                - (f.fc_requested + f.freq_superfine)) < 1e6):
+                        and abs(_true_freq(c) - _true_freq(f)) < 1e6):
                     matched = True
                     if c.pss_pow > f.pss_pow:
                         final[i] = c

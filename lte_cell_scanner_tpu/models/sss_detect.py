@@ -325,20 +325,24 @@ def _decide_sss(cell: Cell, lln: np.ndarray, lle: np.ndarray,
     return cell_out
 
 
-def _detect_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
-                          fc_programmed: float, fs_programmed: float,
-                          compat: str, rows: int = 0):
-    """Per-peak device inputs for _detect_impl (everything but capbuf and
-    the shared ROM tables).  rows > 0 forces the padded location
-    capacity (batch paths must share one shape across peaks)."""
-    locs, mask, freq, fs_mix = _getce_prepare(
-        cell, n_cap, fc_requested, fc_programmed, fs_programmed, compat)
-    if rows:
-        locs, mask = _extend_pad(locs, mask, rows)
+def _expand_getce(locs: np.ndarray, mask: np.ndarray):
+    """Grow a padded location list into the three [rows, 128] gather
+    index maps of _getce_impl (PSS window, extended-CP SSS window,
+    normal-CP SSS window)."""
     base = np.arange(128, dtype=np.int64)[None, :]
     locs = locs[:, None]
     return (locs + base, locs - 128 - 32 + base, locs - 128 - 9 + base,
-            mask, freq, fs_mix, cell.n_id_2)
+            mask)
+
+
+def _detect_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
+                          fc_programmed: float, fs_programmed: float,
+                          compat: str):
+    """Per-peak device inputs for _detect_impl (everything but capbuf and
+    the shared ROM tables)."""
+    locs, mask, freq, fs_mix = _getce_prepare(
+        cell, n_cap, fc_requested, fc_programmed, fs_programmed, compat)
+    return _expand_getce(locs, mask) + (freq, fs_mix, cell.n_id_2)
 
 
 @lru_cache(maxsize=1)
@@ -392,6 +396,36 @@ def _bucket(n: int) -> int:
     return b
 
 
+def _run_detect_batch(batch_fn, capbuf_args, cells_fc,
+                      fs_programmed: float, compat: str):
+    """Shared body of the detect batch paths: per-peak host prepare
+    (once), re-pad to one shared row capacity (normally the
+    capture-length capacity; a pathological-ppm peak can exceed it),
+    bucket to a power of two (duplicating the first peak's inputs;
+    discarded), run the vmapped program.  Returns (lln [n, 168, 2],
+    lle [n, 168, 2]).  cells_fc: (cell, fc_requested, fc_programmed)
+    triples; capbuf_args: leading device args (a single capture, or a
+    capture stack + per-peak carrier index)."""
+    n_cap = int(capbuf_args[0].shape[-1])
+    preps = [(_getce_prepare(c, n_cap, fcr, fcp, fs_programmed, compat),
+              c.n_id_2) for c, fcr, fcp in cells_fc]
+    rows = max(len(p[0][0]) for p in preps)
+    n = len(preps)
+    preps = preps + [preps[0]] * (_bucket(n) - n)
+    expanded = [_expand_getce(*_extend_pad(locs, mask, rows))
+                for (locs, mask, _f, _m), _ in preps]
+    stacked = [np.stack([e[i] for e in expanded]) for i in range(4)]
+    freq = np.array([p[0][2] for p in preps], dtype=np.float64)
+    fs_mix = np.array([p[0][3] for p in preps], dtype=np.float64)
+    n_id_2 = np.array([p[1] for p in preps], dtype=np.int64)
+    out = batch_fn(*capbuf_args,
+                   *(jnp.asarray(s) for s in stacked),
+                   jnp.asarray(freq), jnp.asarray(fs_mix),
+                   jnp.asarray(n_id_2), *_detect_rom_args())
+    return (np.asarray(out[6], dtype=np.float64),
+            np.asarray(out[7], dtype=np.float64))
+
+
 def sss_detect_batch(cells: Sequence[Cell], capbuf, thresh2_n_sigma: float,
                      fc_requested: float, fc_programmed: float,
                      fs_programmed: float, compat: str = "production"
@@ -401,35 +435,15 @@ def sss_detect_batch(cells: Sequence[Cell], capbuf, thresh2_n_sigma: float,
     The reference (and refine_peaks before this) runs the SSS stage
     per peak; on an accelerator each tiny program pays a dispatch
     round-trip, which dominates the back half of cell_search.  Peaks are
-    independent, so the fused detect core vmaps over them: the batch is
-    padded to a power-of-two row count (duplicating the first peak's
-    inputs; discarded) and decided per peak on host exactly as the
-    serial path."""
+    independent, so the fused detect core vmaps over them
+    (_run_detect_batch), decided per peak on host exactly as the serial
+    path."""
     if not cells:
         return []
-    capbuf = np.asarray(capbuf)
-    n_cap = int(capbuf.shape[0])
-    # one shared row capacity across the batch (normally the
-    # capture-length capacity; a pathological-ppm peak can exceed it)
-    rows = max(len(_getce_prepare(c, n_cap, fc_requested, fc_programmed,
-                                  fs_programmed, compat)[0])
-               for c in cells)
-    preps = [_detect_device_inputs(c, n_cap, fc_requested, fc_programmed,
-                                   fs_programmed, compat, rows=rows)
-             for c in cells]
-    n = len(preps)
-    b = _bucket(n)
-    rows = preps + [preps[0]] * (b - n)
-    stacked = [np.stack([r[i] for r in rows]) for i in range(4)]
-    freq = np.array([r[4] for r in rows], dtype=np.float64)
-    fs_mix = np.array([r[5] for r in rows], dtype=np.float64)
-    n_id_2 = np.array([r[6] for r in rows], dtype=np.int64)
-    out = _detect_batch(jnp.asarray(capbuf),
-                        *(jnp.asarray(s) for s in stacked),
-                        jnp.asarray(freq), jnp.asarray(fs_mix),
-                        jnp.asarray(n_id_2), *_detect_rom_args())
-    lln = np.asarray(out[6], dtype=np.float64)
-    lle = np.asarray(out[7], dtype=np.float64)
+    lln, lle = _run_detect_batch(
+        _detect_batch, (jnp.asarray(np.asarray(capbuf)),),
+        [(c, fc_requested, fc_programmed) for c in cells],
+        fs_programmed, compat)
     return [_decide_sss(c, lln[i], lle[i], thresh2_n_sigma, fc_requested,
                         fc_programmed, fs_programmed, compat)
             for i, c in enumerate(cells)]
@@ -448,30 +462,13 @@ def sss_detect_batch_multi(cells: Sequence[Cell], capbufs,
     """
     if not cells:
         return []
-    capbufs = jnp.asarray(capbufs)
-    n_cap = int(capbufs.shape[-1])
-    rows = max(len(_getce_prepare(c, n_cap, c.fc_requested, c.fc_programmed,
-                                  fs_programmed, compat)[0])
-               for c in cells)
-    preps = [_detect_device_inputs(c, n_cap, c.fc_requested,
-                                   c.fc_programmed, fs_programmed, compat,
-                                   rows=rows)
-             for c in cells]
-    n = len(preps)
-    b = _bucket(n)
-    rows_l = preps + [preps[0]] * (b - n)
-    ci = np.asarray(list(carrier_idx) + [carrier_idx[0]] * (b - n),
-                    dtype=np.int64)
-    stacked = [np.stack([r[i] for r in rows_l]) for i in range(4)]
-    freq = np.array([r[4] for r in rows_l], dtype=np.float64)
-    fs_mix = np.array([r[5] for r in rows_l], dtype=np.float64)
-    n_id_2 = np.array([r[6] for r in rows_l], dtype=np.int64)
-    out = _detect_batch_multi(capbufs, jnp.asarray(ci),
-                              *(jnp.asarray(s) for s in stacked),
-                              jnp.asarray(freq), jnp.asarray(fs_mix),
-                              jnp.asarray(n_id_2), *_detect_rom_args())
-    lln = np.asarray(out[6], dtype=np.float64)
-    lle = np.asarray(out[7], dtype=np.float64)
+    n = len(cells)
+    ci = np.asarray(list(carrier_idx) + [carrier_idx[0]]
+                    * (_bucket(n) - n), dtype=np.int64)
+    lln, lle = _run_detect_batch(
+        _detect_batch_multi, (jnp.asarray(capbufs), jnp.asarray(ci)),
+        [(c, c.fc_requested, c.fc_programmed) for c in cells],
+        fs_programmed, compat)
     return [_decide_sss(c, lln[i], lle[i], thresh2_n_sigma, c.fc_requested,
                         c.fc_programmed, fs_programmed, compat)
             for i, c in enumerate(cells)]
@@ -528,15 +525,10 @@ def _foe_prepare(cell: Cell, n_cap: int, fc_requested: float,
             fs_out)
 
 
-def _foe_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
-                       fc_programmed: float, fs_programmed: float,
-                       compat: str, rows: int = 0):
-    """Per-peak device inputs for _foe_impl plus the host scalars needed
-    to map M back to freq_fine.  rows > 0 forces the padded location
-    capacity (batch paths must share one shape across peaks)."""
-    locs, mask, sn_pad, pss_sss_dist, seg_phase, freq, fs_mix, fs_out = \
-        _foe_prepare(cell, n_cap, fc_requested, fc_programmed,
-                     fs_programmed, compat)
+def _expand_foe(locs: np.ndarray, mask: np.ndarray, sn_pad: np.ndarray,
+                pss_sss_dist: int, rows: int = 0):
+    """Grow a padded FOE location list to `rows` entries and expand it
+    into the [rows, 128] PSS/SSS gather index maps of _foe_impl."""
     if rows:
         locs, mask = _extend_pad(locs, mask, rows)
         if len(sn_pad) < rows:
@@ -544,8 +536,21 @@ def _foe_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
                 [sn_pad, np.zeros(rows - len(sn_pad), dtype=sn_pad.dtype)])
     base = np.arange(128, dtype=np.int64)[None, :]
     locs = locs[:, None]
-    dev = (locs + pss_sss_dist + base, locs + base, mask, freq, fs_mix,
-           seg_phase, sn_pad, cell.n_id_1, cell.n_id_2)
+    return locs + pss_sss_dist + base, locs + base, mask, sn_pad
+
+
+def _foe_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
+                       fc_programmed: float, fs_programmed: float,
+                       compat: str):
+    """Per-peak device inputs for _foe_impl plus the host scalars needed
+    to map M back to freq_fine."""
+    locs, mask, sn_pad, pss_sss_dist, seg_phase, freq, fs_mix, fs_out = \
+        _foe_prepare(cell, n_cap, fc_requested, fc_programmed,
+                     fs_programmed, compat)
+    idx_pss, idx_sss, mask, sn_pad = _expand_foe(locs, mask, sn_pad,
+                                                 pss_sss_dist)
+    dev = (idx_pss, idx_sss, mask, freq, fs_mix, seg_phase, sn_pad,
+           cell.n_id_1, cell.n_id_2)
     return dev, pss_sss_dist, fs_out
 
 
@@ -574,6 +579,47 @@ def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     return cell.evolve(freq_fine=float(freq_fine))
 
 
+def _run_foe_batch(batch_fn, capbuf_args, cells_fc,
+                   fs_programmed: float, compat: str):
+    """Shared body of the FOE batch paths (see _run_detect_batch for the
+    batching rules).  Returns (M [n] complex, per-peak
+    (pss_sss_dist, fs_out) scalars)."""
+    n_cap = int(capbuf_args[0].shape[-1])
+    preps = [(_foe_prepare(c, n_cap, fcr, fcp, fs_programmed, compat),
+              c.n_id_1, c.n_id_2) for c, fcr, fcp in cells_fc]
+    rows = max(len(p[0][0]) for p in preps)
+    n = len(preps)
+    preps_b = preps + [preps[0]] * (_bucket(n) - n)
+    ex = [_expand_foe(pr[0], pr[1], pr[2], pr[3], rows)
+          for pr, _, _ in preps_b]
+    idx_pss = np.stack([e[0] for e in ex])
+    idx_sss = np.stack([e[1] for e in ex])
+    mask = np.stack([e[2] for e in ex])
+    sn_pad = np.stack([e[3] for e in ex])
+    freq = np.array([pr[5] for pr, _, _ in preps_b], dtype=np.float64)
+    fs_mix = np.array([pr[6] for pr, _, _ in preps_b], dtype=np.float64)
+    seg_phase = np.array([pr[4] for pr, _, _ in preps_b],
+                         dtype=np.complex128)
+    n_id_1 = np.array([p[1] for p in preps_b], dtype=np.int64)
+    n_id_2 = np.array([p[2] for p in preps_b], dtype=np.int64)
+    M = np.asarray(batch_fn(
+        *capbuf_args, jnp.asarray(idx_pss), jnp.asarray(idx_sss),
+        jnp.asarray(mask), jnp.asarray(freq), jnp.asarray(fs_mix),
+        jnp.asarray(seg_phase), jnp.asarray(sn_pad), jnp.asarray(n_id_1),
+        jnp.asarray(n_id_2), *_foe_rom_args()))
+    scalars = [(pr[3], pr[7]) for pr, _, _ in preps[:n]]
+    return M, scalars
+
+
+def _apply_foe(cells: Sequence[Cell], M: np.ndarray, scalars) -> List[Cell]:
+    out = []
+    for i, (c, (pss_sss_dist, fs_out)) in enumerate(zip(cells, scalars)):
+        freq_fine = c.freq + np.angle(complex(M[i])) / (2 * np.pi) \
+            * fs_out / pss_sss_dist
+        out.append(c.evolve(freq_fine=float(freq_fine)))
+    return out
+
+
 def pss_sss_foe_batch(cells: Sequence[Cell], capbuf, fc_requested: float,
                       fc_programmed: float, fs_programmed: float,
                       compat: str = "production") -> List[Cell]:
@@ -581,37 +627,11 @@ def pss_sss_foe_batch(cells: Sequence[Cell], capbuf, fc_requested: float,
     (vmapped _foe_impl; see sss_detect_batch for the batching rules)."""
     if not cells:
         return []
-    capbuf = np.asarray(capbuf)
-    n_cap = int(capbuf.shape[0])
-    rows = max(len(_foe_prepare(c, n_cap, fc_requested, fc_programmed,
-                                fs_programmed, compat)[0])
-               for c in cells)
-    preps = [_foe_device_inputs(c, n_cap, fc_requested, fc_programmed,
-                                fs_programmed, compat, rows=rows)
-             for c in cells]
-    n = len(preps)
-    rows = [p[0] for p in preps]
-    rows = rows + [rows[0]] * (_bucket(n) - n)
-    idx_pss = np.stack([r[0] for r in rows])
-    idx_sss = np.stack([r[1] for r in rows])
-    mask = np.stack([r[2] for r in rows])
-    freq = np.array([r[3] for r in rows], dtype=np.float64)
-    fs_mix = np.array([r[4] for r in rows], dtype=np.float64)
-    seg_phase = np.array([r[5] for r in rows], dtype=np.complex128)
-    sn_pad = np.stack([r[6] for r in rows])
-    n_id_1 = np.array([r[7] for r in rows], dtype=np.int64)
-    n_id_2 = np.array([r[8] for r in rows], dtype=np.int64)
-    M = np.asarray(_foe_batch(
-        jnp.asarray(capbuf), jnp.asarray(idx_pss), jnp.asarray(idx_sss),
-        jnp.asarray(mask), jnp.asarray(freq), jnp.asarray(fs_mix),
-        jnp.asarray(seg_phase), jnp.asarray(sn_pad), jnp.asarray(n_id_1),
-        jnp.asarray(n_id_2), *_foe_rom_args()))
-    out = []
-    for i, (c, (_, pss_sss_dist, fs_out)) in enumerate(zip(cells, preps)):
-        freq_fine = c.freq + np.angle(complex(M[i])) / (2 * np.pi) \
-            * fs_out / pss_sss_dist
-        out.append(c.evolve(freq_fine=float(freq_fine)))
-    return out
+    M, scalars = _run_foe_batch(
+        _foe_batch, (jnp.asarray(np.asarray(capbuf)),),
+        [(c, fc_requested, fc_programmed) for c in cells],
+        fs_programmed, compat)
+    return _apply_foe(cells, M, scalars)
 
 
 def pss_sss_foe_batch_multi(cells: Sequence[Cell], capbufs,
@@ -623,40 +643,14 @@ def pss_sss_foe_batch_multi(cells: Sequence[Cell], capbufs,
     carrier_idx convention)."""
     if not cells:
         return []
-    capbufs = jnp.asarray(capbufs)
-    n_cap = int(capbufs.shape[-1])
-    rows = max(len(_foe_prepare(c, n_cap, c.fc_requested, c.fc_programmed,
-                                fs_programmed, compat)[0])
-               for c in cells)
-    preps = [_foe_device_inputs(c, n_cap, c.fc_requested, c.fc_programmed,
-                                fs_programmed, compat, rows=rows)
-             for c in cells]
-    n = len(preps)
-    b = _bucket(n)
-    rows_l = [p[0] for p in preps]
-    rows_l = rows_l + [rows_l[0]] * (b - n)
-    ci = np.asarray(list(carrier_idx) + [carrier_idx[0]] * (b - n),
-                    dtype=np.int64)
-    idx_pss = np.stack([r[0] for r in rows_l])
-    idx_sss = np.stack([r[1] for r in rows_l])
-    mask = np.stack([r[2] for r in rows_l])
-    freq = np.array([r[3] for r in rows_l], dtype=np.float64)
-    fs_mix = np.array([r[4] for r in rows_l], dtype=np.float64)
-    seg_phase = np.array([r[5] for r in rows_l], dtype=np.complex128)
-    sn_pad = np.stack([r[6] for r in rows_l])
-    n_id_1 = np.array([r[7] for r in rows_l], dtype=np.int64)
-    n_id_2 = np.array([r[8] for r in rows_l], dtype=np.int64)
-    M = np.asarray(_foe_batch_multi(
-        capbufs, jnp.asarray(ci), jnp.asarray(idx_pss), jnp.asarray(idx_sss),
-        jnp.asarray(mask), jnp.asarray(freq), jnp.asarray(fs_mix),
-        jnp.asarray(seg_phase), jnp.asarray(sn_pad), jnp.asarray(n_id_1),
-        jnp.asarray(n_id_2), *_foe_rom_args()))
-    out = []
-    for i, (c, (_, pss_sss_dist, fs_out)) in enumerate(zip(cells, preps)):
-        freq_fine = c.freq + np.angle(complex(M[i])) / (2 * np.pi) \
-            * fs_out / pss_sss_dist
-        out.append(c.evolve(freq_fine=float(freq_fine)))
-    return out
+    n = len(cells)
+    ci = np.asarray(list(carrier_idx) + [carrier_idx[0]]
+                    * (_bucket(n) - n), dtype=np.int64)
+    M, scalars = _run_foe_batch(
+        _foe_batch_multi, (jnp.asarray(capbufs), jnp.asarray(ci)),
+        [(c, c.fc_requested, c.fc_programmed) for c in cells],
+        fs_programmed, compat)
+    return _apply_foe(cells, M, scalars)
 
 
 def _foe_impl(capbuf, idx_pss, idx_sss, mask, freq, fs_mix, seg_phase,

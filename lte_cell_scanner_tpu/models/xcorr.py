@@ -96,7 +96,6 @@ def _xcorr_core(capbuf, templates, start_idx, ds_comb_arm: int,
     # times (measured 18x slowdown when xc is not an output)
     xc2 = jax.lax.optimization_barrier(xc2)
     n_comb_xc = start_idx.shape[1]
-    base = jnp.arange(HALF_FRAME_LEN)
 
     def fold_one_f(xc2_f, starts):
         # xc2_f: [3, n_lags]; starts: [n_comb]
@@ -130,7 +129,6 @@ def _xcorr_core(capbuf, templates, start_idx, ds_comb_arm: int,
     sp_incoherent = jnp.mean(sp.reshape(n_comb_sp, HALF_FRAME_LEN), axis=0)
     sp_incoherent = jnp.roll(sp_incoherent, 137)
 
-    del base
     return (xc_single, xc_inc, pow_collapsed, frq_collapsed, sp,
             sp_incoherent, xc if keep_xc else None)
 

@@ -80,3 +80,49 @@ def test_tfg_chain_freq_superfine_close_to_matlab(tfg_mat):
     # production semantics differ from the MATLAB prototype at the k_factor
     # level; the estimates must still agree to well under a Hz-scale drift
     assert abs(cell2.freq_superfine - float(p["freq_superfine"])) < 5.0
+
+
+def _hex_filter_reference(ce_raw, shift0, shift1):
+    """Direct transcription of the reference filter loop
+    (searcher.cpp:1432-1468): for each output row t, same-row taps
+    k-1..k+1 plus a window on rows t-1/t+1 -- the FULL window when the
+    combs coincide, else {k-1,k} / {k,k+1} by t's current_row_leftmost
+    (initialized shift0<shift1, flipped per row)."""
+    n_rs, n_sc = ce_raw.shape
+    out = np.empty_like(ce_raw)
+    current_row_leftmost = shift0 < shift1
+    for t in range(n_rs):
+        for k in range(n_sc):
+            ind = [i for i in (k - 1, k, k + 1) if 0 <= i < n_sc]
+            total = sum(ce_raw[t, i] for i in ind)
+            n_total = len(ind)
+            if shift0 == shift1:
+                ind = [i for i in (k - 1, k, k + 1) if 0 <= i < n_sc]
+            elif current_row_leftmost:
+                ind = [i for i in (k - 1, k) if 0 <= i < n_sc]
+            else:
+                ind = [i for i in (k, k + 1) if 0 <= i < n_sc]
+            if t != 0:
+                total += sum(ce_raw[t - 1, i] for i in ind)
+                n_total += len(ind)
+            if t != n_rs - 1:
+                total += sum(ce_raw[t + 1, i] for i in ind)
+                n_total += len(ind)
+            out[t, k] = total / n_total
+        current_row_leftmost = not current_row_leftmost
+    return out
+
+
+@pytest.mark.parametrize("shifts", [(1, 4), (4, 1), (2, 2)])
+def test_hex_filter_matches_reference_loop(shifts):
+    """The vectorized 7-point hex CE filter must reproduce the reference
+    scalar loop exactly for both staggered orders and the coincident-comb
+    case (regression: the adjacent-row window was once selected by the
+    CONTRIBUTING row's parity instead of the output row's)."""
+    from lte_cell_scanner_tpu.models.chan_est import _hex_filter
+
+    rng = np.random.default_rng(5)
+    ce_raw = rng.normal(size=(9, 12)) + 1j * rng.normal(size=(9, 12))
+    got = np.asarray(_hex_filter(ce_raw, *shifts))
+    want = _hex_filter_reference(ce_raw, *shifts)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
