@@ -138,3 +138,27 @@ def test_long_capture_full_chain():
     assert c.n_id_cell() == 277
     assert c.n_rb_dl == 6
     assert c.n_ports == 2
+
+
+def test_full_chain_through_multipath_channel():
+    """Frequency-selective end-to-end decode (regression guard for the
+    hex CE filter's adjacent-row window parity: a flat channel cannot
+    tell the bracketing {k-1,k}/{k,k+1} window from an inverted one,
+    a 4-tap Rayleigh channel can).  All three CE interpolators must
+    decode the MIB through the same static multipath channel."""
+    from lte_cell_scanner_tpu.sim import multipath_channel
+
+    rng = np.random.default_rng(17)
+    sig = create_dl_sig(CpType.NORMAL, 80, 0, 92, 1, 0.5, rng=rng,
+                        n_ports=2, sfn=40)
+    sig = multipath_channel(sig, n_taps=4, delay_spread=1.5, rng=rng)
+    sig = awgn(sig, 5.0, rng=rng)
+    f_search_set = np.arange(-5e3, 5e3 + 1, 5e3)
+    for interp in ("hex", "freq_time", "2stage"):
+        cells = cell_search(sig, f_search_set, FC, FC, FS,
+                            SearchConfig(interp=interp))
+        c = max(cells, key=lambda x: x.pss_pow)
+        assert c.n_id_cell() == 277, interp
+        assert c.n_rb_dl == 6, interp
+        assert c.n_ports == 2, interp
+        assert c.sfn in (40, 41), interp
