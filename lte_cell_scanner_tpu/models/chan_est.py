@@ -339,19 +339,35 @@ def ce_interp_freq_time(ce_filt, rs_set, shifts, n_ofdm: int):
     return jnp.stack(cols, axis=1)
 
 
-@jax.jit
-def _chan_est_hex_core(tfg, rows, cols, rs_conj, wl, wr, idx, w):
-    """Whole device chain for the hex interpolator as ONE program:
-    raw-CE gather -> 7-point hex filter -> noise estimate -> sparse
-    triangle-plane interpolation.  Compiles once per (n_ofdm, port
-    class) shape; all cell-dependent data arrives as arrays."""
-    raw = tfg[rows[:, None], cols] * rs_conj
+def _chan_est_hex_impl(tfg, rows, cols, rs_conj, wl, wr, idx, w):
+    """Whole device chain for the hex interpolator as ONE traced
+    program: raw-CE gather -> 7-point hex filter -> noise estimate ->
+    sparse triangle-plane interpolation.  Compiles once per (n_ofdm,
+    port class) shape; all cell-dependent data arrives as arrays."""
+    raw = tfg[rows[:, None], cols] * rs_conj.astype(tfg.dtype)
     ce_filt = _hex_filter_weighted(raw, wl, wr)
     resid = ce_filt - raw
     np_est = jnp.mean(jnp.real(resid) ** 2 + jnp.imag(resid) ** 2)
     vals = ce_filt.reshape(-1)[idx] * w.astype(raw.real.dtype)
     n_ofdm = idx.shape[0] // 72
     return jnp.sum(vals, axis=-1).reshape(n_ofdm, 72), np_est
+
+
+_chan_est_hex_core = jax.jit(_chan_est_hex_impl)
+
+
+def _hex_device_args(cell: Cell, rs_dl: RsDl, n_ofdm: int, port: int):
+    """Host plans for _chan_est_hex_impl (everything but tfg), as numpy
+    arrays: (rows, cols, rs_conj, wl, wr, idx6, w6)."""
+    n_symb_dl = rs_dl.n_symb_dl
+    rows, cols, rs_vals, rs_set, shifts = _raw_ce_plan(
+        cell, rs_dl, n_ofdm, port)
+    idx, w = _hex_interp_plan(n_ofdm, n_symb_dl, int(shifts[0]),
+                              int(shifts[1]), 1 if port >= 2 else 0)
+    wl, wr = _hex_window_weights(len(rs_set), int(shifts[0]),
+                                 int(shifts[1]))
+    return (rows, cols, np.conj(rs_vals), wl, wr,
+            idx.reshape(-1, 6), w.reshape(-1, 6))
 
 
 def chan_est(cell: Cell, rs_dl: RsDl, tfg, port: int,
@@ -363,20 +379,9 @@ def chan_est(cell: Cell, rs_dl: RsDl, tfg, port: int,
     """
     tfg = jnp.asarray(tfg)
     n_ofdm = int(tfg.shape[0])
-    n_symb_dl = cell.n_symb_dl()
     if interp == "hex":
-        rows, cols, rs_vals, rs_set, shifts = _raw_ce_plan(
-            cell, rs_dl, n_ofdm, port)
-        idx, w = _hex_interp_plan(n_ofdm, n_symb_dl, int(shifts[0]),
-                                  int(shifts[1]), 1 if port >= 2 else 0)
-        wl, wr = _hex_window_weights(len(rs_set), int(shifts[0]),
-                                     int(shifts[1]))
-        return _chan_est_hex_core(
-            tfg, jnp.asarray(rows), jnp.asarray(cols),
-            jnp.conj(jnp.asarray(rs_vals, dtype=tfg.dtype)),
-            jnp.asarray(wl), jnp.asarray(wr),
-            jnp.asarray(idx.reshape(-1, 6)),
-            jnp.asarray(w.reshape(-1, 6)))
+        args = _hex_device_args(cell, rs_dl, n_ofdm, port)
+        return _chan_est_hex_core(tfg, *(jnp.asarray(a) for a in args))
     ce_raw, rs_set, shifts = _extract_raw_ce(cell, rs_dl, tfg, port)
     ce_filt = _hex_filter(ce_raw, int(shifts[0]), int(shifts[1]))
     resid = ce_filt - ce_raw

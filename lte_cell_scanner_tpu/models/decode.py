@@ -1,0 +1,206 @@
+"""Fused decode back half: extract_tfg -> tfoec -> 4-port chan_est ->
+blind MIB candidates as ONE device program per peak.
+
+The reference runs these as four separate stages per detected peak
+(CellSearch.cpp:542-570); each is already a single jitted core here
+(models/tfg.py, chan_est.py, mib.py), and chaining the impls inside one
+trace removes the remaining per-stage dispatch round-trips AND lets the
+whole chain vmap over peaks: together with sss_detect_batch /
+pss_sss_foe_batch, the complete back half of a capture -- or of an
+entire band scan (the *_multi variants) -- is three device programs,
+independent of the peak/carrier count.
+
+Only the hex interpolator (the reference's default chan_est path) is
+fused; SearchConfig(interp="freq_time"/"2stage") falls back to the
+staged per-peak flow in models/search.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..cell import Cell
+from .chan_est import _chan_est_hex_impl, _hex_device_args
+from .coding import crc_matrix
+from .mib import _mib_device_args, _mib_impl, _scan_mib_results
+from .rs import RsDl
+from .tfg import _tfg_impl, _tfg_plan, _tfoec_impl, _tfoec_plan
+
+# argument-tuple arities of the flattened _decode_impl signature
+_N_TFOEC = 12
+_N_CE = 7
+
+
+def _decode_impl(capbuf, idx, late, freq_fine, fs_true, ts,
+                 *rest):
+    """One traced program for the whole decode chain of one peak.
+
+    rest = 12 tfoec plan arrays, fc_requested, fc_programmed,
+    7 port-{0,1}-stacked chan_est arrays, 7 port-{2,3}-stacked ones,
+    mib rows, mib cols, scr_sign, crc_m.
+    Returns (residual_f, c_est [3,4,40], crc_calc [3,4,16]).
+    """
+    tf = rest[:_N_TFOEC]
+    fc_requested, fc_programmed = rest[_N_TFOEC:_N_TFOEC + 2]
+    o = _N_TFOEC + 2
+    ce01 = rest[o:o + _N_CE]
+    ce23 = rest[o + _N_CE:o + 2 * _N_CE]
+    rows, cols, scr_sign, crc_m = rest[o + 2 * _N_CE:]
+
+    tfg = _tfg_impl(capbuf, idx, late, freq_fine, fs_true)
+    residual_f, tfg_comp, _ts2 = _tfoec_impl(tfg, ts, *tf, fc_requested,
+                                             fc_programmed)
+
+    ce_port = jax.vmap(_chan_est_hex_impl,
+                       in_axes=(None, 0, 0, 0, 0, 0, 0, 0))
+    ce01_v, np01 = ce_port(tfg_comp, *ce01)
+    ce23_v, np23 = ce_port(tfg_comp, *ce23)
+    ce4 = jnp.concatenate([ce01_v, ce23_v], axis=0)      # [4, n_ofdm, 72]
+    np_v = jnp.concatenate([np01, np23])
+
+    # frame_len_sym is a pure function of the (static) symbol count:
+    # n_ofdm = (6*10*2 + 2) * n_symb_dl (searcher.cpp:875)
+    frame_len_sym = 20 * (idx.shape[0] // 122)
+    c_all, crc_all = _mib_impl(tfg_comp, ce4, np_v, rows, cols, scr_sign,
+                               crc_m, frame_len_sym)
+    return residual_f, c_all, crc_all
+
+
+def _decode_impl_multi(capbufs, ci, *args):
+    """_decode_impl against a [C, n_cap] capture stack; ci (traced)
+    selects this peak's carrier."""
+    return _decode_impl(capbufs[ci], *args)
+
+
+_decode_single = jax.jit(_decode_impl)
+_N_ARGS = 5 + _N_TFOEC + 2 + 2 * _N_CE + 3   # batched args after capbuf
+_decode_batch = jax.jit(jax.vmap(
+    _decode_impl, in_axes=(None,) + (0,) * _N_ARGS + (None,)))
+_decode_batch_multi = jax.jit(jax.vmap(
+    _decode_impl_multi, in_axes=(None, 0) + (0,) * _N_ARGS + (None,)))
+
+
+def _decode_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
+                          fc_programmed: float, fs_programmed: float):
+    """Per-peak device inputs for _decode_impl (everything but capbuf
+    and the shared CRC matrix)."""
+    rs_dl = RsDl(cell.n_id_cell(), 6, cell.cp_type)
+    idx, late, locs, fs_true = _tfg_plan(cell, n_cap, fc_requested,
+                                         fc_programmed, fs_programmed)
+    n_ofdm = int(idx.shape[0])
+    tf = _tfoec_plan(cell, rs_dl, n_ofdm)
+    ce01 = tuple(np.stack(pair) for pair in zip(
+        _hex_device_args(cell, rs_dl, n_ofdm, 0),
+        _hex_device_args(cell, rs_dl, n_ofdm, 1)))
+    ce23 = tuple(np.stack(pair) for pair in zip(
+        _hex_device_args(cell, rs_dl, n_ofdm, 2),
+        _hex_device_args(cell, rs_dl, n_ofdm, 3)))
+    rows, cols, scr_sign, _crc_m, _fl = _mib_device_args(cell)
+    return ((idx, late, cell.freq_fine, fs_true, locs) + tf
+            + (fc_requested, fc_programmed) + ce01 + ce23
+            + (rows, cols, scr_sign))
+
+
+def _crc_arg():
+    return jnp.asarray(crc_matrix(24, "crc16").astype(np.int32))
+
+
+def _finish(cell: Cell, residual_f, c_all, crc_all) -> Cell:
+    cell = cell.evolve(
+        freq_superfine=float(cell.freq_fine + float(np.asarray(residual_f))))
+    return _scan_mib_results(cell, np.asarray(c_all), np.asarray(crc_all))
+
+
+def decode_back_half_fused(cell: Cell, capbuf, fc_requested: float,
+                           fc_programmed: float, fs_programmed: float
+                           ) -> Cell:
+    """Whole decode chain for one SSS-accepted peak as one device call.
+
+    Returns the cell with freq_superfine set, and the MIB fields set
+    when one of the 12 blind candidates passes its CRC.
+    """
+    capbuf = jnp.asarray(capbuf)
+    args = _decode_device_inputs(cell, int(capbuf.shape[0]), fc_requested,
+                                 fc_programmed, fs_programmed)
+    out = _decode_single(capbuf, *(jnp.asarray(a) for a in args),
+                         _crc_arg())
+    return _finish(cell, *out)
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def _run_decode_batch(batch_fn, capbuf_args, cells_fc, fs_programmed: float
+                      ) -> List[Cell]:
+    """Decode a SAME-CP-TYPE group of peaks as one vmapped program
+    (padded to a power of two, duplicates discarded)."""
+    n_cap = int(capbuf_args[0].shape[-1])
+    preps = [_decode_device_inputs(c, n_cap, fcr, fcp, fs_programmed)
+             for c, fcr, fcp in cells_fc]
+    n = len(preps)
+    preps_b = preps + [preps[0]] * (_bucket(n) - n)
+    stacked = [np.stack([p[i] for p in preps_b])
+               for i in range(len(preps_b[0]))]
+    out = batch_fn(*capbuf_args, *(jnp.asarray(s) for s in stacked),
+                   _crc_arg())
+    residual_f = np.asarray(out[0])
+    c_all = np.asarray(out[1])
+    crc_all = np.asarray(out[2])
+    return [_finish(c, residual_f[i], c_all[i], crc_all[i])
+            for i, (c, _, _) in enumerate(cells_fc)]
+
+
+def decode_back_half_batch(cells: Sequence[Cell], capbuf,
+                           fc_requested: float, fc_programmed: float,
+                           fs_programmed: float) -> List[Cell]:
+    """Decode every accepted peak of one capture, grouped by CP type
+    (the two CP types have different grid shapes), each group one
+    vmapped device program."""
+    return _decode_grouped(
+        cells, lambda group: _run_decode_batch(
+            _decode_batch, (jnp.asarray(np.asarray(capbuf)),),
+            [(c, fc_requested, fc_programmed) for c, _ in group],
+            fs_programmed))
+
+
+def decode_back_half_batch_multi(cells: Sequence[Cell], capbufs,
+                                 carrier_idx: Sequence[int],
+                                 fs_programmed: float) -> List[Cell]:
+    """Band-scan variant: capbufs [C, n_cap] + per-peak carrier index
+    (see sss_detect_batch_multi)."""
+    capbufs = jnp.asarray(capbufs)
+
+    def run(group):
+        n = len(group)
+        ci = np.asarray([carrier_idx[i] for _, i in group]
+                        + [carrier_idx[group[0][1]]] * (_bucket(n) - n),
+                        dtype=np.int64)
+        return _run_decode_batch(
+            _decode_batch_multi, (capbufs, jnp.asarray(ci)),
+            [(c, c.fc_requested, c.fc_programmed) for c, _ in group],
+            fs_programmed)
+
+    return _decode_grouped(cells, run)
+
+
+def _decode_grouped(cells: Sequence[Cell], run) -> List[Cell]:
+    """Group (cell, original_index) pairs by CP type, run each group,
+    and restore the original order."""
+    if not cells:
+        return []
+    groups = {}
+    for i, c in enumerate(cells):
+        groups.setdefault(c.cp_type, []).append((c, i))
+    out: List[Optional[Cell]] = [None] * len(cells)
+    for group in groups.values():
+        for (c_out, (_, i)) in zip(run(group), group):
+            out[i] = c_out
+    return out  # type: ignore[return-value]

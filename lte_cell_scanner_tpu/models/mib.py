@@ -110,13 +110,13 @@ def _combine(pbch_sym, pbch_ce, np_v, n_ports: int):
     return syms, np_out
 
 
-@partial(jax.jit, static_argnames=("frame_len_sym",))
-def _mib_candidates(tfg, ce4, np_v, rows, cols, scr_sign, crc_m,
-                    frame_len_sym: int):
+def _mib_impl(tfg, ce4, np_v, rows, cols, scr_sign, crc_m,
+              frame_len_sym: int):
     """All 12 blind candidates (4 frame phases x {1,2,4} ports) decoded
-    as one device program: batched combine -> log-MAP demod ->
+    as one traced program: batched combine -> log-MAP demod ->
     descramble -> de-ratematch -> tail-biting Viterbi -> CRC16.
 
+    ce4: [4 ports, n_sym, 72] channel estimates.
     Returns (c_est [3 port-cfgs, 4 phases, 40] int32 bits,
              crc_calc [3, 4, 16] int32 unmasked parity of bits[:24]).
     """
@@ -124,7 +124,8 @@ def _mib_candidates(tfg, ce4, np_v, rows, cols, scr_sign, crc_m,
     rows_b = rows[None, :] + offs[:, None]               # [4, n_re]
     pbch_sym = tfg[rows_b, cols[None, :]]                # [4, n_re]
     # [4 phases, 4 ports, n_re]
-    pbch_ce = jnp.stack([c[rows_b, cols[None, :]] for c in ce4], axis=1)
+    pbch_ce = jnp.stack([ce4[i][rows_b, cols[None, :]] for i in range(4)],
+                        axis=1)
 
     def cand(phase_sym, phase_ce, n_ports):
         syms, np_sym = _combine(phase_sym, phase_ce, np_v, n_ports)
@@ -141,6 +142,24 @@ def _mib_candidates(tfg, ce4, np_v, rows, cols, scr_sign, crc_m,
     return c_flat.reshape(3, 4, 40), crc_flat.reshape(3, 4, -1)
 
 
+_mib_candidates = partial(jax.jit, static_argnames=("frame_len_sym",))(
+    _mib_impl)
+
+
+def _mib_device_args(cell: Cell):
+    """Host plans for _mib_impl beyond tfg/ce4/np_v: (rows, cols,
+    scr_sign, crc_m, frame_len_sym)."""
+    n_symb_dl = cell.n_symb_dl()
+    n_id_cell = cell.n_id_cell()
+    frame_len_sym = 10 * 2 * n_symb_dl
+    m_bit = 1920 if cell.cp_type is CpType.NORMAL else 1728
+    scr = lte_pn(n_id_cell, m_bit).astype(np.float64)
+    scr_sign = 1.0 - 2.0 * scr
+    crc_m = crc_matrix(24, "crc16").astype(np.int32)
+    plan = pbch_index_plan(n_symb_dl, n_id_cell % 3)
+    return plan[:, 0], plan[:, 1], scr_sign, crc_m, frame_len_sym
+
+
 def decode_mib(cell: Cell, tfg, rs_dl: RsDl, interp: str = "hex") -> Cell:
     """Blind MIB decode (reference searcher.cpp:1526-1692).
 
@@ -150,7 +169,6 @@ def decode_mib(cell: Cell, tfg, rs_dl: RsDl, interp: str = "hex") -> Cell:
     searcher.cpp:1549-1567) is preserved when scanning the results.
     """
     tfg = jnp.asarray(tfg)
-    n_symb_dl = cell.n_symb_dl()
 
     ce_list = []
     np_list = []
@@ -160,20 +178,19 @@ def decode_mib(cell: Cell, tfg, rs_dl: RsDl, interp: str = "hex") -> Cell:
         np_list.append(npv)
     np_v = jnp.stack(np_list)
 
-    n_id_cell = cell.n_id_cell()
-    frame_len_sym = 10 * 2 * n_symb_dl
-    m_bit = 1920 if cell.cp_type is CpType.NORMAL else 1728
-    scr = lte_pn(n_id_cell, m_bit).astype(np.float64)
-    scr_sign = jnp.asarray(1.0 - 2.0 * scr)
-    crc_m = jnp.asarray(crc_matrix(24, "crc16").astype(np.int32))
-
-    plan = pbch_index_plan(n_symb_dl, n_id_cell % 3)
+    rows, cols, scr_sign, crc_m, frame_len_sym = _mib_device_args(cell)
     c_all, crc_all = _mib_candidates(
-        tfg, ce_list, np_v, jnp.asarray(plan[:, 0]), jnp.asarray(plan[:, 1]),
-        scr_sign, crc_m, frame_len_sym)
-    c_all = np.asarray(c_all)
-    crc_all = np.asarray(crc_all)
+        tfg, jnp.stack(ce_list), np_v, jnp.asarray(rows), jnp.asarray(cols),
+        jnp.asarray(scr_sign), jnp.asarray(crc_m), frame_len_sym)
+    return _scan_mib_results(cell, np.asarray(c_all), np.asarray(crc_all))
 
+
+def _scan_mib_results(cell: Cell, c_all: np.ndarray, crc_all: np.ndarray
+                      ) -> Cell:
+    """Host scan of the 12 decoded candidates in the reference's
+    first-success-wins order (phases outer, ports inner), CRC16 checked
+    under the per-port-count mask; unpack the MIB on success
+    (searcher.cpp:1628-1686)."""
     for frame_timing_guess in range(4):
         for pi, n_ports in enumerate((1, 2, 4)):
             c_est = c_all[pi, frame_timing_guess]

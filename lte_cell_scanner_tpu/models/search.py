@@ -18,6 +18,7 @@ from ..constants import (DS_COMB_ARM, FS_LTE, THRESH1_N_NINES,
                          THRESH2_N_SIGMA)
 from ..ops.dsp import chi2cdf_inv, matlab_range
 from ..utils.debug import debug_export, stage
+from .decode import decode_back_half_batch, decode_back_half_fused
 from .mib import decode_mib
 from .peaks import peak_search
 from .rs import RsDl
@@ -89,6 +90,16 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
                                       compat=cfg.compat)
         if not cfg.decode:
             return cells
+        if cfg.interp == "hex" and cells:
+            # whole-chain fused decode, one vmapped program per CP type
+            # (models/decode.py) -- with the two batches above, the
+            # complete back half is three device programs regardless of
+            # the peak count
+            with stage("decode_fused"):
+                decoded = decode_back_half_batch(
+                    cells, capbuf, fc_requested, fc_programmed,
+                    fs_programmed)
+            return [c for c in decoded if c.n_rb_dl >= 0]
         return [c2 for c in cells
                 if (c2 := _decode_back_half(c, capbuf, fc_requested,
                                             fc_programmed, fs_programmed,
@@ -122,7 +133,16 @@ def _decode_back_half(cell: Cell, capbuf: np.ndarray, fc_requested: float,
                       cfg: SearchConfig) -> Optional[Cell]:
     """OFDM demod -> superfine FOE/TOE -> channel est -> blind MIB decode
     for one SSS-accepted peak; None when the MIB never decodes
-    (reference CellSearch.cpp:542-570)."""
+    (reference CellSearch.cpp:542-570).
+
+    The hex-interpolator path (the reference default) runs the whole
+    chain as one fused device program; the alternative interpolators go
+    through the staged flow."""
+    if cfg.interp == "hex":
+        with stage("decode_fused"):
+            cell = decode_back_half_fused(cell, capbuf, fc_requested,
+                                          fc_programmed, fs_programmed)
+        return cell if cell.n_rb_dl >= 0 else None
     with stage("extract_tfg"):
         tfg, tfg_timestamp = extract_tfg(cell, capbuf, fc_requested,
                                          fc_programmed, fs_programmed)

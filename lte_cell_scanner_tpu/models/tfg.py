@@ -69,9 +69,8 @@ def plan_dft_locations(cell: Cell, fc_requested: float, fc_programmed: float,
     return locs
 
 
-@jax.jit
-def _tfg_core(capbuf, idx, late, freq_fine, fs_true):
-    """Device half of extract_tfg as one jitted program (compiles once
+def _tfg_impl(capbuf, idx, late, freq_fine, fs_true):
+    """Device half of extract_tfg (one traced program, compiles once
     per (capture length, CP type)): full-capture FOC mixer
     (searcher.cpp:892), windowed gather, batched 128-pt DFTs, and the
     per-symbol fractional-timing phase ramp (searcher.cpp:922-931)."""
@@ -85,6 +84,22 @@ def _tfg_core(capbuf, idx, late, freq_fine, fs_true):
     return tfg * _phase_comp(late, dtype)
 
 
+_tfg_core = jax.jit(_tfg_impl)
+
+
+def _tfg_plan(cell: Cell, n_cap: int, fc_requested: float,
+              fc_programmed: float, fs_programmed: float):
+    """Host half of extract_tfg: gather indices, fractional-timing
+    compensations, timestamps, and the true mixer rate."""
+    k_factor = (fc_requested - cell.freq_fine) / fc_programmed
+    locs = plan_dft_locations(cell, fc_requested, fc_programmed,
+                              fs_programmed, n_cap)
+    int_locs = round_i(locs)
+    late = int_locs.astype(np.float64) - locs
+    idx = int_locs[:, None] + np.arange(128)[None, :]
+    return idx, late, locs, fs_programmed * k_factor
+
+
 def extract_tfg(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
                 fs_programmed: float) -> Tuple[jnp.ndarray, np.ndarray]:
     """OFDM-demodulate the capture into tfg [n_ofdm, 72] + timestamps.
@@ -93,16 +108,11 @@ def extract_tfg(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     and compensated by a per-symbol phase ramp across subcarriers.
     """
     capbuf = jnp.asarray(capbuf)
-    k_factor = (fc_requested - cell.freq_fine) / fc_programmed
-
-    locs = plan_dft_locations(cell, fc_requested, fc_programmed,
-                              fs_programmed, int(capbuf.shape[0]))
-    int_locs = round_i(locs)
-    late = int_locs.astype(np.float64) - locs
-
-    idx = int_locs[:, None] + np.arange(128)[None, :]
+    idx, late, locs, fs_true = _tfg_plan(cell, int(capbuf.shape[0]),
+                                         fc_requested, fc_programmed,
+                                         fs_programmed)
     tfg = _tfg_core(capbuf, jnp.asarray(idx), jnp.asarray(late),
-                    cell.freq_fine, fs_programmed * k_factor)
+                    cell.freq_fine, fs_true)
     return tfg, locs
 
 
@@ -118,11 +128,10 @@ def _rs_index_plans(cell: Cell, rs_dl: RsDl, n_ofdm: int):
     return n_slot, shift0, shift_mid, rs0, rs_mid
 
 
-@jax.jit
-def _tfoec_core(tfg, ts, rows0, cols0, tab0, rows_mid, cols_mid, tab_mid,
+def _tfoec_impl(tfg, ts, rows0, cols0, tab0, rows_mid, cols_mid, tab_mid,
                 r1_off, cols1, r1_tab, r2_off, cols2, r2_tab,
                 fc_requested, fc_programmed):
-    """Device half of tfoec as one jitted program (compiles once per
+    """Device half of tfoec (one traced program, compiles once per
     (n_ofdm, CP type)): superfine FOE from CRS slot-to-slot phase drift,
     FOC with k_factor_residual timestamp rescale, TOE from subcarrier
     k vs k+3 CRS phase, and the TOC phase ramp (searcher.cpp:952-1069).
@@ -164,16 +173,12 @@ def _tfoec_core(tfg, ts, rows0, cols0, tab0, rows_mid, cols_mid, tab_mid,
     return residual_f, tfg_comp, tfg_comp_timestamp
 
 
-def tfoec(cell: Cell, tfg, tfg_timestamp: np.ndarray, fc_requested: float,
-          fc_programmed: float, rs_dl: RsDl):
-    """Superfine FOE/FOC then TOE/TOC (reference searcher.cpp:952-1069).
+_tfoec_core = jax.jit(_tfoec_impl)
 
-    Returns (cell_out, tfg_comp, tfg_comp_timestamp).  Host plans every
-    CRS gather (indices + expected RS values in float64); the numerics
-    run as one jitted device program (_tfoec_core).
-    """
-    tfg = jnp.asarray(tfg)
-    n_ofdm = tfg.shape[0]
+
+def _tfoec_plan(cell: Cell, rs_dl: RsDl, n_ofdm: int):
+    """Host half of tfoec: every CRS gather index and expected-RS table
+    (float64), in _tfoec_impl argument order."""
     n_symb_dl = cell.n_symb_dl()
     n_slot, shift0, shift_mid, rs0, rs_mid = _rs_index_plans(
         cell, rs_dl, n_ofdm)
@@ -218,15 +223,24 @@ def tfoec(cell: Cell, tfg, tfg_timestamp: np.ndarray, fc_requested: float,
 
     cols1 = r1_shift[:, None] + 6 * np.arange(12)[None, :]
     cols2 = r2_shift[:, None] + 6 * np.arange(12)[None, :]
+    return (rows0, cols0, tab0, rows_mid, cols_mid, tab_mid,
+            r1_off, cols1, rs_val(r1_slot, r1_sym),
+            r2_off, cols2, rs_val(r2_slot, r2_sym))
 
+
+def tfoec(cell: Cell, tfg, tfg_timestamp: np.ndarray, fc_requested: float,
+          fc_programmed: float, rs_dl: RsDl):
+    """Superfine FOE/FOC then TOE/TOC (reference searcher.cpp:952-1069).
+
+    Returns (cell_out, tfg_comp, tfg_comp_timestamp).  Host plans every
+    CRS gather (indices + expected RS values in float64); the numerics
+    run as one jitted device program (_tfoec_core).
+    """
+    tfg = jnp.asarray(tfg)
+    plan = _tfoec_plan(cell, rs_dl, int(tfg.shape[0]))
     residual_f, tfg_comp, tfg_comp_timestamp = _tfoec_core(
         tfg, jnp.asarray(np.asarray(tfg_timestamp, dtype=np.float64)),
-        jnp.asarray(rows0), jnp.asarray(cols0), jnp.asarray(tab0),
-        jnp.asarray(rows_mid), jnp.asarray(cols_mid), jnp.asarray(tab_mid),
-        jnp.asarray(r1_off), jnp.asarray(cols1),
-        jnp.asarray(rs_val(r1_slot, r1_sym)),
-        jnp.asarray(r2_off), jnp.asarray(cols2),
-        jnp.asarray(rs_val(r2_slot, r2_sym)),
+        *(jnp.asarray(a) for a in plan),
         fc_requested, fc_programmed)
 
     cell_out = cell.evolve(

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cell import Cell
 from ..constants import HALF_FRAME_LEN, PSS_TD_LEN
+from ..models.decode import decode_back_half_batch_multi
 from ..models.search import (SearchConfig, _decode_back_half, compute_z_th1,
                              refine_peaks)
 from ..models.peaks import peak_search
@@ -189,6 +190,15 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
                                     [ci for _, ci in kept], fs_programmed,
                                     compat=cfg.compat)
     results = [[] for _ in range(c_real)]
+    if cfg.decode and cfg.interp == "hex" and cells:
+        # fused whole-chain decode, one vmapped program per CP type for
+        # the entire band (models/decode.py)
+        decoded = decode_back_half_batch_multi(
+            cells, cap_full, [ci for _, ci in kept], fs_programmed)
+        for cell, (_, ci) in zip(decoded, kept):
+            if cell.n_rb_dl >= 0:
+                results[ci].append(cell)
+        return results
     for cell, (_, ci) in zip(cells, kept):
         if cfg.decode:
             cell = _decode_back_half(cell, np.asarray(capbufs[ci]),

@@ -126,3 +126,36 @@ def test_hex_filter_matches_reference_loop(shifts):
     got = np.asarray(_hex_filter(ce_raw, *shifts))
     want = _hex_filter_reference(ce_raw, *shifts)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_fused_decode_matches_staged(tfg_mat):
+    """The fused whole-chain decode (models/decode.py: tfg -> tfoec ->
+    4-port hex chan_est -> blind MIB in ONE device program) must agree
+    with the staged per-stage flow on the real capture."""
+    from lte_cell_scanner_tpu.models.decode import decode_back_half_fused
+
+    d = tfg_mat
+    p = d["peaks"]
+    fc = float(d["fc"])
+    cell = Cell(
+        fc_requested=fc, fc_programmed=fc, pss_pow=float(p["pow"]),
+        ind=int(p["ind"]) - 1, freq=float(p["freq"]),
+        n_id_2=int(p["n_id_2"]), n_id_1=int(p["n_id_1"]),
+        cp_type=CpType.NORMAL, frame_start=float(p["frame_start"]) - 1,
+        freq_fine=float(p["freq_fine"]),
+    )
+    capbuf = d["capbuf"]
+    fused = decode_back_half_fused(cell, capbuf, fc, fc, FS_LTE / 16)
+
+    tfg, ts = extract_tfg(cell, capbuf, fc, fc, FS_LTE / 16)
+    rs_dl = RsDl(cell.n_id_cell(), 6, cell.cp_type)
+    staged, tfg_comp, _ = tfoec(cell, tfg, ts, fc, fc, rs_dl)
+    staged = decode_mib(staged, tfg_comp, rs_dl)
+
+    assert fused.n_rb_dl == staged.n_rb_dl == 50
+    assert fused.n_ports == staged.n_ports == 2
+    assert fused.sfn == staged.sfn
+    assert fused.phich_duration is staged.phich_duration
+    assert fused.phich_resource is staged.phich_resource
+    np.testing.assert_allclose(fused.freq_superfine, staged.freq_superfine,
+                               rtol=1e-9, atol=1e-6)
