@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cell import Cell
+from ..ops.boundary import device_complex, safe_jit
 from .chan_est import _chan_est_hex_impl, _hex_device_args
 from .coding import crc_matrix
 from .mib import _mib_device_args, _mib_impl, _scan_mib_results
@@ -76,11 +77,11 @@ def _decode_impl_multi(capbufs, ci, *args):
     return _decode_impl(capbufs[ci], *args)
 
 
-_decode_single = jax.jit(_decode_impl)
+_decode_single = safe_jit(_decode_impl)
 _N_ARGS = 5 + _N_TFOEC + 2 + 2 * _N_CE + 3   # batched args after capbuf
-_decode_batch = jax.jit(jax.vmap(
+_decode_batch = safe_jit(jax.vmap(
     _decode_impl, in_axes=(None,) + (0,) * _N_ARGS + (None,)))
-_decode_batch_multi = jax.jit(jax.vmap(
+_decode_batch_multi = safe_jit(jax.vmap(
     _decode_impl_multi, in_axes=(None, 0) + (0,) * _N_ARGS + (None,)))
 
 
@@ -123,11 +124,11 @@ def decode_back_half_fused(cell: Cell, capbuf, fc_requested: float,
     Returns the cell with freq_superfine set, and the MIB fields set
     when one of the 12 blind candidates passes its CRC.
     """
-    capbuf = jnp.asarray(capbuf)
+    capbuf = device_complex(np.asarray(capbuf))
     args = _decode_device_inputs(cell, int(capbuf.shape[0]), fc_requested,
                                  fc_programmed, fs_programmed)
-    out = _decode_single(capbuf, *(jnp.asarray(a) for a in args),
-                         _crc_arg())
+    out = _decode_single(capbuf, *(device_complex(np.asarray(a))
+                                   for a in args), _crc_arg())
     return _finish(cell, *out)
 
 
@@ -149,7 +150,7 @@ def _run_decode_batch(batch_fn, capbuf_args, cells_fc, fs_programmed: float
     preps_b = preps + [preps[0]] * (_bucket(n) - n)
     stacked = [np.stack([p[i] for p in preps_b])
                for i in range(len(preps_b[0]))]
-    out = batch_fn(*capbuf_args, *(jnp.asarray(s) for s in stacked),
+    out = batch_fn(*capbuf_args, *(device_complex(s) for s in stacked),
                    _crc_arg())
     residual_f = np.asarray(out[0])
     c_all = np.asarray(out[1])
@@ -166,7 +167,7 @@ def decode_back_half_batch(cells: Sequence[Cell], capbuf,
     vmapped device program."""
     return _decode_grouped(
         cells, lambda group: _run_decode_batch(
-            _decode_batch, (jnp.asarray(np.asarray(capbuf)),),
+            _decode_batch, (device_complex(np.asarray(capbuf)),),
             [(c, fc_requested, fc_programmed) for c, _ in group],
             fs_programmed))
 
@@ -176,7 +177,7 @@ def decode_back_half_batch_multi(cells: Sequence[Cell], capbufs,
                                  fs_programmed: float) -> List[Cell]:
     """Band-scan variant: capbufs [C, n_cap] + per-peak carrier index
     (see sss_detect_batch_multi)."""
-    capbufs = jnp.asarray(capbufs)
+    capbufs = device_complex(capbufs)
 
     def run(group):
         n = len(group)

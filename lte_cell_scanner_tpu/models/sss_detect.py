@@ -35,6 +35,8 @@ import jax.numpy as jnp
 
 from ..cell import Cell, CpType
 from ..constants import FS_LTE
+from ..ops.boundary import (device_complex, needs_float_boundary,
+                            safe_jit)
 from ..ops.dsp import fshift_ramp, matlab_range
 from .pss import PSS_FD
 from .sss import SSS_FD
@@ -170,7 +172,8 @@ def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
     n_cap = int(np.asarray(capbuf).shape[0])
     args = _detect_device_inputs(cell, n_cap, fc_requested, fc_programmed,
                                  fs_programmed, compat)
-    out = _detect_single(jnp.asarray(capbuf), *args, *_detect_rom_args())
+    out = _detect_single(device_complex(np.asarray(capbuf)), *args,
+                         *_detect_rom_args())
     return out[:6]
 
 
@@ -272,11 +275,11 @@ def _detect_impl_multi(capbufs, ci, *args):
     return _detect_impl(capbufs[ci], *args)
 
 
-_detect_single = jax.jit(_detect_impl)
-_detect_batch = jax.jit(jax.vmap(
+_detect_single = safe_jit(_detect_impl)
+_detect_batch = safe_jit(jax.vmap(
     _detect_impl,
     in_axes=(None, 0, 0, 0, 0, 0, 0, 0, None, None, None)))
-_detect_batch_multi = jax.jit(jax.vmap(
+_detect_batch_multi = safe_jit(jax.vmap(
     _detect_impl_multi,
     in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None)))
 
@@ -345,11 +348,17 @@ def _detect_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
     return _expand_getce(locs, mask) + (freq, fs_mix, cell.n_id_2)
 
 
-@lru_cache(maxsize=1)
-def _detect_rom_args():
+@lru_cache(maxsize=2)
+def _detect_rom_args_for(boundary_active: bool):
     try12, try21 = _ml_tables()
-    return (jnp.asarray(np.conj(PSS_FD())), jnp.asarray(try12),
+    return (device_complex(np.conj(PSS_FD())), jnp.asarray(try12),
             jnp.asarray(try21))
+
+
+def _detect_rom_args():
+    # keyed on the boundary mode so toggling LTE_TPU_FLOAT_BOUNDARY in
+    # one process (tests) cannot serve a stale ComplexPair/complex array
+    return _detect_rom_args_for(needs_float_boundary())
 
 
 def sss_detect(cell: Cell, capbuf, thresh2_n_sigma: float, fc_requested: float,
@@ -363,7 +372,8 @@ def sss_detect(cell: Cell, capbuf, thresh2_n_sigma: float, fc_requested: float,
     n_cap = int(np.asarray(capbuf).shape[0])
     args = _detect_device_inputs(cell, n_cap, fc_requested, fc_programmed,
                                  fs_programmed, compat)
-    out = _detect_single(jnp.asarray(capbuf), *args, *_detect_rom_args())
+    out = _detect_single(device_complex(np.asarray(capbuf)), *args,
+                         *_detect_rom_args())
     h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext, log_lik_nrm, log_lik_ext \
         = out
 
@@ -441,7 +451,7 @@ def sss_detect_batch(cells: Sequence[Cell], capbuf, thresh2_n_sigma: float,
     if not cells:
         return []
     lln, lle = _run_detect_batch(
-        _detect_batch, (jnp.asarray(np.asarray(capbuf)),),
+        _detect_batch, (device_complex(np.asarray(capbuf)),),
         [(c, fc_requested, fc_programmed) for c in cells],
         fs_programmed, compat)
     return [_decide_sss(c, lln[i], lle[i], thresh2_n_sigma, fc_requested,
@@ -466,7 +476,7 @@ def sss_detect_batch_multi(cells: Sequence[Cell], capbufs,
     ci = np.asarray(list(carrier_idx) + [carrier_idx[0]]
                     * (_bucket(n) - n), dtype=np.int64)
     lln, lle = _run_detect_batch(
-        _detect_batch_multi, (jnp.asarray(capbufs), jnp.asarray(ci)),
+        _detect_batch_multi, (device_complex(capbufs), jnp.asarray(ci)),
         [(c, c.fc_requested, c.fc_programmed) for c in cells],
         fs_programmed, compat)
     return [_decide_sss(c, lln[i], lle[i], thresh2_n_sigma, c.fc_requested,
@@ -554,10 +564,14 @@ def _foe_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
     return dev, pss_sss_dist, fs_out
 
 
-@lru_cache(maxsize=1)
-def _foe_rom_args():
-    return (jnp.asarray(np.conj(PSS_FD())),
+@lru_cache(maxsize=2)
+def _foe_rom_args_for(boundary_active: bool):
+    return (device_complex(np.conj(PSS_FD())),
             jnp.asarray(SSS_FD().astype(np.float64)))
+
+
+def _foe_rom_args():
+    return _foe_rom_args_for(needs_float_boundary())
 
 
 def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
@@ -571,7 +585,8 @@ def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     n_cap = int(np.asarray(capbuf).shape[0])
     dev, pss_sss_dist, fs_out = _foe_device_inputs(
         cell, n_cap, fc_requested, fc_programmed, fs_programmed, compat)
-    M = _foe_single(jnp.asarray(capbuf), *(jnp.asarray(a) for a in dev),
+    M = _foe_single(device_complex(np.asarray(capbuf)),
+                    *(device_complex(np.asarray(a)) for a in dev),
                     *_foe_rom_args())
     M = complex(np.asarray(M))
 
@@ -605,7 +620,8 @@ def _run_foe_batch(batch_fn, capbuf_args, cells_fc,
     M = np.asarray(batch_fn(
         *capbuf_args, jnp.asarray(idx_pss), jnp.asarray(idx_sss),
         jnp.asarray(mask), jnp.asarray(freq), jnp.asarray(fs_mix),
-        jnp.asarray(seg_phase), jnp.asarray(sn_pad), jnp.asarray(n_id_1),
+        device_complex(seg_phase), jnp.asarray(sn_pad),
+        jnp.asarray(n_id_1),
         jnp.asarray(n_id_2), *_foe_rom_args()))
     scalars = [(pr[3], pr[7]) for pr, _, _ in preps[:n]]
     return M, scalars
@@ -628,7 +644,7 @@ def pss_sss_foe_batch(cells: Sequence[Cell], capbuf, fc_requested: float,
     if not cells:
         return []
     M, scalars = _run_foe_batch(
-        _foe_batch, (jnp.asarray(np.asarray(capbuf)),),
+        _foe_batch, (device_complex(np.asarray(capbuf)),),
         [(c, fc_requested, fc_programmed) for c in cells],
         fs_programmed, compat)
     return _apply_foe(cells, M, scalars)
@@ -647,7 +663,7 @@ def pss_sss_foe_batch_multi(cells: Sequence[Cell], capbufs,
     ci = np.asarray(list(carrier_idx) + [carrier_idx[0]]
                     * (_bucket(n) - n), dtype=np.int64)
     M, scalars = _run_foe_batch(
-        _foe_batch_multi, (jnp.asarray(capbufs), jnp.asarray(ci)),
+        _foe_batch_multi, (device_complex(capbufs), jnp.asarray(ci)),
         [(c, c.fc_requested, c.fc_programmed) for c in cells],
         fs_programmed, compat)
     return _apply_foe(cells, M, scalars)
@@ -681,10 +697,10 @@ def _foe_impl_multi(capbufs, ci, *args):
     return _foe_impl(capbufs[ci], *args)
 
 
-_foe_single = jax.jit(_foe_impl)
-_foe_batch = jax.jit(jax.vmap(
+_foe_single = safe_jit(_foe_impl)
+_foe_batch = safe_jit(jax.vmap(
     _foe_impl,
     in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)))
-_foe_batch_multi = jax.jit(jax.vmap(
+_foe_batch_multi = safe_jit(jax.vmap(
     _foe_impl_multi,
     in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)))

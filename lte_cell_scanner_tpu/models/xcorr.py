@@ -19,7 +19,6 @@ Array layout: lag axis last ([3, n_f, lag]) so TPU lanes run along lags.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Tuple
 
 import numpy as np
@@ -28,6 +27,7 @@ import jax.numpy as jnp
 
 from ..constants import HALF_FRAME_LEN, PSS_TD_LEN
 from .pss import PSS_TD
+from ..ops.boundary import device_complex, safe_jit
 from ..ops.corr import correlate
 
 
@@ -69,9 +69,8 @@ def combine_start_indices(f_search_set: np.ndarray, fc_requested: float,
     return round_i(m[None, :] * 0.005 * k_factor[:, None] * fs_programmed)
 
 
-@partial(jax.jit, static_argnames=("ds_comb_arm", "keep_xc"))
-def _xcorr_core(capbuf, templates, start_idx, ds_comb_arm: int,
-                keep_xc: bool = True):
+def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
+                     keep_xc: bool = True):
     """Jitted device portion of xcorr_pss.
 
     Returns (xc_incoherent_single [3,n_f,9600], xc_incoherent [3,n_f,9600],
@@ -133,6 +132,10 @@ def _xcorr_core(capbuf, templates, start_idx, ds_comb_arm: int,
             sp_incoherent, xc if keep_xc else None)
 
 
+_xcorr_core = safe_jit(_xcorr_core_impl,
+                       static_argnames=("ds_comb_arm", "keep_xc"))
+
+
 @dataclass
 class XcorrResult:
     xc_incoherent_single: np.ndarray   # [3, n_f, 9600]
@@ -149,12 +152,12 @@ def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
               fc_programmed: float, fs_programmed: float,
               keep_xc: bool = False) -> XcorrResult:
     """Full xcorr_pss stage (reference searcher.cpp:389-419)."""
-    capbuf = jnp.asarray(capbuf)
+    capbuf = device_complex(np.asarray(capbuf))
     dtype = capbuf.dtype
     n_lags = capbuf.shape[0] - (PSS_TD_LEN - 1)
     n_comb_xc = (n_lags - 100) // HALF_FRAME_LEN
 
-    templates = jnp.asarray(pss_templates(
+    templates = device_complex(pss_templates(
         f_search_set, fc_requested, fc_programmed, fs_programmed, dtype))
     start_idx = jnp.asarray(combine_start_indices(
         f_search_set, fc_requested, fc_programmed, fs_programmed, n_comb_xc))

@@ -1,0 +1,195 @@
+"""Float-boundary jit: keep complex buffers off the host<->device edge.
+
+The container's experimental axon TPU client executes complex math
+inside a program correctly, but cannot transfer ANY output of a program
+that has a complex-typed parameter -- and the taint propagates: buffers
+produced by such a program poison every downstream program's outputs
+too (measured: UNIMPLEMENTED on device->host copy).  Real TPU hardware
+has the same shape of constraint one level down: the MXU/VPU have no
+complex datapath, XLA lowers complex to planar real pairs anyway.
+
+``safe_jit`` therefore moves the complex<->planar conversion to the
+host boundary: every complex argument crosses as a (real, imag) float
+pair -- split on HOST with numpy, never on device -- and is reassembled
+with ``lax.complex`` inside the trace; complex results are split inside
+the trace and reassembled on host.  The transform is numerically exact
+(a complex array IS its two float planes) and free on device (XLA fuses
+the pack/unpack).
+
+Activation: ``LTE_TPU_FLOAT_BOUNDARY=always|never|auto`` (default
+``auto``: active only on the axon backend).  When inactive, ``safe_jit``
+IS ``jax.jit`` -- the CPU/standard-TPU paths are byte-identical to the
+unwrapped ones.
+
+``device_complex(x)`` is the companion for call sites that keep a
+capture device-resident across several programs: under an active
+boundary it returns a ``ComplexPair`` of two device float planes
+(host-split once), otherwise a plain ``jnp.asarray``.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def needs_float_boundary() -> bool:
+    """Read per call (not cached) so tests can toggle the env var."""
+    mode = os.environ.get("LTE_TPU_FLOAT_BOUNDARY", "auto")
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+        # the axon client self-identifies only in platform_version
+        # ("axon 0.1.0; ..."); real TPU runtimes don't carry the tag
+        ver = jax.devices()[0].client.platform_version
+        return "axon" in ver
+    except Exception:
+        return False
+
+
+class ComplexPair:
+    """A complex array as two device-resident float planes."""
+
+    __slots__ = ("re", "im")
+
+    def __init__(self, re, im):
+        self.re = re
+        self.im = im
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def dtype(self):
+        return np.result_type(self.re.dtype, np.complex64)
+
+    def __len__(self):
+        return self.re.shape[0]
+
+
+def device_complex(x):
+    """Put an array on device for use with safe_jit entry points.
+
+    Complex input under an active boundary -> ComplexPair (host-split);
+    anything else -> jnp.asarray (today's behavior).
+    """
+    if isinstance(x, ComplexPair):
+        return x
+    if needs_float_boundary() and np.iscomplexobj(np.asarray(x)):
+        x = np.asarray(x)
+        return ComplexPair(jnp.asarray(np.ascontiguousarray(x.real)),
+                           jnp.asarray(np.ascontiguousarray(x.imag)))
+    return jnp.asarray(x)
+
+
+def _split_arg(a):
+    """-> (tag, [leaves]) for one positional argument."""
+    if isinstance(a, ComplexPair):
+        return "c", [a.re, a.im]
+    if isinstance(a, jax.Array) and jnp.iscomplexobj(a):
+        # a device-resident complex array cannot be pulled back to split
+        # on host; the split must happen before transfer
+        raise TypeError(
+            "safe_jit: got a device-resident complex array under an "
+            "active float boundary; pass the host array or use "
+            "device_complex() at the transfer point")
+    a_np = np.asarray(a) if not isinstance(a, jax.Array) else None
+    if a_np is not None and np.iscomplexobj(a_np):
+        return "c", [jnp.asarray(np.ascontiguousarray(a_np.real)),
+                     jnp.asarray(np.ascontiguousarray(a_np.imag))]
+    return "r", [a]
+
+
+def safe_jit(fn, static_argnames: Tuple[str, ...] = ()):
+    """jax.jit that never passes complex buffers across the boundary.
+
+    Positional array/scalar arguments only (statics may be positional or
+    keyword; they are resolved by name against fn's signature).  When
+    the boundary is inactive this returns plain jax.jit(fn).
+    """
+    plain = jax.jit(fn, static_argnames=static_argnames)
+    try:
+        params = list(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        params = []
+    inner_cache: Dict[Any, Any] = {}
+
+    def wrapped(*args, **kwargs):
+        if not needs_float_boundary():
+            return plain(*args, **kwargs)
+
+        # pull statics out (positional or keyword), key the cache on them
+        statics = {}
+        dyn = []
+        for i, a in enumerate(args):
+            name = params[i] if i < len(params) else None
+            if name in static_argnames:
+                statics[name] = a
+            else:
+                dyn.append(a)
+        for k, v in kwargs.items():
+            if k in static_argnames:
+                statics[k] = v
+            else:
+                raise TypeError(f"safe_jit: non-static kwarg {k!r}")
+
+        tags = []
+        flat = []
+        for a in dyn:
+            t, leaves = _split_arg(a)
+            tags.append(t)
+            flat.extend(leaves)
+        key = (tuple(tags), tuple(sorted(statics.items())))
+
+        if key not in inner_cache:
+            meta: Dict[str, Any] = {}
+            tags_k = tuple(tags)
+            statics_k = dict(statics)
+
+            def inner(*flat_args):
+                rebuilt = []
+                i = 0
+                for t in tags_k:
+                    if t == "c":
+                        rebuilt.append(jax.lax.complex(flat_args[i],
+                                                       flat_args[i + 1]))
+                        i += 2
+                    else:
+                        rebuilt.append(flat_args[i])
+                        i += 1
+                out = fn(*rebuilt, **statics_k)
+                leaves, odef = jax.tree_util.tree_flatten(out)
+                oleaves = []
+                otags = []
+                for leaf in leaves:
+                    if jnp.iscomplexobj(leaf):
+                        otags.append(True)
+                        oleaves.append((jnp.real(leaf), jnp.imag(leaf)))
+                    else:
+                        otags.append(False)
+                        oleaves.append(leaf)
+                meta["otags"] = otags
+                meta["odef"] = odef
+                return oleaves
+            inner_cache[key] = (jax.jit(inner), meta)
+
+        inner_jit, meta = inner_cache[key]
+        oleaves = inner_jit(*flat)
+        out_leaves = [
+            np.asarray(leaf[0]) + 1j * np.asarray(leaf[1]) if tag else leaf
+            for tag, leaf in zip(meta["otags"], oleaves)]
+        return jax.tree_util.tree_unflatten(meta["odef"], out_leaves)
+
+    wrapped.__name__ = getattr(fn, "__name__", "safe_jit")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
