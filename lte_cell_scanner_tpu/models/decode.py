@@ -17,6 +17,7 @@ staged per-peak flow in models/search.py.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -36,7 +37,7 @@ _N_TFOEC = 12
 _N_CE = 7
 
 
-def _decode_impl(capbuf, idx, late, freq_fine, fs_true, ts,
+def _decode_impl(capbuf, locs_i, late, freq_fine, fs_true, ts,
                  *rest):
     """One traced program for the whole decode chain of one peak.
 
@@ -52,7 +53,7 @@ def _decode_impl(capbuf, idx, late, freq_fine, fs_true, ts,
     ce23 = rest[o + _N_CE:o + 2 * _N_CE]
     rows, cols, scr_sign, crc_m = rest[o + 2 * _N_CE:]
 
-    tfg = _tfg_impl(capbuf, idx, late, freq_fine, fs_true)
+    tfg = _tfg_impl(capbuf, locs_i, late, freq_fine, fs_true)
     residual_f, tfg_comp, _ts2 = _tfoec_impl(tfg, ts, *tf, fc_requested,
                                              fc_programmed)
 
@@ -65,7 +66,7 @@ def _decode_impl(capbuf, idx, late, freq_fine, fs_true, ts,
 
     # frame_len_sym is a pure function of the (static) symbol count:
     # n_ofdm = (6*10*2 + 2) * n_symb_dl (searcher.cpp:875)
-    frame_len_sym = 20 * (idx.shape[0] // 122)
+    frame_len_sym = 20 * (locs_i.shape[0] // 122)
     c_all, crc_all = _mib_impl(tfg_comp, ce4, np_v, rows, cols, scr_sign,
                                crc_m, frame_len_sym)
     return residual_f, c_all, crc_all
@@ -90,9 +91,9 @@ def _decode_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
     """Per-peak device inputs for _decode_impl (everything but capbuf
     and the shared CRC matrix)."""
     rs_dl = RsDl(cell.n_id_cell(), 6, cell.cp_type)
-    idx, late, locs, fs_true = _tfg_plan(cell, n_cap, fc_requested,
-                                         fc_programmed, fs_programmed)
-    n_ofdm = int(idx.shape[0])
+    locs_i, late, locs, fs_true = _tfg_plan(cell, n_cap, fc_requested,
+                                            fc_programmed, fs_programmed)
+    n_ofdm = int(locs_i.shape[0])
     tf = _tfoec_plan(cell, rs_dl, n_ofdm)
     ce01 = tuple(np.stack(pair) for pair in zip(
         _hex_device_args(cell, rs_dl, n_ofdm, 0),
@@ -101,11 +102,12 @@ def _decode_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
         _hex_device_args(cell, rs_dl, n_ofdm, 2),
         _hex_device_args(cell, rs_dl, n_ofdm, 3)))
     rows, cols, scr_sign, _crc_m, _fl = _mib_device_args(cell)
-    return ((idx, late, cell.freq_fine, fs_true, locs) + tf
+    return ((locs_i, late, cell.freq_fine, fs_true, locs) + tf
             + (fc_requested, fc_programmed) + ce01 + ce23
             + (rows, cols, scr_sign))
 
 
+@lru_cache(maxsize=1)
 def _crc_arg():
     return jnp.asarray(crc_matrix(24, "crc16").astype(np.int32))
 
@@ -124,7 +126,7 @@ def decode_back_half_fused(cell: Cell, capbuf, fc_requested: float,
     Returns the cell with freq_superfine set, and the MIB fields set
     when one of the 12 blind candidates passes its CRC.
     """
-    capbuf = device_complex(np.asarray(capbuf))
+    capbuf = device_complex(capbuf)
     args = _decode_device_inputs(cell, int(capbuf.shape[0]), fc_requested,
                                  fc_programmed, fs_programmed)
     out = _decode_single(capbuf, *(device_complex(np.asarray(a))
@@ -167,7 +169,7 @@ def decode_back_half_batch(cells: Sequence[Cell], capbuf,
     vmapped device program."""
     return _decode_grouped(
         cells, lambda group: _run_decode_batch(
-            _decode_batch, (device_complex(np.asarray(capbuf)),),
+            _decode_batch, (device_complex(capbuf),),
             [(c, fc_requested, fc_programmed) for c, _ in group],
             fs_programmed))
 

@@ -37,11 +37,18 @@ def peak_search(xc_incoherent_collapsed_pow: np.ndarray,
                 fc_requested: float,
                 fc_programmed: float,
                 xc_incoherent_single: np.ndarray,
-                ds_comb_arm: int) -> List[Cell]:
+                ds_comb_arm: int,
+                refine_slab: np.ndarray = None) -> List[Cell]:
     """Extract PSS candidate cells.
 
     xc_incoherent_single has layout [3, n_f, 9600] (this framework's lag-last
     convention transposed relative to the reference's [3][9600][n_f]).
+
+    refine_slab [3, 2*arm+1, 9600] (models/xcorr.py lean mode) may stand
+    in for xc_incoherent_single: slab[t, d, l] pre-gathers
+    xc_single[t, frq[t, l], (l - arm + d) % 9600], the only values the
+    refinement below reads -- identical results, ~n_f/(2*arm+1) less
+    device->host transfer.
     """
     work = np.array(xc_incoherent_collapsed_pow, dtype=np.float64, copy=True)
     frq = xc_incoherent_collapsed_frq
@@ -58,9 +65,12 @@ def peak_search(xc_incoherent_collapsed_pow: np.ndarray,
         foi = frq[peak_n_id_2, peak_ind]
         best_pow = -np.inf
         best_ind = -1
-        for t in range(peak_ind - ds_comb_arm, peak_ind + ds_comb_arm + 1):
+        for d, t in enumerate(range(peak_ind - ds_comb_arm,
+                                    peak_ind + ds_comb_arm + 1)):
             t_wrap = t % 9600
-            v = xc_incoherent_single[peak_n_id_2, foi, t_wrap]
+            v = refine_slab[peak_n_id_2, d, peak_ind] \
+                if refine_slab is not None \
+                else xc_incoherent_single[peak_n_id_2, foi, t_wrap]
             if v > best_pow:
                 best_pow = v
                 best_ind = t_wrap

@@ -78,14 +78,16 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
     -- peaks are independent, and per-peak dispatch round-trips dominate
     these tiny stages on an accelerator."""
     if cfg.batch_peaks:
+        from ..ops.boundary import device_complex
+        cap_dev = device_complex(capbuf)   # split+transfer ONCE, reuse
         with stage("sss_detect"):
-            cells = sss_detect_batch(peaks, capbuf, cfg.thresh2_n_sigma,
+            cells = sss_detect_batch(peaks, cap_dev, cfg.thresh2_n_sigma,
                                      fc_requested, fc_programmed,
                                      fs_programmed, compat=cfg.compat)
         cells = [c for c in cells
                  if c.n_id_1 >= 0 and c.n_id_cell() not in cfg.skip_ids]
         with stage("pss_sss_foe"):
-            cells = pss_sss_foe_batch(cells, capbuf, fc_requested,
+            cells = pss_sss_foe_batch(cells, cap_dev, fc_requested,
                                       fc_programmed, fs_programmed,
                                       compat=cfg.compat)
         if not cfg.decode:
@@ -97,7 +99,7 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
             # the peak count
             with stage("decode_fused"):
                 decoded = decode_back_half_batch(
-                    cells, capbuf, fc_requested, fc_programmed,
+                    cells, cap_dev, fc_requested, fc_programmed,
                     fs_programmed)
             return [c for c in decoded if c.n_rb_dl >= 0]
         return [c2 for c in cells
@@ -175,7 +177,7 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
 
     with stage("xcorr_pss"):
         res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
-                        fc_programmed, fs_programmed)
+                        fc_programmed, fs_programmed, lean=True)
     Z_th1 = compute_z_th1(res.sp_incoherent, res.n_comb_xc, cfg.ds_comb_arm,
                           cfg.thresh1_n_nines)
     with stage("peak_search"):
@@ -183,7 +185,7 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
                             res.xc_incoherent_collapsed_frq,
                             Z_th1, f_search_set, fc_requested,
                             fc_programmed, res.xc_incoherent_single,
-                            cfg.ds_comb_arm)
+                            cfg.ds_comb_arm, refine_slab=res.refine_slab)
     # intermediate-array tracing for offline diffing (the reference's
     # ITPP_DEBUG_EXPORT convention, macros.h:55-72); no-op unless a dump
     # is active

@@ -169,10 +169,10 @@ def sss_detect_getce_sss(cell: Cell, capbuf, fc_requested: float,
     sss_detect).  Returns (h1_np, h2_np, h1_nrm, h2_nrm, h1_ext,
     h2_ext), each length 62.
     """
-    n_cap = int(np.asarray(capbuf).shape[0])
+    n_cap = int(capbuf.shape[0])
     args = _detect_device_inputs(cell, n_cap, fc_requested, fc_programmed,
                                  fs_programmed, compat)
-    out = _detect_single(device_complex(np.asarray(capbuf)), *args,
+    out = _detect_single(device_complex(capbuf), *args,
                          *_detect_rom_args())
     return out[:6]
 
@@ -256,12 +256,20 @@ def sss_detect_ml(cell: Cell, h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext):
                     jnp.asarray(try21[cell.n_id_2]))
 
 
-def _detect_impl(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq, fs_mix,
+def _detect_impl(capbuf, locs, mask, freq, fs_mix,
                  n_id_2, pss_conj_all, try12_all, try21_all):
     """Fused device program: channel/SSS estimation (_getce_impl) plus the
     168 x 2 x 2 ML table (_ml_impl) for one peak.  n_id_2 is a traced
     scalar selecting rows of the ROM tables, so one compiled program
-    serves every peak (and vmaps over a batch of peaks)."""
+    serves every peak (and vmaps over a batch of peaks).  locs [rows]
+    are the PSS DFT window starts; the three [rows, 128] gather maps
+    (PSS window, extended-CP SSS at -160, normal-CP SSS at -137) are
+    expanded on DEVICE -- 128x less host->device traffic."""
+    base = jnp.arange(128, dtype=locs.dtype)[None, :]
+    lc = locs[:, None]
+    idx_pss = lc + base
+    idx_ext = lc - (128 + 32) + base
+    idx_nrm = lc - (128 + 9) + base
     ests = _getce_impl(capbuf, idx_pss, idx_ext, idx_nrm, mask, freq,
                        fs_mix, pss_conj_all[n_id_2])
     lln, lle = _ml_impl(*ests, try12_all[n_id_2], try21_all[n_id_2])
@@ -275,13 +283,25 @@ def _detect_impl_multi(capbufs, ci, *args):
     return _detect_impl(capbufs[ci], *args)
 
 
+def _detect_ll_impl(*args):
+    """Batch variant: only the two log-likelihood tables leave the
+    device -- the per-peak SSS channel estimates (6 complex arrays) are
+    intermediates the batch path never reads, and on a remote-tunnel
+    device each extra output is transfer latency."""
+    return _detect_impl(*args)[6:8]
+
+
+def _detect_ll_impl_multi(*args):
+    return _detect_impl_multi(*args)[6:8]
+
+
 _detect_single = safe_jit(_detect_impl)
 _detect_batch = safe_jit(jax.vmap(
-    _detect_impl,
-    in_axes=(None, 0, 0, 0, 0, 0, 0, 0, None, None, None)))
+    _detect_ll_impl,
+    in_axes=(None, 0, 0, 0, 0, 0, None, None, None)))
 _detect_batch_multi = safe_jit(jax.vmap(
-    _detect_impl_multi,
-    in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None)))
+    _detect_ll_impl_multi,
+    in_axes=(None, 0, 0, 0, 0, 0, 0, None, None, None)))
 
 
 def _decide_sss(cell: Cell, lln: np.ndarray, lle: np.ndarray,
@@ -328,16 +348,6 @@ def _decide_sss(cell: Cell, lln: np.ndarray, lle: np.ndarray,
     return cell_out
 
 
-def _expand_getce(locs: np.ndarray, mask: np.ndarray):
-    """Grow a padded location list into the three [rows, 128] gather
-    index maps of _getce_impl (PSS window, extended-CP SSS window,
-    normal-CP SSS window)."""
-    base = np.arange(128, dtype=np.int64)[None, :]
-    locs = locs[:, None]
-    return (locs + base, locs - 128 - 32 + base, locs - 128 - 9 + base,
-            mask)
-
-
 def _detect_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
                           fc_programmed: float, fs_programmed: float,
                           compat: str):
@@ -345,7 +355,7 @@ def _detect_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
     the shared ROM tables)."""
     locs, mask, freq, fs_mix = _getce_prepare(
         cell, n_cap, fc_requested, fc_programmed, fs_programmed, compat)
-    return _expand_getce(locs, mask) + (freq, fs_mix, cell.n_id_2)
+    return (locs.astype(np.int32), mask, freq, fs_mix, cell.n_id_2)
 
 
 @lru_cache(maxsize=2)
@@ -369,10 +379,10 @@ def sss_detect(cell: Cell, capbuf, thresh2_n_sigma: float, fc_requested: float,
     Returns the updated Cell (n_id_1/cp_type/frame_start set on acceptance),
     plus an extras dict when requested.
     """
-    n_cap = int(np.asarray(capbuf).shape[0])
+    n_cap = int(capbuf.shape[0])
     args = _detect_device_inputs(cell, n_cap, fc_requested, fc_programmed,
                                  fs_programmed, compat)
-    out = _detect_single(device_complex(np.asarray(capbuf)), *args,
+    out = _detect_single(device_complex(capbuf), *args,
                          *_detect_rom_args())
     h1_np, h2_np, h1_nrm, h2_nrm, h1_ext, h2_ext, log_lik_nrm, log_lik_ext \
         = out
@@ -422,18 +432,19 @@ def _run_detect_batch(batch_fn, capbuf_args, cells_fc,
     rows = max(len(p[0][0]) for p in preps)
     n = len(preps)
     preps = preps + [preps[0]] * (_bucket(n) - n)
-    expanded = [_expand_getce(*_extend_pad(locs, mask, rows))
-                for (locs, mask, _f, _m), _ in preps]
-    stacked = [np.stack([e[i] for e in expanded]) for i in range(4)]
+    padded = [_extend_pad(locs, mask, rows)
+              for (locs, mask, _f, _m), _ in preps]
+    locs_b = np.stack([pl for pl, _ in padded]).astype(np.int32)
+    mask_b = np.stack([pm for _, pm in padded])
     freq = np.array([p[0][2] for p in preps], dtype=np.float64)
     fs_mix = np.array([p[0][3] for p in preps], dtype=np.float64)
     n_id_2 = np.array([p[1] for p in preps], dtype=np.int64)
-    out = batch_fn(*capbuf_args,
-                   *(jnp.asarray(s) for s in stacked),
-                   jnp.asarray(freq), jnp.asarray(fs_mix),
-                   jnp.asarray(n_id_2), *_detect_rom_args())
-    return (np.asarray(out[6], dtype=np.float64),
-            np.asarray(out[7], dtype=np.float64))
+    lln, lle = batch_fn(*capbuf_args,
+                        jnp.asarray(locs_b), jnp.asarray(mask_b),
+                        jnp.asarray(freq), jnp.asarray(fs_mix),
+                        jnp.asarray(n_id_2), *_detect_rom_args())
+    return (np.asarray(lln, dtype=np.float64),
+            np.asarray(lle, dtype=np.float64))
 
 
 def sss_detect_batch(cells: Sequence[Cell], capbuf, thresh2_n_sigma: float,
@@ -451,7 +462,7 @@ def sss_detect_batch(cells: Sequence[Cell], capbuf, thresh2_n_sigma: float,
     if not cells:
         return []
     lln, lle = _run_detect_batch(
-        _detect_batch, (device_complex(np.asarray(capbuf)),),
+        _detect_batch, (device_complex(capbuf),),
         [(c, fc_requested, fc_programmed) for c in cells],
         fs_programmed, compat)
     return [_decide_sss(c, lln[i], lle[i], thresh2_n_sigma, fc_requested,
@@ -536,17 +547,15 @@ def _foe_prepare(cell: Cell, n_cap: int, fc_requested: float,
 
 
 def _expand_foe(locs: np.ndarray, mask: np.ndarray, sn_pad: np.ndarray,
-                pss_sss_dist: int, rows: int = 0):
-    """Grow a padded FOE location list to `rows` entries and expand it
-    into the [rows, 128] PSS/SSS gather index maps of _foe_impl."""
+                rows: int = 0):
+    """Grow a padded FOE (locs, mask, sn) triple to `rows` entries (the
+    [rows, 128] gather maps are expanded on device in _foe_impl)."""
     if rows:
         locs, mask = _extend_pad(locs, mask, rows)
         if len(sn_pad) < rows:
             sn_pad = np.concatenate(
                 [sn_pad, np.zeros(rows - len(sn_pad), dtype=sn_pad.dtype)])
-    base = np.arange(128, dtype=np.int64)[None, :]
-    locs = locs[:, None]
-    return locs + pss_sss_dist + base, locs + base, mask, sn_pad
+    return locs.astype(np.int32), mask, sn_pad
 
 
 def _foe_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
@@ -557,9 +566,8 @@ def _foe_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
     locs, mask, sn_pad, pss_sss_dist, seg_phase, freq, fs_mix, fs_out = \
         _foe_prepare(cell, n_cap, fc_requested, fc_programmed,
                      fs_programmed, compat)
-    idx_pss, idx_sss, mask, sn_pad = _expand_foe(locs, mask, sn_pad,
-                                                 pss_sss_dist)
-    dev = (idx_pss, idx_sss, mask, freq, fs_mix, seg_phase, sn_pad,
+    locs, mask, sn_pad = _expand_foe(locs, mask, sn_pad)
+    dev = (locs, mask, pss_sss_dist, freq, fs_mix, seg_phase, sn_pad,
            cell.n_id_1, cell.n_id_2)
     return dev, pss_sss_dist, fs_out
 
@@ -582,10 +590,10 @@ def pss_sss_foe(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     including its CP-specific pss_sss_dist formulas; the "golden" variant
     matches Matlab/pss_sss_foe.m (verified by test/test_sss_detect.it).
     """
-    n_cap = int(np.asarray(capbuf).shape[0])
+    n_cap = int(capbuf.shape[0])
     dev, pss_sss_dist, fs_out = _foe_device_inputs(
         cell, n_cap, fc_requested, fc_programmed, fs_programmed, compat)
-    M = _foe_single(device_complex(np.asarray(capbuf)),
+    M = _foe_single(device_complex(capbuf),
                     *(device_complex(np.asarray(a)) for a in dev),
                     *_foe_rom_args())
     M = complex(np.asarray(M))
@@ -605,12 +613,11 @@ def _run_foe_batch(batch_fn, capbuf_args, cells_fc,
     rows = max(len(p[0][0]) for p in preps)
     n = len(preps)
     preps_b = preps + [preps[0]] * (_bucket(n) - n)
-    ex = [_expand_foe(pr[0], pr[1], pr[2], pr[3], rows)
-          for pr, _, _ in preps_b]
-    idx_pss = np.stack([e[0] for e in ex])
-    idx_sss = np.stack([e[1] for e in ex])
-    mask = np.stack([e[2] for e in ex])
-    sn_pad = np.stack([e[3] for e in ex])
+    ex = [_expand_foe(pr[0], pr[1], pr[2], rows) for pr, _, _ in preps_b]
+    locs_b = np.stack([e[0] for e in ex])
+    mask_b = np.stack([e[1] for e in ex])
+    sn_pad = np.stack([e[2] for e in ex])
+    dist = np.array([pr[3] for pr, _, _ in preps_b], dtype=np.int32)
     freq = np.array([pr[5] for pr, _, _ in preps_b], dtype=np.float64)
     fs_mix = np.array([pr[6] for pr, _, _ in preps_b], dtype=np.float64)
     seg_phase = np.array([pr[4] for pr, _, _ in preps_b],
@@ -618,8 +625,8 @@ def _run_foe_batch(batch_fn, capbuf_args, cells_fc,
     n_id_1 = np.array([p[1] for p in preps_b], dtype=np.int64)
     n_id_2 = np.array([p[2] for p in preps_b], dtype=np.int64)
     M = np.asarray(batch_fn(
-        *capbuf_args, jnp.asarray(idx_pss), jnp.asarray(idx_sss),
-        jnp.asarray(mask), jnp.asarray(freq), jnp.asarray(fs_mix),
+        *capbuf_args, jnp.asarray(locs_b), jnp.asarray(mask_b),
+        jnp.asarray(dist), jnp.asarray(freq), jnp.asarray(fs_mix),
         device_complex(seg_phase), jnp.asarray(sn_pad),
         jnp.asarray(n_id_1),
         jnp.asarray(n_id_2), *_foe_rom_args()))
@@ -644,7 +651,7 @@ def pss_sss_foe_batch(cells: Sequence[Cell], capbuf, fc_requested: float,
     if not cells:
         return []
     M, scalars = _run_foe_batch(
-        _foe_batch, (device_complex(np.asarray(capbuf)),),
+        _foe_batch, (device_complex(capbuf),),
         [(c, fc_requested, fc_programmed) for c in cells],
         fs_programmed, compat)
     return _apply_foe(cells, M, scalars)
@@ -669,13 +676,17 @@ def pss_sss_foe_batch_multi(cells: Sequence[Cell], capbufs,
     return _apply_foe(cells, M, scalars)
 
 
-def _foe_impl(capbuf, idx_pss, idx_sss, mask, freq, fs_mix, seg_phase,
+def _foe_impl(capbuf, locs, mask, pss_sss_dist, freq, fs_mix, seg_phase,
               sn_pad, n_id_1, n_id_2, pss_conj_all, sss_all):
     """Device portion of pss_sss_foe (one traced program, compiles once
     per capture length): PSS channel estimates + smoothing, SSS
     extraction/derotation, and the weighted conj(SSS)*H_pss accumulation
     (reference searcher.cpp:816-848).  mask=False rows are padding;
-    n_id_1/n_id_2 are traced scalars selecting ROM rows."""
+    n_id_1/n_id_2/pss_sss_dist are traced scalars; the [rows, 128]
+    PSS/SSS gather maps expand on device from locs [rows]."""
+    base = jnp.arange(128, dtype=locs.dtype)[None, :]
+    idx_pss = locs[:, None] + pss_sss_dist + base
+    idx_sss = locs[:, None] + base
     pss_fd_conj = pss_conj_all[n_id_2]
     sss_expect = sss_all[n_id_1, n_id_2][sn_pad]          # [cap, 62]
     h_raw = _dft_segments_idx(capbuf, idx_pss, -freq, fs_mix) \

@@ -69,14 +69,18 @@ def plan_dft_locations(cell: Cell, fc_requested: float, fc_programmed: float,
     return locs
 
 
-def _tfg_impl(capbuf, idx, late, freq_fine, fs_true):
+def _tfg_impl(capbuf, locs_i, late, freq_fine, fs_true):
     """Device half of extract_tfg (one traced program, compiles once
     per (capture length, CP type)): full-capture FOC mixer
     (searcher.cpp:892), windowed gather, batched 128-pt DFTs, and the
-    per-symbol fractional-timing phase ramp (searcher.cpp:922-931)."""
+    per-symbol fractional-timing phase ramp (searcher.cpp:922-931).
+    locs_i [n_ofdm] are the integer window starts; the [n_ofdm, 128]
+    gather map is expanded on DEVICE (128x less host->device traffic
+    than shipping the map)."""
     dtype = capbuf.dtype
     foc = capbuf * fshift_ramp(capbuf.shape[0], -freq_fine, fs_true,
                                dtype=dtype)
+    idx = locs_i[:, None] + jnp.arange(128, dtype=locs_i.dtype)[None, :]
     segs = foc[idx]                                       # [n_ofdm, 128]
     dft_out = jnp.fft.fft(segs, axis=-1) / jnp.sqrt(
         jnp.asarray(128.0, segs.real.dtype))
@@ -96,8 +100,7 @@ def _tfg_plan(cell: Cell, n_cap: int, fc_requested: float,
                               fs_programmed, n_cap)
     int_locs = round_i(locs)
     late = int_locs.astype(np.float64) - locs
-    idx = int_locs[:, None] + np.arange(128)[None, :]
-    return idx, late, locs, fs_programmed * k_factor
+    return int_locs.astype(np.int32), late, locs, fs_programmed * k_factor
 
 
 def extract_tfg(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
@@ -108,10 +111,10 @@ def extract_tfg(cell: Cell, capbuf, fc_requested: float, fc_programmed: float,
     and compensated by a per-symbol phase ramp across subcarriers.
     """
     capbuf = jnp.asarray(capbuf)
-    idx, late, locs, fs_true = _tfg_plan(cell, int(capbuf.shape[0]),
-                                         fc_requested, fc_programmed,
-                                         fs_programmed)
-    tfg = _tfg_core(capbuf, jnp.asarray(idx), jnp.asarray(late),
+    locs_i, late, locs, fs_true = _tfg_plan(cell, int(capbuf.shape[0]),
+                                            fc_requested, fc_programmed,
+                                            fs_programmed)
+    tfg = _tfg_core(capbuf, jnp.asarray(locs_i), jnp.asarray(late),
                     cell.freq_fine, fs_true)
     return tfg, locs
 

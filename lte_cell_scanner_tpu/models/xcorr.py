@@ -70,7 +70,7 @@ def combine_start_indices(f_search_set: np.ndarray, fc_requested: float,
 
 
 def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
-                     keep_xc: bool = True):
+                     keep_xc: bool = True, lean: bool = False):
     """Jitted device portion of xcorr_pss.
 
     Returns (xc_incoherent_single [3,n_f,9600], xc_incoherent [3,n_f,9600],
@@ -80,6 +80,15 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
     XLA fuses the |.|^2 into the matmul epilogue and never materializes
     the [3, n_f, n_lags] complex array (~114 MB at the default grid) --
     the production scan path only needs the folded powers.
+
+    lean=True additionally drops xc_incoherent, sp, AND the full
+    xc_incoherent_single (None in their slots), returning instead an
+    8th output refine_slab [3, 2*arm+1, 9600]:
+    slab[t, d, l] = xc_single[t, frq[t, l], (l - arm + d) % 9600] --
+    exactly the values peak_search's single-lag refinement reads
+    (searcher.cpp:457-465), gathered on DEVICE at the collapsed argmax
+    frequency.  Cuts the device->host transfer ~6x at the default grid
+    (the scan path never needs the full [3, n_f, 9600] tensor).
     """
     n_f = templates.shape[1]
     rdt = jnp.real(capbuf).dtype
@@ -128,17 +137,27 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
     sp_incoherent = jnp.mean(sp.reshape(n_comb_sp, HALF_FRAME_LEN), axis=0)
     sp_incoherent = jnp.roll(sp_incoherent, 137)
 
-    return (xc_single, xc_inc, pow_collapsed, frq_collapsed, sp,
-            sp_incoherent, xc if keep_xc else None)
+    refine_slab = None
+    if lean:
+        frq_idx = frq_collapsed[:, None, :]             # [3, 1, 9600]
+        slab_rows = []
+        for d in range(2 * ds_comb_arm + 1):
+            rolled = jnp.roll(xc_single, ds_comb_arm - d, axis=-1)
+            slab_rows.append(jnp.take_along_axis(rolled, frq_idx,
+                                                 axis=1)[:, 0, :])
+        refine_slab = jnp.stack(slab_rows, axis=1)      # [3, 2a+1, 9600]
+    return (None if lean else xc_single, None if lean else xc_inc,
+            pow_collapsed, frq_collapsed, None if lean else sp,
+            sp_incoherent, xc if keep_xc else None, refine_slab)
 
 
 _xcorr_core = safe_jit(_xcorr_core_impl,
-                       static_argnames=("ds_comb_arm", "keep_xc"))
+                       static_argnames=("ds_comb_arm", "keep_xc", "lean"))
 
 
 @dataclass
 class XcorrResult:
-    xc_incoherent_single: np.ndarray   # [3, n_f, 9600]
+    xc_incoherent_single: np.ndarray   # [3, n_f, 9600] (None when lean)
     xc_incoherent: np.ndarray          # [3, n_f, 9600]
     xc_incoherent_collapsed_pow: np.ndarray  # [3, 9600]
     xc_incoherent_collapsed_frq: np.ndarray  # [3, 9600] (index into f_search_set)
@@ -146,13 +165,18 @@ class XcorrResult:
     sp_incoherent: np.ndarray          # [9600]
     n_comb_xc: int
     n_comb_sp: int
+    refine_slab: np.ndarray = None     # [3, 2*arm+1, 9600] (lean only)
 
 
 def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
               fc_programmed: float, fs_programmed: float,
-              keep_xc: bool = False) -> XcorrResult:
-    """Full xcorr_pss stage (reference searcher.cpp:389-419)."""
-    capbuf = device_complex(np.asarray(capbuf))
+              keep_xc: bool = False, lean: bool = False) -> XcorrResult:
+    """Full xcorr_pss stage (reference searcher.cpp:389-419).
+
+    lean=True (the production scan path) skips the test-only
+    xc_incoherent/sp outputs entirely -- elided on device, never
+    transferred."""
+    capbuf = device_complex(capbuf)
     dtype = capbuf.dtype
     n_lags = capbuf.shape[0] - (PSS_TD_LEN - 1)
     n_comb_xc = (n_lags - 100) // HALF_FRAME_LEN
@@ -162,20 +186,25 @@ def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
     start_idx = jnp.asarray(combine_start_indices(
         f_search_set, fc_requested, fc_programmed, fs_programmed, n_comb_xc))
 
-    (xc_single, xc_inc, pow_c, frq_c, sp, sp_inc, xc) = _xcorr_core(
-        capbuf, templates, start_idx, ds_comb_arm, keep_xc)
+    (xc_single, xc_inc, pow_c, frq_c, sp, sp_inc, xc, slab) = _xcorr_core(
+        capbuf, templates, start_idx, ds_comb_arm, keep_xc, lean=lean)
 
+    # one batched device_get instead of one round-trip per array (the
+    # remote tunnel charges ~20 ms latency per blocking transfer)
+    xc_single, xc_inc, pow_c, frq_c, sp, sp_inc, xc, slab = jax.device_get(
+        (xc_single, xc_inc, pow_c, frq_c, sp, sp_inc, xc, slab))
     n_comb_sp = (capbuf.shape[0] - 136 - 137) // HALF_FRAME_LEN
     res = XcorrResult(
-        xc_incoherent_single=np.asarray(xc_single),
-        xc_incoherent=np.asarray(xc_inc),
-        xc_incoherent_collapsed_pow=np.asarray(pow_c),
-        xc_incoherent_collapsed_frq=np.asarray(frq_c),
-        sp=np.asarray(sp),
-        sp_incoherent=np.asarray(sp_inc),
+        xc_incoherent_single=xc_single,
+        xc_incoherent=xc_inc,
+        xc_incoherent_collapsed_pow=pow_c,
+        xc_incoherent_collapsed_frq=frq_c,
+        sp=sp,
+        sp_incoherent=sp_inc,
         n_comb_xc=n_comb_xc,
         n_comb_sp=n_comb_sp,
+        refine_slab=slab,
     )
     if keep_xc:
-        res.xc = np.asarray(xc)  # type: ignore[attr-defined]
+        res.xc = xc  # type: ignore[attr-defined]
     return res

@@ -25,6 +25,11 @@ unwrapped ones.
 capture device-resident across several programs: under an active
 boundary it returns a ``ComplexPair`` of two device float planes
 (host-split once), otherwise a plain ``jnp.asarray``.
+
+Under an active boundary the wrapped call returns HOST numpy arrays for
+every output (one batched device_get) -- the entry points wrapped here
+are exactly the pipeline stages whose outputs feed host decisions.
+When inactive, outputs stay device-resident as with plain jax.jit.
 """
 
 from __future__ import annotations
@@ -127,6 +132,10 @@ def safe_jit(fn, static_argnames: Tuple[str, ...] = ()):
     def wrapped(*args, **kwargs):
         if not needs_float_boundary():
             return plain(*args, **kwargs)
+        if any(isinstance(a, jax.core.Tracer) for a in args):
+            # called inside an outer trace (e.g. the sharded front end):
+            # no host boundary is being crossed here, so no splitting
+            return plain(*args, **kwargs)
 
         # pull statics out (positional or keyword), key the cache on them
         statics = {}
@@ -185,9 +194,12 @@ def safe_jit(fn, static_argnames: Tuple[str, ...] = ()):
 
         inner_jit, meta = inner_cache[key]
         oleaves = inner_jit(*flat)
-        out_leaves = [
-            np.asarray(leaf[0]) + 1j * np.asarray(leaf[1]) if tag else leaf
-            for tag, leaf in zip(meta["otags"], oleaves)]
+        # ONE batched device_get: copy_to_host_async is issued for every
+        # leaf before any blocking wait, so the tunnel's ~20 ms per-RPC
+        # latency is paid once, not once per output array
+        oleaves = jax.device_get(oleaves)
+        out_leaves = [leaf[0] + 1j * leaf[1] if tag else leaf
+                      for tag, leaf in zip(meta["otags"], oleaves)]
         return jax.tree_util.tree_unflatten(meta["odef"], out_leaves)
 
     wrapped.__name__ = getattr(fn, "__name__", "safe_jit")

@@ -50,7 +50,7 @@ def make_carrier_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 def _front_one(capbuf, templates, start_idx, ds_comb_arm: int):
     """One carrier's front end; only the host-needed outputs survive."""
-    xc_single, _xc_inc, pow_c, frq_c, _sp, sp_inc, _xc = _xcorr_core(
+    xc_single, _xc_inc, pow_c, frq_c, _sp, sp_inc, _xc, _slab = _xcorr_core(
         capbuf, templates, start_idx, ds_comb_arm, keep_xc=False)
     return xc_single, pow_c, frq_c, sp_inc
 
