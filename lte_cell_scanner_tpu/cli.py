@@ -48,12 +48,17 @@ def _print_cells(cells, correction: float) -> None:
             c.phich_duration.value, "U")
         pr = {"1/6": "1/6", "1/2": "1/2", "one": "one",
               "two": "two"}.get(c.phich_resource.value, "UNK")
+        # best available offset estimate: --no-decode runs stop at
+        # freq_fine (freq_superfine stays NaN)
+        foff = c.freq_superfine
+        if not np.isfinite(foff):
+            foff = c.freq_fine if np.isfinite(c.freq_fine) else c.freq
         true_loc = c.fc_requested
-        crystal_actual = c.fc_requested - c.freq_superfine
+        crystal_actual = c.fc_requested - foff
         corr_new = correction * (true_loc / crystal_actual)
         print(f"{c.n_id_cell():3d} {c.n_ports:1d} "
               f"{c.fc_requested / 1e6:6.5g}M "
-              f"{_freq_formatter(c.freq_superfine)} "
+              f"{_freq_formatter(foff)} "
               f"{10 * np.log10(c.pss_pow):5.3g} {cp} {c.n_rb_dl:3d} {pd} "
               f"{pr} {corr_new:.20g}")
 
@@ -61,6 +66,14 @@ def _print_cells(cells, correction: float) -> None:
 def _make_source(args):
     from .cell import CpType
     from .io.capture import FileSource, SimSource
+    if getattr(args, "live", False):
+        from .io.rtlsdr import RtlSdrSource
+        try:
+            return RtlSdrSource(
+                device_index=max(0, getattr(args, "device_index", 0)),
+                correction=getattr(args, "correction", 1.0))
+        except RuntimeError as e:
+            raise SystemExit(f"Error: {e}")
     if getattr(args, "sim", False):
         n_id_cell = getattr(args, "sim_cell", 277)
         if not 0 <= n_id_cell <= 503:
@@ -82,7 +95,7 @@ def _make_source(args):
 
 def cmd_search(args) -> int:
     from .constants import FS_WORK
-    from .io.capture import capture_data
+    from .io.capture import CaptureSession
     from .models.search import (SearchConfig, cell_search, dedup,
                                 default_f_search_set)
     from .utils.debug import enable_profiling, profile_report, set_verbosity
@@ -94,12 +107,27 @@ def cmd_search(args) -> int:
 
     freq_start = args.freq_start
     freq_end = args.freq_end if args.freq_end else freq_start
+    # second-order validation, reference CellSearch.cpp:222-262
+    if freq_start < 1e6:
+        print("Error: start frequency must be greater than 1MHz")
+        return 1
+    if freq_end < freq_start:
+        print("Error: end frequency must be >= start frequency")
+        return 1
     # round to the 100 kHz raster as the reference does
     for name, v in (("freq-start", freq_start), ("freq-end", freq_end)):
         if abs(v - round(v / 100e3) * 100e3) > 1:
             print(f"Warning: {name} rounded to the 100 kHz raster")
     freq_start = round(freq_start / 100e3) * 100e3
     freq_end = round(freq_end / 100e3) * 100e3
+    if args.ppm < 0:
+        print("Error: ppm value must be positive")
+        return 1
+    if args.ppm > 200:
+        print("Warning: ppm value appears to be set unreasonably high")
+    if abs(args.correction - 1) > 1000e-6:
+        print("Warning: crystal correction factor appears to be "
+              "unreasonable")
     if args.record and (args.load or args.load_files):
         print("Error: cannot both record and load")
         return 1
@@ -108,13 +136,16 @@ def cmd_search(args) -> int:
               "period regardless of frame phase needs an 80 ms capture)")
         return 1
 
+    args.live = not (args.sim or args.load or args.load_files)
     source = _make_source(args)
     if args.load:
         source = None  # capture_data reads capbuf_XXXX.it from data_dir
 
     f_search_set = default_f_search_set(freq_start, args.ppm)
     fc_search_set = np.arange(freq_start, freq_end + 1, 100e3)
-    cfg = SearchConfig()
+    cfg = SearchConfig(interp=args.interp, compat=args.compat,
+                       thresh2_n_sigma=float(args.thresh2_sigma),
+                       decode=not args.no_decode)
 
     import jax
     shard_carriers = args.shard_carriers
@@ -125,14 +156,15 @@ def cmd_search(args) -> int:
         # capture every carrier first, then scan the whole band as one
         # carrier-sharded SPMD program (parallel/carriers.py)
         from .parallel.carriers import scan_band
+        session = CaptureSession(args.data_dir)
         captures = []
         for fc in fc_search_set:
             if args.verbose:
                 print(f"Capturing center frequency {fc / 1e6:.4g} MHz ...")
-            capbuf, fc_programmed = capture_data(
+            capbuf, fc_programmed = session.capture_data(
                 fc, source, save_cap=args.record,
-                use_recorded_data=args.load, data_dir=args.data_dir,
-                tuner="e4000" if not (args.load or source) else "none")
+                use_recorded_data=args.load,
+                tuner="none" if (args.load or source) else "e4000")
             captures.append((capbuf, fc, fc_programmed))
         if args.verbose:
             print(f"Scanning {len(captures)} carriers across "
@@ -157,14 +189,15 @@ def cmd_search(args) -> int:
         if shard_hyp and jax.device_count() > 1:
             from .parallel.sharded import make_mesh
             mesh = make_mesh(jax.device_count(), 1)
+        session = CaptureSession(args.data_dir)
         all_cells = []
         for fc in fc_search_set:
             if args.verbose:
                 print(f"Examining center frequency {fc / 1e6:.4g} MHz ...")
-            capbuf, fc_programmed = capture_data(
+            capbuf, fc_programmed = session.capture_data(
                 fc, source, save_cap=args.record,
-                use_recorded_data=args.load, data_dir=args.data_dir,
-                tuner="e4000" if not (args.load or source) else "none")
+                use_recorded_data=args.load,
+                tuner="none" if (args.load or source) else "e4000")
             cells = cell_search(capbuf, f_search_set, fc, fc_programmed,
                                 FS_WORK, cfg, mesh=mesh)
             for c in cells:
@@ -185,10 +218,17 @@ def cmd_track(args) -> int:
 
     if args.brief:
         args.verbose = 0
+    if args.ppm < 0:
+        print("Error: ppm value must be positive")
+        return 1
+    if abs(args.correction - 1) > 1000e-6:
+        print("Warning: crystal correction factor appears to be "
+              "unreasonable")
 
+    args.live = not (args.sim or args.load_files)
     source = _make_source(args)
     if source is None:
-        print("Error: tracker needs --load FILE(s) or --sim")
+        print("Error: tracker needs --load FILE(s), --sim, or a dongle")
         return 1
 
     import jax
@@ -217,7 +257,8 @@ def cmd_track(args) -> int:
         try:
             initial_fo = kalibrate(
                 lambda: source.capture(args.freq)[0], args.freq,
-                args.freq, FS_WORK, ppm=args.ppm, max_tries=3)
+                args.freq, FS_WORK, ppm=args.ppm,
+                max_tries=args.kalibrate_tries or None)
             if args.verbose:
                 print(f"kalibrate: dongle frequency offset "
                       f"{initial_fo:.1f} Hz")
@@ -335,6 +376,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("--noise-power", type=float, default=None)
     ps.add_argument("--drop", type=float, default=0.0)
     ps.add_argument("--repeat", action="store_true")
+    ps.add_argument("--interp", default="hex",
+                    choices=("hex", "2stage", "freq_time"),
+                    help="channel-estimate interpolator (reference "
+                         "default: hex/Delaunay, searcher.cpp:1474)")
+    ps.add_argument("--compat", default="production",
+                    choices=("production", "golden"),
+                    help="numerical-contract variant: production = the "
+                         "modern C++ formulas; golden = the MATLAB "
+                         "semantics the shipped test vectors encode")
+    ps.add_argument("--thresh2-sigma", type=float, default=3.0,
+                    help="SSS log-likelihood acceptance threshold in "
+                         "sigmas (reference THRESH2_N_SIGMA = 3)")
+    ps.add_argument("--no-decode", action="store_true",
+                    help="stop after SSS detection + fine FOE (skip "
+                         "tfg/tfoec/MIB)")
     ps.add_argument("--shard-carriers", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="scan all carriers as one carrier-sharded SPMD "
@@ -402,6 +458,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="crystal-error window for the kalibrate "
                          "bootstrap search")
     pt.add_argument("-c", "--correction", type=float, default=1.0)
+    pt.add_argument("-i", "--device-index", type=int, default=-1)
+    pt.add_argument("--kalibrate-tries", type=int, default=0,
+                    help="max kalibrate search attempts (0 = retry "
+                         "until a cell is found, the reference's loop; "
+                         "bounded file replay ends the loop by running "
+                         "out of captures)")
     pt.add_argument("--no-kalibrate", action="store_true",
                     help="skip the initial wide-ppm calibration search")
     pt.add_argument("-v", "--verbose", action="count", default=1)

@@ -162,38 +162,65 @@ class SimSource(CaptureSource):
                 pending = pending[block:]
 
 
-_capture_counter = [0]
+class CaptureSession:
+    """Run-scoped capture numbering + the reference capture_data flow.
+
+    The reference numbers capbuf_XXXX.it files with a function-static
+    counter reset per process run (capbuf.cpp:94); a module-global here
+    would silently misnumber files when one process performs two scans
+    (library use, record-then-load).  Each scan/tracker run owns one
+    session."""
+
+    def __init__(self, data_dir: str = "."):
+        self.data_dir = data_dir
+        self._counter = 0
+
+    def capture_data(self, fc_requested: float,
+                     source: Optional[CaptureSource],
+                     save_cap: bool = False,
+                     use_recorded_data: bool = False,
+                     tuner: str = "e4000") -> Tuple[np.ndarray, float]:
+        """Capture or replay one buffer, optionally recording it.
+
+        Returns (capbuf, fc_programmed).  A source that reports its own
+        fc_programmed (e.g. the live RTL-SDR source, io/rtlsdr.py) is
+        trusted; otherwise an E4000-style tuner emulates the PLL model
+        (+58 Hz fudge, reference capbuf.cpp:134-149).
+        """
+        filename = os.path.join(self.data_dir,
+                                f"capbuf_{self._counter:04d}.it")
+        if use_recorded_data:
+            d = read_itfile(filename)
+            capbuf = d["capbuf"]
+            fc_file = float(d["fc"][0])
+            if fc_file != fc_requested:
+                print(f"Warning: capture {filename} was taken at "
+                      f"{fc_file / 1e6:.3f} MHz, "
+                      f"not {fc_requested / 1e6:.3f}")
+            fc_programmed = fc_requested
+        else:
+            if source is None:
+                raise RuntimeError("no capture source available")
+            capbuf, fc_programmed = source.capture(fc_requested)
+            if fc_programmed is None or fc_programmed == fc_requested:
+                fc_programmed = fc_programmed_with_fudge(fc_requested) \
+                    if tuner == "e4000" else fc_requested
+        if save_cap:
+            write_itfile(filename, {
+                "capbuf": np.asarray(capbuf, dtype=np.complex128),
+                "fc": np.array([int(fc_requested)], dtype=np.int32)})
+        self._counter += 1
+        return capbuf, fc_programmed
 
 
 def capture_data(fc_requested: float, source: Optional[CaptureSource],
                  save_cap: bool = False, use_recorded_data: bool = False,
-                 data_dir: str = ".", tuner: str = "e4000"
+                 data_dir: str = ".", tuner: str = "e4000",
+                 session: Optional[CaptureSession] = None
                  ) -> Tuple[np.ndarray, float]:
-    """The reference capture_data flow: capture or replay, optional record.
-
-    Returns (capbuf, fc_programmed).  With an E4000-style tuner the
-    programmed frequency follows the PLL model (+58 Hz fudge).
-    """
-    filename = os.path.join(data_dir,
-                            f"capbuf_{_capture_counter[0]:04d}.it")
-    if use_recorded_data:
-        d = read_itfile(filename)
-        capbuf = d["capbuf"]
-        fc_file = float(d["fc"][0])
-        if fc_file != fc_requested:
-            print(f"Warning: capture {filename} was taken at "
-                  f"{fc_file / 1e6:.3f} MHz, not {fc_requested / 1e6:.3f}")
-        fc_programmed = fc_requested
-    else:
-        if source is None:
-            raise RuntimeError("no capture source available")
-        capbuf, fc_programmed = source.capture(fc_requested)
-        if fc_programmed is None or fc_programmed == fc_requested:
-            fc_programmed = fc_programmed_with_fudge(fc_requested) \
-                if tuner == "e4000" else fc_requested
-    if save_cap:
-        write_itfile(filename, {
-            "capbuf": np.asarray(capbuf, dtype=np.complex128),
-            "fc": np.array([int(fc_requested)], dtype=np.int32)})
-    _capture_counter[0] += 1
-    return capbuf, fc_programmed
+    """One-shot wrapper over CaptureSession.capture_data (numbering is
+    per-session; pass `session` to keep it across calls)."""
+    if session is None:
+        session = CaptureSession(data_dir)
+    return session.capture_data(fc_requested, source, save_cap,
+                                use_recorded_data, tuner)

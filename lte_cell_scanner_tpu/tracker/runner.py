@@ -26,13 +26,22 @@ from .state import GlobalState, TrackedCell
 
 def kalibrate(capture_fn: Callable[[], np.ndarray], fc_requested: float,
               fc_programmed: float, fs_programmed: float,
-              ppm: float = 120.0, max_tries: int = 100,
+              ppm: float = 120.0, max_tries: Optional[int] = None,
               config: Optional[SearchConfig] = None) -> float:
     """Estimate the dongle frequency offset by searching until a cell is
-    found; returns the best cell's freq_superfine."""
+    found; returns the best cell's freq_superfine.
+
+    max_tries=None retries until a cell is found, exactly the
+    reference's loop (LTE-Tracker.cpp:591,701-704) -- starting the
+    tracker at 0 Hz after a bounded number of failures would strand
+    acquisition beyond ~+-2.5 kHz of crystal error.  Bounded sources
+    (file replay without --repeat) end the loop by raising when out of
+    captures."""
     cfg = config or SearchConfig()
     f_search_set = default_f_search_set(fc_requested, ppm)
-    for _ in range(max_tries):
+    tries = 0
+    while max_tries is None or tries < max_tries:
+        tries += 1
         capbuf = capture_fn()
         cells = cell_search(capbuf, f_search_set, fc_requested,
                             fc_programmed, fs_programmed, cfg)
