@@ -276,6 +276,36 @@ def cmd_track(args) -> int:
         if args.verbose:
             print("Compiling the search/decode path (one-time warmup) ...")
         runner.warmup()
+
+    use_tui = sys.stdout.isatty() and not args.no_tui
+    if use_tui:
+        # the reference's live ncurses dashboard (display_thread.cpp)
+        from .tracker.tui import run_tui
+        stream = iter(source.stream(10000))
+        n_blocks = [0]
+
+        def process_for(seconds: float) -> bool:
+            n = max(1, int(args.fs * seconds) // 10000)
+            for _ in range(n):
+                if args.duration and \
+                        n_blocks[0] * 10000 / args.fs >= args.duration:
+                    return False
+                block = next(stream, None)
+                if block is None:
+                    return False
+                runner.process_block(block)
+                n_blocks[0] += 1
+            return True
+
+        try:
+            run_tui(process_for, runner.state, lambda: runner.cells)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            runner.close()
+        print(render(runner.state, runner.cells, plots=args.expert))
+        return 0
+
     n_blocks = 0
     report_every = max(1, int(args.fs * 1.0) // 10000)
     try:
@@ -474,6 +504,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "before streaming (first acquisition will stall)")
     pt.add_argument("-x", "--expert", action="store_true",
                     help="show ASCII channel/autocorrelation plots")
+    pt.add_argument("--no-tui", action="store_true",
+                    help="disable the interactive curses dashboard even "
+                         "on a tty (plain periodic prints)")
     pt.set_defaults(func=cmd_track)
 
     pc = sub.add_parser("check", help="scan a capture for dropped samples")
