@@ -147,6 +147,39 @@ def cmd_search(args) -> int:
                        thresh2_n_sigma=float(args.thresh2_sigma),
                        decode=not args.no_decode)
 
+    if args.coordinator:
+        # multi-host entry path: join the jax.distributed runtime, scan
+        # this process's slice of the band, all-gather + dedup globally
+        # (parallel/multihost.py)
+        from .parallel.multihost import initialize, scan_band_multihost
+        initialize(args.coordinator, args.num_processes, args.process_id)
+        import jax
+        my = [float(fc) for fc in fc_search_set[args.process_id::
+                                                args.num_processes]]
+        counts = [len(fc_search_set[p::args.num_processes])
+                  for p in range(args.num_processes)]
+        while len(my) < max(counts):        # equal local carrier counts
+            my.append(my[-1] if my else float(fc_search_set[0]))
+        session = CaptureSession(args.data_dir)
+        captures = []
+        for fc in my:
+            if args.verbose:
+                print(f"[proc {args.process_id}] capturing "
+                      f"{fc / 1e6:.4g} MHz ...")
+            capbuf, fc_programmed = session.capture_data(
+                fc, source, save_cap=args.record,
+                use_recorded_data=args.load,
+                tuner="none" if (args.load or source) else "e4000")
+            captures.append((capbuf, fc, fc_programmed))
+        local_lists, merged = scan_band_multihost(
+            captures, f_search_set, FS_WORK, cfg)
+        if jax.process_index() == 0:
+            _print_cells(merged, args.correction)
+            if args.profile:
+                print()
+                print(profile_report())
+        return 0
+
     import jax
     shard_carriers = args.shard_carriers
     if shard_carriers is None:
@@ -421,6 +454,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("--no-decode", action="store_true",
                     help="stop after SSS detection + fine FOE (skip "
                          "tfg/tfoec/MIB)")
+    ps.add_argument("--coordinator", default=None,
+                    help="HOST:PORT of process 0 -- enables the "
+                         "multi-host band scan (jax.distributed over "
+                         "DCN; every process runs the same command with "
+                         "its own --process-id)")
+    ps.add_argument("--num-processes", type=int, default=1)
+    ps.add_argument("--process-id", type=int, default=0)
     ps.add_argument("--shard-carriers", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="scan all carriers as one carrier-sharded SPMD "
@@ -522,8 +562,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     args = p.parse_args(argv)
     if args.platform != "default":
+        import os
+
         import jax
-        jax.config.update("jax_platforms", args.platform)
+        platform = args.platform
+        if platform == "tpu" and "axon" in os.environ.get("JAX_PLATFORMS",
+                                                          ""):
+            # this container reaches the chip only through the
+            # experimental "axon" PJRT plugin
+            platform = "axon"
+        jax.config.update("jax_platforms", platform)
         if args.platform == "cpu":
             jax.config.update("jax_enable_x64", True)
     if not hasattr(args, "load_files") or args.load_files is None:

@@ -141,6 +141,23 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
 
     xc_single, pow_c, frq_c, sp_inc = _front_sharded(
         mesh, cap, tmpl, starts, cfg.ds_comb_arm)
+    return refine_band(pow_c, frq_c, sp_inc, xc_single, capbufs, fc_list,
+                       fcp_list, f_search_set, fs_programmed, n_comb_xc,
+                       cfg)
+
+
+def refine_band(pow_c, frq_c, sp_inc, xc_single, capbufs, fc_list, fcp_list,
+                f_search_set, fs_programmed: float, n_comb_xc: int,
+                cfg: SearchConfig) -> List[List[Cell]]:
+    """Host back half of a band scan: per-carrier peak search, then the
+    batched SSS/FOE/decode stages over all peaks of all carriers.
+
+    pow_c/frq_c/sp_inc are [C, ...] host-or-device arrays; xc_single may
+    stay device-resident (sharded) -- it is pulled one carrier at a time.
+    Shared by scan_band (single-process mesh) and
+    parallel.multihost.scan_band_multihost (each host refines its local
+    carriers)."""
+    c_real = len(capbufs)
     # small maps come back whole; the [C, 3, n_f, 9600] refinement slabs
     # stay device-resident (sharded) and are pulled one carrier at a time
     pow_c = np.asarray(pow_c)

@@ -13,11 +13,12 @@ Splits reported per phase so front-end (device matmul) and back-half
 timed both peak-at-a-time (the reference's order) and as the vmapped
 peak batch (models/search.py batch_peaks, the default).
 
-Defaults to the CPU backend: the container's experimental axon TPU
-backend cannot transfer complex-program outputs back to the host
-(.claude/skills/verify/SKILL.md gotchas), and the full chain is
-host-interactive by design (greedy peak extraction and MIB bit
-unpacking are host steps).  On real TPU hardware pass --platform tpu.
+Defaults to the CPU backend (double precision, the golden-parity
+configuration).  --platform tpu runs the whole chain on the real chip
+in complex64: ops/boundary.py crosses the host<->device edge as float
+planes (the axon client cannot transfer complex-parameter program
+outputs), and the host keeps only the greedy peak extraction and MIB
+bit unpacking.
 
 Usage:
   python tools/bench_search.py [--repeats 5] [--ppm 100] [--json]
@@ -44,8 +45,18 @@ _parser.add_argument("--platform", default="cpu",
                      help="jax platform (default cpu; see module docstring)")
 ARGS = _parser.parse_args()
 
-jax.config.update("jax_platforms", ARGS.platform)
-jax.config.update("jax_enable_x64", True)
+if ARGS.platform == "tpu":
+    # in this container the chip is reachable only through the
+    # experimental "axon" PJRT plugin (JAX_PLATFORMS=axon in the env);
+    # on a real TPU runtime "tpu" resolves normally.  complex64 on
+    # device (x64 stays off): the host keeps float64 index planning.
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "axon")
+    else:
+        jax.config.update("jax_platforms", "tpu")
+else:
+    jax.config.update("jax_platforms", ARGS.platform)
+    jax.config.update("jax_enable_x64", True)
 
 from lte_cell_scanner_tpu.constants import DS_COMB_ARM, FS_LTE  # noqa: E402
 from lte_cell_scanner_tpu.models.peaks import peak_search  # noqa: E402
