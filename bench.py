@@ -2,27 +2,86 @@
 
 Prints ONE JSON line:
   {"metric": "pss_scan_samples_per_sec", "value": N, "unit": "samples/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "full_chain": {...}}
 
 Baseline (BASELINE.md): the reference CellSearch takes ~6 s per center
 frequency on a dual-core i7-2640 with the default hypothesis grid --
 153600 IQ samples / 6 s = 25.6k samples/s through the full PSS scan.
 
-The benchmark times the full per-carrier front end on the real capture
+Primary metric: the full per-carrier front end on the real capture
 (test/capbuf_0000.it when present, synthetic otherwise): template
 correlation over the default +-100 ppm hypothesis grid, incoherent fold,
 delay-spread combining, hypothesis collapse, and signal-power estimation,
-on one TPU chip in complex64.
+on one TPU chip in complex64, dispatch-pipelined (steady-state
+throughput).
+
+Second headline (BASELINE config 2, VERDICT round-1 item 1): the whole
+detect+decode chain on the same chip -- front end + chi-squared
+threshold + greedy peak search + SSS/FOE batches + fused
+tfg/tfoec/chan_est/MIB decode -- reported as seconds/carrier vs the
+reference's 6 s, with per-call blocking (true latency, no pipelining).
+The two 739 MHz cells must decode or the field is marked invalid.
+Set BENCH_FULL_CHAIN=0 to skip (e.g. when the tunnel is too slow to
+compile the back half inside the driver's budget).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
+def full_chain(capbuf, fc):
+    """Whole-chain s/carrier on the default grid; one warm compile pass,
+    then best-of-3 with per-call completion."""
+    from lte_cell_scanner_tpu.constants import DS_COMB_ARM, FS_LTE
+    from lte_cell_scanner_tpu.models.peaks import peak_search
+    from lte_cell_scanner_tpu.models.search import (SearchConfig,
+                                                    compute_z_th1,
+                                                    default_f_search_set,
+                                                    refine_peaks)
+    from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
+
+    fs = FS_LTE / 16
+    fss = default_f_search_set(fc, 100.0)
+    cfg = SearchConfig()
+
+    def run():
+        res = xcorr_pss(capbuf, fss, DS_COMB_ARM, fc, fc, fs, lean=True)
+        z = compute_z_th1(res.sp_incoherent, res.n_comb_xc)
+        peaks = peak_search(res.xc_incoherent_collapsed_pow,
+                            res.xc_incoherent_collapsed_frq, z, fss, fc,
+                            fc, res.xc_incoherent_single, DS_COMB_ARM,
+                            refine_slab=res.refine_slab)
+        return refine_peaks(peaks, capbuf, fc, fc, fs, cfg)
+
+    cells = run()                       # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cells = run()
+        best = min(best, time.perf_counter() - t0)
+    ids = sorted(c.n_id_cell() for c in cells)
+    return {"s_per_carrier": round(best, 4),
+            "vs_baseline": round(6.0 / best, 1),
+            "n_cells": len(cells), "cell_ids": ids,
+            "valid": ids == [271, 277]}
+
+
 def main():
     import jax
+
+    # persistent compile cache: the remote-tunnel compiles dominate a
+    # cold run (minutes); cached executables make driver re-runs cheap
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     from lte_cell_scanner_tpu.constants import FS_LTE
     from lte_cell_scanner_tpu.models.search import default_f_search_set
@@ -73,12 +132,18 @@ def main():
 
     samples_per_sec = n_cap / dt
     baseline = 153600 / 6.0
-    print(json.dumps({
+    out = {
         "metric": "pss_scan_samples_per_sec",
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / baseline, 2),
-    }))
+    }
+    if os.environ.get("BENCH_FULL_CHAIN", "1") != "0":
+        try:
+            out["full_chain"] = full_chain(capbuf, fc)
+        except Exception as e:  # noqa: BLE001 - keep the primary metric
+            out["full_chain"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -38,6 +38,7 @@ from ..models.peaks import peak_search
 from ..models.sss_detect import (pss_sss_foe_batch_multi,
                                  sss_detect_batch_multi)
 from ..models.xcorr import _xcorr_core, combine_start_indices, pss_templates
+from ..ops.boundary import needs_float_boundary, safe_jit
 from ..utils.debug import debug_export
 
 
@@ -66,10 +67,24 @@ def _front_jit(mesh: Mesh, capbufs, templates, start_idx,
         capbufs, templates, start_idx, ds_comb_arm)
 
 
+def _front_batch_impl(capbufs, templates, start_idx, ds_comb_arm: int):
+    return jax.vmap(_front_one, in_axes=(0, 0, 0, None))(
+        capbufs, templates, start_idx, ds_comb_arm)
+
+
+# single-device batched front end behind the complex<->float host
+# boundary (ops/boundary.py) -- the multi-carrier-per-chip scan path on
+# the axon TPU client, where complex program parameters block transfers
+_front_batch = safe_jit(_front_batch_impl, static_argnames=("ds_comb_arm",))
+
+
 def _front_sharded(mesh: Mesh, capbufs, templates, start_idx,
                    ds_comb_arm: int):
     """Shard the host->device transfer itself (each device receives only
     its carrier slab, not the whole band staged on device 0)."""
+    if mesh.devices.size == 1 and needs_float_boundary():
+        return _front_batch(np.asarray(capbufs), np.asarray(templates),
+                            np.asarray(start_idx), ds_comb_arm)
     shard = NamedSharding(mesh, P("c"))
     capbufs = jax.device_put(capbufs, shard)
     templates = jax.device_put(templates, shard)

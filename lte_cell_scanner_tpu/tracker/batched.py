@@ -40,9 +40,8 @@ _CN = np.concatenate([np.arange(-36, 0), np.arange(1, 37)])
 _BUCKET = 32
 
 
-@jax.jit
-def _get_fd_core(data, fo, late, n_samp_elapsed, valid, init_phase,
-                 fc_requested, fc_programmed, fs_programmed):
+def _get_fd_core_impl(data, fo, late, n_samp_elapsed, valid, init_phase,
+                      fc_requested, fc_programmed, fs_programmed):
     """data [B,S,128] complex; fo/late/n_samp_elapsed/valid [B,S];
     init_phase [B].  Returns (syms [B,S,72], final_phase [B])."""
     import jax.numpy as jnp
@@ -71,6 +70,14 @@ def _get_fd_core(data, fo, late, n_samp_elapsed, valid, init_phase,
     final = init_phase + jnp.sum(incr, axis=1)
     final = (final + jnp.pi) % (2 * jnp.pi) - jnp.pi
     return syms, final
+
+
+# safe_jit: on the axon TPU client complex buffers cannot cross the
+# host<->device boundary; the wrapper crosses as (re, im) float planes
+# (ops/boundary.py).  Everywhere else this IS jax.jit.
+from ..ops.boundary import safe_jit  # noqa: E402
+
+_get_fd_core = safe_jit(_get_fd_core_impl)
 
 
 def n_samp_elapsed_of(sym_num: int, extended_cp: bool) -> int:
@@ -171,8 +178,6 @@ def batched_get_fd(cell_pdus: Sequence[Tuple[object, object]], state,
     is the host CPU -- native C when the library is available, numpy
     otherwise).
     """
-    import jax.numpy as jnp
-
     if backend == "auto":
         backend = _auto_backend()
     if backend == "host":
@@ -202,12 +207,13 @@ def batched_get_fd(cell_pdus: Sequence[Tuple[object, object]], state,
         valid[b, :m] = True
         init_phase[b] = proc.bulk_phase_offset
 
+    # host numpy in: safe_jit splits complex data into float planes at
+    # the transfer point when the boundary is active (plain jit stages
+    # the same arrays otherwise)
     syms, final = _get_fd_core(
-        jnp.asarray(data), jnp.asarray(fo), jnp.asarray(late),
-        jnp.asarray(nse), jnp.asarray(valid), jnp.asarray(init_phase),
-        jnp.asarray(float(state.fc_requested)),
-        jnp.asarray(float(state.fc_programmed)),
-        jnp.asarray(float(state.fs_programmed)))
+        data, fo, late, nse, valid, init_phase,
+        np.float64(state.fc_requested), np.float64(state.fc_programmed),
+        np.float64(state.fs_programmed))
     syms = np.asarray(syms)
     final = np.asarray(final)
 

@@ -114,3 +114,56 @@ def test_pipeline_stage_parity(monkeypatch):
         assert b.sfn == s.sfn
         np.testing.assert_allclose(b.freq_superfine, s.freq_superfine,
                                    rtol=1e-9)
+
+
+def test_front_batch_boundary_parity(monkeypatch):
+    """The single-chip multi-carrier front end (_front_batch, the axon
+    wide-band path) matches the unsplit vmapped core under the forced
+    boundary."""
+    from lte_cell_scanner_tpu.constants import FS_WORK
+    from lte_cell_scanner_tpu.parallel.carriers import (_front_batch,
+                                                        plan_carrier_inputs)
+
+    rng = np.random.default_rng(3)
+    n_cap = 2 * 9600 + 400
+    caps = [(rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) * 0.1
+            for _ in range(2)]
+    fcs = [739e6, 739.1e6]
+    f_set = np.array([-5e3, 0.0, 5e3])
+    cap, tmpl, starts, _, _ = plan_carrier_inputs(
+        caps, fcs, f_set, fcs, FS_WORK, 1, dtype=np.complex64)
+
+    monkeypatch.setenv("LTE_TPU_FLOAT_BOUNDARY", "never")
+    base = _front_batch(cap, tmpl, starts, 2)
+    monkeypatch.setenv("LTE_TPU_FLOAT_BOUNDARY", "always")
+    split = _front_batch(cap, tmpl, starts, 2)
+    for b, s in zip(base, split):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(s),
+                                   rtol=1e-6, atol=1e-12)
+
+
+def test_get_fd_core_boundary_parity(monkeypatch):
+    """The tracker's batched demod front end crosses the boundary
+    losslessly (the TPU tracker deployment path)."""
+    from lte_cell_scanner_tpu.tracker.batched import _get_fd_core
+
+    rng = np.random.default_rng(5)
+    B, S = 3, 16
+    data = (rng.normal(size=(B, S, 128))
+            + 1j * rng.normal(size=(B, S, 128))).astype(np.complex128)
+    fo = np.full((B, S), -2050.0)
+    late = np.zeros((B, S))
+    nse = np.full((B, S), 137.0)
+    valid = np.ones((B, S), bool)
+    phase = np.linspace(-1, 1, B)
+    args = (data, fo, late, nse, valid, phase, np.float64(739e6),
+            np.float64(739e6), np.float64(1.92e6))
+
+    monkeypatch.setenv("LTE_TPU_FLOAT_BOUNDARY", "never")
+    base = _get_fd_core(*args)
+    monkeypatch.setenv("LTE_TPU_FLOAT_BOUNDARY", "always")
+    split = _get_fd_core(*args)
+    np.testing.assert_allclose(np.asarray(base[0]), np.asarray(split[0]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(base[1]), np.asarray(split[1]),
+                               rtol=1e-12)

@@ -38,10 +38,10 @@ ap.add_argument("--json", action="store_true")
 ap.add_argument("--platform", default="tpu")
 ARGS = ap.parse_args()
 
-if ARGS.platform == "tpu" and "axon" in os.environ.get("JAX_PLATFORMS", ""):
-    jax.config.update("jax_platforms", "axon")
-else:
-    jax.config.update("jax_platforms", ARGS.platform)
+from _bench_common import enable_compile_cache, setup_platform  # noqa: E402
+
+setup_platform(ARGS.platform, x64_on_cpu=False)
+enable_compile_cache()
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -115,6 +115,27 @@ def main():
                 ARGS.repeats) * 1e3
         except Exception as e:  # noqa: BLE001 - report, keep benching
             res[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    # shard_map overhead bound: the sharded front end on a (1 x 1) mesh
+    # vs the plain program (VERDICT item 9 -- SCALING.md's efficiency
+    # model assumes this overhead is small).  Outputs stay on device
+    # (block only): on the axon client a complex-parameter program
+    # cannot transfer outputs, but timing needs no transfer.
+    try:
+        from lte_cell_scanner_tpu.parallel.sharded import (
+            make_mesh, plan_sharded_inputs, sharded_xcorr)
+        mesh = make_mesh(1, 1)
+        padded, tmpl_s, starts_s, ncx, nl = plan_sharded_inputs(
+            capbuf, f_set, fc, fc, fs, mesh, dtype=np.complex64)
+        pd, td, sd = jnp.asarray(padded), jnp.asarray(tmpl_s), \
+            jnp.asarray(starts_s)
+        n_comb_sp = (n_cap - 136 - 137) // 9600
+        res["sharded_1x1_ms"] = round(best_of(
+            lambda: sharded_xcorr(mesh, pd, td, sd, 2, ncx, nl,
+                                  n_comb_sp=n_comb_sp)[0],
+            ARGS.repeats) * 1e3, 3)
+    except Exception as e:  # noqa: BLE001
+        res["sharded_1x1_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # implied effective compute rate of the direct correlation
     flops = 8.0 * tmpl_flat.shape[0] * n_lags * PSS_TD_LEN

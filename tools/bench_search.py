@@ -45,18 +45,12 @@ _parser.add_argument("--platform", default="cpu",
                      help="jax platform (default cpu; see module docstring)")
 ARGS = _parser.parse_args()
 
-if ARGS.platform == "tpu":
-    # in this container the chip is reachable only through the
-    # experimental "axon" PJRT plugin (JAX_PLATFORMS=axon in the env);
-    # on a real TPU runtime "tpu" resolves normally.  complex64 on
-    # device (x64 stays off): the host keeps float64 index planning.
-    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
-        jax.config.update("jax_platforms", "axon")
-    else:
-        jax.config.update("jax_platforms", "tpu")
-else:
-    jax.config.update("jax_platforms", ARGS.platform)
-    jax.config.update("jax_enable_x64", True)
+# --platform tpu: complex64 on device (x64 stays off); the host keeps
+# float64 index planning.  cpu: double precision (golden config).
+from _bench_common import enable_compile_cache, setup_platform  # noqa: E402
+
+setup_platform(ARGS.platform)
+enable_compile_cache()
 
 from lte_cell_scanner_tpu.constants import DS_COMB_ARM, FS_LTE  # noqa: E402
 from lte_cell_scanner_tpu.models.peaks import peak_search  # noqa: E402
