@@ -183,7 +183,12 @@ def cmd_search(args) -> int:
     import jax
     shard_carriers = args.shard_carriers
     if shard_carriers is None:
-        shard_carriers = jax.device_count() > 1 and len(fc_search_set) > 1
+        # multi-device: carriers spread over the mesh.  Single
+        # accelerator: still batch the whole band into one vmapped
+        # device program per stage (tools/bench_carriers.py measures
+        # why); serial per-carrier only on the plain CPU backend.
+        shard_carriers = len(fc_search_set) > 1 and (
+            jax.device_count() > 1 or jax.default_backend() != "cpu")
 
     if shard_carriers:
         # capture every carrier first, then scan the whole band as one

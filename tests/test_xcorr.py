@@ -166,3 +166,33 @@ def test_bf16_mxu_precision_is_safe_for_detection():
     b = np.asarray(ref[2])
     assert np.max(np.abs(a - b)) / b.max() < 2e-3
     assert np.array_equal(a.argmax(1), b.argmax(1))
+
+
+def test_pallas_kernel_bf16_mode_interpret():
+    """The bf16-band Pallas mode (MXU-native single pass on hardware)
+    stays within detection-grade tolerance of the f32 kernel; run via
+    the interpreter so the code path is exercised on CPU CI."""
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.ops.corr import correlate
+    from lte_cell_scanner_tpu.ops.corr_pallas import correlate_pow_pallas
+
+    rng = np.random.default_rng(9)
+    n_cap = 4096 + 136
+    capbuf = (rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) \
+        .astype(np.complex64)
+    tmpl = (rng.normal(size=(5, 137)) + 1j * rng.normal(size=(5, 137))) \
+        .astype(np.complex64) / 137.0
+    n_lags = n_cap - 136
+
+    want = np.abs(np.asarray(correlate(jnp.asarray(capbuf),
+                                       jnp.asarray(tmpl)))) ** 2
+    got = np.asarray(correlate_pow_pallas(jnp.asarray(capbuf), tmpl,
+                                          n_lags, interpret=True,
+                                          precision="bf16"))
+    scale = want.max()
+    # bf16 mantissa ~ 8 bits: ~0.4% relative on the operands; the
+    # 137-tap f32 accumulation keeps the power map within ~1%
+    assert np.max(np.abs(got - want[:, :n_lags])) / scale < 2e-2
+    # and the per-template argmax (what detection consumes) is stable
+    np.testing.assert_array_equal(got.argmax(axis=1),
+                                  want[:, :n_lags].argmax(axis=1))
