@@ -134,7 +134,8 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
               f_search_set: np.ndarray, fs_programmed: float,
               config: Optional[SearchConfig] = None,
               mesh: Optional[Mesh] = None,
-              dtype=np.complex64) -> List[List[Cell]]:
+              dtype=np.complex64,
+              max_carriers_per_program: int = 32) -> List[List[Cell]]:
     """Scan many carriers at once, carriers sharded across the mesh.
 
     captures: sequence of (capbuf, fc_requested, fc_programmed).
@@ -142,10 +143,26 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
     The device front end runs for ALL carriers in one SPMD program; the
     tiny per-carrier peak search + per-peak decode stay on host
     (reference CellSearch.cpp:497-570 semantics per carrier).
+
+    Very wide bands are processed in chunks of
+    ``max_carriers_per_program`` carriers PER DEVICE: each carrier's
+    front end materializes a ~57 MB |xc|^2 intermediate at the default
+    grid, so an unbounded batch would exceed HBM near ~250
+    carriers/chip.  Chunking keeps one compiled program shape and
+    bounded memory; results concatenate in carrier order.
     """
     cfg = config or SearchConfig()
     mesh = mesh or make_carrier_mesh()
     n_dev = mesh.devices.size
+
+    limit = max(1, max_carriers_per_program) * n_dev
+    if len(captures) > limit:
+        out: List[List[Cell]] = []
+        for i in range(0, len(captures), limit):
+            out.extend(scan_band(captures[i: i + limit], f_search_set,
+                                 fs_programmed, cfg, mesh, dtype,
+                                 max_carriers_per_program))
+        return out
 
     capbufs = [c[0] for c in captures]
     fc_list = [c[1] for c in captures]

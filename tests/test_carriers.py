@@ -104,3 +104,37 @@ def test_scan_band_batched_matches_per_carrier_refine():
             assert cb.frame_start == cs.frame_start
             np.testing.assert_allclose(cb.freq_fine, cs.freq_fine,
                                        rtol=1e-9, atol=1e-6)
+
+
+def test_scan_band_chunks_match_single_program():
+    """max_carriers_per_program chunking returns identical results to
+    the unchunked batch (bounded-HBM wide-band path)."""
+    import numpy as np
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.search import SearchConfig
+    from lte_cell_scanner_tpu.parallel.carriers import (make_carrier_mesh,
+                                                        scan_band)
+    from lte_cell_scanner_tpu.cell import CpType
+    from lte_cell_scanner_tpu.sim import awgn, create_dl_sig
+
+    rng = np.random.default_rng(11)
+    n_cap = 30 * 1920
+    sig = awgn(create_dl_sig(CpType.NORMAL, 30, 0, 92, 1, 0.5, rng=rng,
+                             n_ports=2), 8.0, rng=rng)
+    noise = (rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) \
+        * np.sqrt(0.5)
+    caps = [(noise, 739e6, 739e6), (sig, 739.1e6, 739.1e6),
+            (noise, 739.2e6, 739.2e6)]
+    f_set = np.array([-5e3, 0.0, 5e3])
+    cfg = SearchConfig(decode=False)
+    mesh = make_carrier_mesh(1)
+
+    whole = scan_band(caps, f_set, FS_LTE / 16, cfg, mesh)
+    chunked = scan_band(caps, f_set, FS_LTE / 16, cfg, mesh,
+                        max_carriers_per_program=1)
+    assert [len(l) for l in whole] == [len(l) for l in chunked]
+    for lw, lc in zip(whole, chunked):
+        for cw, cc in zip(lw, lc):
+            assert cw.n_id_cell() == cc.n_id_cell()
+            np.testing.assert_allclose(cw.freq_fine, cc.freq_fine,
+                                       rtol=1e-9)
