@@ -85,8 +85,7 @@ def main():
     import jax.numpy as jnp
     from lte_cell_scanner_tpu.constants import FS_LTE
     from lte_cell_scanner_tpu.models.search import default_f_search_set
-    from lte_cell_scanner_tpu.models.xcorr import (_xcorr_core,
-                                                   combine_start_indices,
+    from lte_cell_scanner_tpu.models.xcorr import (combine_start_indices,
                                                    pss_templates)
 
     fs = FS_LTE / 16
@@ -100,33 +99,51 @@ def main():
     capbuf = np.asarray(capbuf, dtype=np.complex64)
     n_cap = len(capbuf)
 
+    from lte_cell_scanner_tpu.models.xcorr import _xcorr_core_impl
     f_set = default_f_search_set(fc, ppm=100)   # 31 hypotheses (ref default)
     n_comb_xc = (n_cap - 136 - 100) // 9600
-    templates = jnp.asarray(pss_templates(f_set, fc, fc, fs, np.complex64))
-    start_idx = jnp.asarray(combine_start_indices(f_set, fc, fc, fs,
-                                                  n_comb_xc))
-    # rotate among DISTINCT device-resident captures: repeating one
-    # buffer lets the runtime shortcut identical dispatches and
-    # overstates throughput ~2x (measured 0.029 vs 0.062 ms/call)
-    caps = [jnp.asarray(np.roll(capbuf, 17 * k + 1)) for k in range(8)]
+    # closure constants stay HOST numpy: a device-resident complex
+    # constant would be pulled back through the axon client's broken
+    # transfer path at lowering time
+    templates = pss_templates(f_set, fc, fc, fs, np.complex64)
+    start_idx = combine_start_indices(f_set, fc, fc, fs, n_comb_xc)
 
-    def launch(i):
-        return _xcorr_core(caps[i % 8], templates, start_idx, 2,
-                           keep_xc=False)[2]
+    # Measurement integrity (measured the hard way, tools/bench_kernels
+    # docstring): the tunnel runtime fire-aheads dispatches --
+    # block_until_ready acknowledges before real execution -- and can
+    # shortcut re-dispatches of recently executed (program, inputs)
+    # pairs.  The only trustworthy completion barrier is a device->host
+    # transfer of a value data-dependent on the compute.  So: the
+    # capture crosses as float planes (complex program parameters make
+    # outputs untransferable here), the program returns a scalar
+    # checksum over every output, each timed call gets a DISTINCT
+    # single-use buffer, and one final device_get of all checksums
+    # closes the pipeline.  wall / K = steady-state scan throughput.
+    @jax.jit
+    def launch(re, im):
+        out = _xcorr_core_impl(jax.lax.complex(re, im), templates,
+                               start_idx, 2, keep_xc=False, lean=True)
+        _s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab = out
+        return (jnp.sum(pow_c) + jnp.sum(sp_inc) + jnp.sum(slab)
+                + jnp.sum(frq_c))
 
-    for i in range(8):                    # compile + warm the dispatch path
-        launch(i).block_until_ready()
+    n_iter, n_rounds = 24, 4
+    bufs = []
+    for k in range(n_iter * n_rounds):
+        c = np.roll(capbuf, 977 * k + 1)
+        bufs.append((jnp.asarray(np.ascontiguousarray(c.real)),
+                     jnp.asarray(np.ascontiguousarray(c.imag))))
+    for re, im in bufs:
+        re.block_until_ready()
+        im.block_until_ready()
 
-    # The remote-TPU tunnel has high run-to-run variance and ~ms fixed
-    # dispatch overhead; pipeline the dispatches within a round (block
-    # once at the end) and report the best of several rounds -- the
-    # device's actual steady-state rate (converged for n_iter >= 20).
-    n_iter, n_rounds = 24, 6
+    jax.device_get(launch(*bufs[0]))      # compile + true sync
     best = float("inf")
-    for _ in range(n_rounds):
+    for r in range(n_rounds):
+        batch = bufs[r * n_iter: (r + 1) * n_iter]
         t0 = time.perf_counter()
-        outs = [launch(i) for i in range(n_iter)]
-        outs[-1].block_until_ready()
+        outs = [launch(re, im) for re, im in batch]
+        jax.device_get(outs)              # forces completion of all
         best = min(best, (time.perf_counter() - t0) / n_iter)
     dt = best
 

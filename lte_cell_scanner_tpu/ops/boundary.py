@@ -4,9 +4,14 @@ The container's experimental axon TPU client executes complex math
 inside a program correctly, but cannot transfer ANY output of a program
 that has a complex-typed parameter -- and the taint propagates: buffers
 produced by such a program poison every downstream program's outputs
-too (measured: UNIMPLEMENTED on device->host copy).  Real TPU hardware
-has the same shape of constraint one level down: the MXU/VPU have no
-complex datapath, XLA lowers complex to planar real pairs anyway.
+too (measured: UNIMPLEMENTED on device->host copy).  Measured stronger
+still: once one complex-parameter program has EXECUTED in a process,
+later transfers fail process-wide even for all-float programs on fresh
+inputs -- so a process must be all-boundary or all-device-resident,
+never mixed (tools/bench_kernels.py runs its parity pass in a separate
+process for this reason).  Real TPU hardware has the same shape of
+constraint one level down: the MXU/VPU have no complex datapath, XLA
+lowers complex to planar real pairs anyway.
 
 ``safe_jit`` therefore moves the complex<->planar conversion to the
 host boundary: every complex argument crosses as a (real, imag) float

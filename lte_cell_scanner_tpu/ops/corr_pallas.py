@@ -132,28 +132,42 @@ def correlate_pow_pallas(capbuf, templates, n_lags: int,
     n_rows = n_row_blocks * ROWS_PER_BLOCK
 
     g_re, g_im = _bands_for(templates, t_pad, n_tc, precision)
-    return _corr_pow_jit(capbuf, g_re, g_im, n_lags, t_count, t_pad,
-                         n_tc, n_rows, n_row_blocks, interpret, precision)
+    # the capture may arrive as an ops.boundary.ComplexPair (two float
+    # planes, host-split) -- on the axon client a complex program
+    # parameter would make every downstream buffer untransferable
+    if hasattr(capbuf, "re") and hasattr(capbuf, "im"):
+        cap_re, cap_im = capbuf.re, capbuf.im
+    elif isinstance(capbuf, np.ndarray):
+        cap_re = np.ascontiguousarray(capbuf.real.astype(np.float32))
+        cap_im = np.ascontiguousarray(capbuf.imag.astype(np.float32))
+    else:
+        cap_re, cap_im = jnp.real(capbuf), jnp.imag(capbuf)
+    return _corr_pow_jit(cap_re, cap_im, g_re, g_im, n_lags, t_count,
+                         t_pad, n_tc, n_rows, n_row_blocks, interpret,
+                         precision)
 
 
 @partial(jax.jit, static_argnames=("n_lags", "t_count", "t_pad", "n_tc",
                                    "n_rows", "n_row_blocks", "interpret",
                                    "precision"))
-def _corr_pow_jit(capbuf, g_re, g_im, n_lags, t_count, t_pad, n_tc,
+def _corr_pow_jit(cap_re, cap_im, g_re, g_im, n_lags, t_count, t_pad, n_tc,
                   n_rows, n_row_blocks, interpret=False,
                   precision: str = "f32"):
-    # concatenate-pad: complex scatter is not implemented on all TPU
-    # runtimes, so avoid .at[].set on complex arrays
-    pad = jnp.zeros((n_rows + 2) * 128 - capbuf.shape[0], jnp.complex64)
-    cap = jnp.concatenate([capbuf.astype(jnp.complex64), pad])
+    xdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    n_pad = (n_rows + 2) * 128 - cap_re.shape[0]
+    pad = jnp.zeros(n_pad, jnp.float32)
 
     # three row-shifted views of the capture, [n_rows, 128] each
-    xdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     xs = []
-    for p in range(3):
-        v = jax.lax.dynamic_slice_in_dim(cap, p * 128, n_rows * 128)
-        x = v.reshape(n_rows, 128)
-        xs.extend([jnp.real(x).astype(xdt), jnp.imag(x).astype(xdt)])
+    for plane in (cap_re, cap_im):
+        planes = []
+        ext = jnp.concatenate([plane.astype(jnp.float32), pad])
+        for p in range(3):
+            v = jax.lax.dynamic_slice_in_dim(ext, p * 128, n_rows * 128)
+            planes.append(v.reshape(n_rows, 128).astype(xdt))
+        xs.append(planes)
+    # interleave to (x0r, x0i, x1r, x1i, x2r, x2i) kernel order
+    xs = [xs[pl][p] for p in range(3) for pl in range(2)]
 
     grid = (n_tc, n_row_blocks)
     x_spec = pl.BlockSpec((ROWS_PER_BLOCK, 128), lambda j, i: (i, 0),

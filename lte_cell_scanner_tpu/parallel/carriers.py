@@ -50,10 +50,18 @@ def make_carrier_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 
 def _front_one(capbuf, templates, start_idx, ds_comb_arm: int):
-    """One carrier's front end; only the host-needed outputs survive."""
-    xc_single, _xc_inc, pow_c, frq_c, _sp, sp_inc, _xc, _slab = _xcorr_core(
-        capbuf, templates, start_idx, ds_comb_arm, keep_xc=False)
-    return xc_single, pow_c, frq_c, sp_inc
+    """One carrier's front end; only the host-needed outputs survive.
+
+    Lean mode: instead of the full [3, n_f, 9600] pre-delay-spread fold,
+    emit the [3, 2*arm+1, 9600] refinement slab -- exactly the values
+    peak_search's single-lag refinement reads, gathered on device at the
+    collapsed argmax frequency.  ~n_f/(2*arm+1) less output per carrier
+    and a measurably cheaper program (the wide-band scan rate metric,
+    tools/bench_carriers.py)."""
+    _s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab = _xcorr_core(
+        capbuf, templates, start_idx, ds_comb_arm, keep_xc=False,
+        lean=True)
+    return slab, pow_c, frq_c, sp_inc
 
 
 @partial(jax.jit, static_argnames=("mesh", "ds_comb_arm"))
@@ -171,27 +179,25 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
         capbufs, fc_list, f_search_set, fcp_list, fs_programmed, n_dev,
         dtype)
 
-    xc_single, pow_c, frq_c, sp_inc = _front_sharded(
+    slabs, pow_c, frq_c, sp_inc = _front_sharded(
         mesh, cap, tmpl, starts, cfg.ds_comb_arm)
-    return refine_band(pow_c, frq_c, sp_inc, xc_single, capbufs, fc_list,
+    return refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list,
                        fcp_list, f_search_set, fs_programmed, n_comb_xc,
                        cfg)
 
 
-def refine_band(pow_c, frq_c, sp_inc, xc_single, capbufs, fc_list, fcp_list,
+def refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list, fcp_list,
                 f_search_set, fs_programmed: float, n_comb_xc: int,
                 cfg: SearchConfig) -> List[List[Cell]]:
     """Host back half of a band scan: per-carrier peak search, then the
     batched SSS/FOE/decode stages over all peaks of all carriers.
 
-    pow_c/frq_c/sp_inc are [C, ...] host-or-device arrays; xc_single may
-    stay device-resident (sharded) -- it is pulled one carrier at a time.
-    Shared by scan_band (single-process mesh) and
-    parallel.multihost.scan_band_multihost (each host refines its local
-    carriers)."""
+    pow_c/frq_c/sp_inc are [C, ...] host-or-device arrays; the
+    [C, 3, 2*arm+1, 9600] refinement slabs may stay device-resident
+    (sharded) -- pulled one carrier at a time.  Shared by scan_band
+    (single-process mesh) and parallel.multihost.scan_band_multihost
+    (each host refines its local carriers)."""
     c_real = len(capbufs)
-    # small maps come back whole; the [C, 3, n_f, 9600] refinement slabs
-    # stay device-resident (sharded) and are pulled one carrier at a time
     pow_c = np.asarray(pow_c)
     frq_c = np.asarray(frq_c)
     sp_inc = np.asarray(sp_inc)
@@ -201,10 +207,10 @@ def refine_band(pow_c, frq_c, sp_inc, xc_single, capbufs, fc_list, fcp_list,
     for i in range(c_real):
         Z_th1 = compute_z_th1(sp_inc[i], n_comb_xc, cfg.ds_comb_arm,
                               cfg.thresh1_n_nines)
-        xc_single_i = np.asarray(xc_single[i])
+        slab_i = np.asarray(slabs[i])
         peaks = peak_search(pow_c[i], frq_c[i], Z_th1, f_search_set,
-                            fc_list[i], fcp_list[i], xc_single_i,
-                            cfg.ds_comb_arm)
+                            fc_list[i], fcp_list[i], None,
+                            cfg.ds_comb_arm, refine_slab=slab_i)
         debug_export("xc_incoherent_collapsed_pow", pow_c[i])
         debug_export("xc_incoherent_collapsed_frq", frq_c[i])
         debug_export("sp_incoherent", sp_inc[i])

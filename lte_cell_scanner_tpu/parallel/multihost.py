@@ -178,14 +178,14 @@ def scan_band_multihost(
     g_tmpl = jax.make_array_from_process_local_data(shard, tmpl)
     g_starts = jax.make_array_from_process_local_data(shard, starts)
 
-    xc_single, pow_c, frq_c, sp_inc = _front_global(
+    slabs, pow_c, frq_c, sp_inc = _front_global(
         mesh, g_cap, g_tmpl, g_starts, cfg.ds_comb_arm)
 
     # local slices (this process's carriers only; padding rows dropped by
     # refine_band's c_real = len(capbufs))
     results_local = refine_band(
         _local_rows(pow_c), _local_rows(frq_c), _local_rows(sp_inc),
-        _local_rows(xc_single), capbufs, fc_list, fcp_list, f_search_set,
+        _local_rows(slabs), capbufs, fc_list, fcp_list, f_search_set,
         fs_programmed, n_comb_xc, cfg)
 
     # one DCN all-gather of fixed-width records, then everyone dedups

@@ -38,15 +38,30 @@ def test_front_end_matches_per_carrier_xcorr():
     cap, tmpl, starts, n_comb_xc, c_real = plan_carrier_inputs(
         caps, fcs, f_set, fcs, FS, 8, dtype=np.complex128)
     assert c_real == 3 and cap.shape[0] == 8
-    xc_single, pow_c, frq_c, sp_inc = jax.tree_util.tree_map(
+    slabs, pow_c, frq_c, sp_inc = jax.tree_util.tree_map(
         np.asarray, _front_sharded(mesh, cap, tmpl, starts, 2))
 
     for i, (c, fc) in enumerate(zip(caps, fcs)):
         ref = xcorr_pss(np.asarray(c, np.complex128), f_set, 2, fc, fc, FS)
         assert np.allclose(pow_c[i], ref.xc_incoherent_collapsed_pow,
                            atol=1e-12)
-        assert np.allclose(xc_single[i], ref.xc_incoherent_single,
-                           atol=1e-12)
+        # lean front end: the refinement slab holds, per collapsed-argmax
+        # frequency, the +-arm window of the pre-delay-spread fold
+        # (models/xcorr._xcorr_core_impl lean=True)
+        single = ref.xc_incoherent_single
+        frq = ref.xc_incoherent_collapsed_frq
+        L = single.shape[-1]
+        lags = np.arange(L)
+        for d in range(5):
+            idx = (lags - 2 + d) % L
+            # slab[t,d,l] = single[t, frq[t,l], (l-2+d) % L]
+            want = np.take_along_axis(single[:, :, idx],
+                                      frq[:, None, :], axis=1)[:, 0, :]
+            got = slabs[i][:, d, :]
+            # lags where the device argmax picked a different (tied)
+            # frequency may differ; require near-total agreement
+            ok = np.isclose(got, want, atol=1e-12)
+            assert ok.mean() > 0.999
         assert np.allclose(sp_inc[i], ref.sp_incoherent, atol=1e-12)
         same = frq_c[i] == ref.xc_incoherent_collapsed_frq
         assert same.mean() > 0.999

@@ -1,29 +1,49 @@
 """On-chip A/B of the correlation front end: XLA paths vs Pallas kernel.
 
-Times, with per-call block_until_ready (no dispatch pipelining -- these
-are true single-program latencies, unlike bench.py's throughput number):
+Programs compared (default +-100 ppm grid, 93 templates, real 739 MHz
+capture):
 
-  front_lean    _xcorr_core(keep_xc=False, lean=True)  -- the production
-                front end: correlation + fold + delay spread + collapse
-                + sp_est in one program
-  xla_pow       correlate("dot") + |.|^2 materialized   -- the matmul
-                (im2col einsum) with the power output, no fold
-  pallas_f32    correlate_pow_pallas float32 bands
-  pallas_bf16   correlate_pow_pallas bfloat16 bands (MXU-native single
+  front_lean    the production front end (_xcorr_core lean: correlation
+                + k_factor fold + delay spread + collapse + sp_est +
+                refinement slab) in one program
+  xla_pow       correlate("dot") + |.|^2 -- the im2col MXU einsum
+  pallas_f32    correlate_pow_pallas, float32 band matrices
+  pallas_bf16   correlate_pow_pallas, bfloat16 bands (MXU-native single
                 pass, f32 accumulation)
+  sharded_1x1   the (t x f) shard_map front end on a (1 x 1) mesh --
+                bounds the shard_map overhead (VERDICT item 9)
 
-plus max-abs-relative error of each pallas path vs xla_pow, on the real
-739 MHz capture at the default +-100 ppm grid (93 templates).
+Measurement methodology (hard-won; see docs/SCALING.md):
 
-Usage: python tools/bench_kernels.py [--ppm 100] [--repeats 10] [--json]
-       [--platform tpu|cpu]
+- On the remote-tunnel runtime, ``block_until_ready`` acknowledges
+  BEFORE real execution completes (fire-ahead dispatch), and recently
+  executed (program, inputs) pairs can be served without re-execution,
+  so block-only per-call timing reports physically impossible rates
+  (measured "2 PFLOP/s").  The only trustworthy sync is a device->host
+  TRANSFER of a value data-dependent on the computation.
+- Therefore every timed program here takes the capture as (re, im)
+  FLOAT planes (complex program parameters make outputs untransferable
+  on this client -- ops/boundary.py) and returns a scalar checksum
+  (sums of its real outputs).  K distinct single-use input buffers are
+  dispatched back-to-back and ONE final device_get of the K scalars
+  forces completion of all of them: wall / K = steady-state
+  throughput-per-program, the honest production number for a scanning
+  workload.
+
+The pallas-vs-XLA max-error check runs via --parity-only in a separate
+process: one complex-parameter execution breaks transfers process-wide
+on this client, and the timing section never executes one.
+
+Usage: python tools/bench_kernels.py [--ppm 100] [--repeats 16] [--json]
+       [--platform tpu|cpu] [--parity-only]
 """
 
 import argparse
 import json
-import os
 import sys
+import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -33,9 +53,15 @@ import jax  # noqa: E402
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--ppm", type=float, default=100.0)
-ap.add_argument("--repeats", type=int, default=10)
+ap.add_argument("--repeats", type=int, default=16,
+                help="distinct single-use buffers per timed program")
 ap.add_argument("--json", action="store_true")
 ap.add_argument("--platform", default="tpu")
+ap.add_argument("--parity-only", action="store_true",
+                help="only the pallas-vs-XLA max-error check, behind "
+                     "the float boundary.  Run in a FRESH process: on "
+                     "the axon client one complex-parameter execution "
+                     "breaks transfers process-wide")
 ARGS = ap.parse_args()
 
 from _bench_common import enable_compile_cache, setup_platform  # noqa: E402
@@ -48,26 +74,47 @@ import jax.numpy as jnp  # noqa: E402
 from lte_cell_scanner_tpu.constants import FS_LTE, PSS_TD_LEN  # noqa: E402
 from lte_cell_scanner_tpu.models.search import default_f_search_set  # noqa: E402
 from lte_cell_scanner_tpu.models.xcorr import (  # noqa: E402
-    _xcorr_core, combine_start_indices, pss_templates)
+    _xcorr_core_impl, combine_start_indices, pss_templates)
+from lte_cell_scanner_tpu.ops.boundary import (ComplexPair,  # noqa: E402
+                                               device_complex, safe_jit)
 from lte_cell_scanner_tpu.ops.corr import correlate  # noqa: E402
 from lte_cell_scanner_tpu.ops.corr_pallas import correlate_pow_pallas  # noqa: E402
 from lte_cell_scanner_tpu.utils import read_itfile  # noqa: E402
 
 
-def best_of(fn, n):
-    fn().block_until_ready()          # compile + warm
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        fn().block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+def timed_throughput(fn, bufs):
+    """fn(re, im) -> scalar checksum.  Dispatch one warmup (compile),
+    sync, then all K distinct buffers back-to-back with a single final
+    device_get -- the transfer is the only reliable completion barrier
+    on this runtime."""
+    jax.device_get(fn(*bufs[0]))          # compile + true sync
+    t0 = time.perf_counter()
+    outs = [fn(re, im) for re, im in bufs]
+    jax.device_get(outs)                  # forces completion of all K
+    return (time.perf_counter() - t0) / len(bufs)
 
 
-@jax.jit
-def _xla_pow(capbuf, tmpl):
+def _xla_pow_impl(capbuf, tmpl):
     xc = correlate(capbuf, tmpl)
     return jnp.real(xc) ** 2 + jnp.imag(xc) ** 2
+
+
+_xla_pow = safe_jit(_xla_pow_impl)
+
+
+def parity_only(capbuf, tmpl_flat, n_lags):
+    """Max-error of each pallas path vs the XLA dot path, everything
+    behind the float boundary (no complex-parameter program ever
+    executes in this process)."""
+    res = {"backend": jax.default_backend()}
+    ref = np.asarray(_xla_pow(capbuf, tmpl_flat))
+    scale = np.max(ref)
+    cap_b = device_complex(capbuf)
+    for name, prec in (("pallas_f32", "f32"), ("pallas_bf16", "bf16")):
+        out = np.asarray(correlate_pow_pallas(cap_b, tmpl_flat, n_lags,
+                                              precision=prec))
+        res[f"{name}_maxerr"] = float(np.max(np.abs(out - ref)) / scale)
+    return res
 
 
 def main():
@@ -88,59 +135,88 @@ def main():
     tmpl_flat = tmpl.reshape(-1, PSS_TD_LEN)
     n_comb_xc = (n_lags - 100) // 9600
     starts = jnp.asarray(combine_start_indices(f_set, fc, fc, fs, n_comb_xc))
-    cap_d = jnp.asarray(capbuf)
-    tmpl_d = jnp.asarray(tmpl)
-    tmpl_flat_d = jnp.asarray(tmpl_flat)
 
-    res = {"backend": jax.default_backend(), "n_templates": tmpl_flat.shape[0],
-           "n_lags": n_lags}
+    if ARGS.parity_only:
+        print(json.dumps(parity_only(capbuf, tmpl_flat, n_lags)))
+        return
 
-    res["front_lean_ms"] = best_of(
-        lambda: _xcorr_core(cap_d, tmpl_d, starts, 2, keep_xc=False,
-                            lean=True)[2], ARGS.repeats) * 1e3
-    res["xla_pow_ms"] = best_of(
-        lambda: _xla_pow(cap_d, tmpl_flat_d), ARGS.repeats) * 1e3
+    res = {"backend": jax.default_backend(),
+           "n_templates": tmpl_flat.shape[0], "n_lags": n_lags,
+           "n_single_use_buffers": ARGS.repeats}
 
-    ref = np.asarray(_xla_pow(cap_d, tmpl_flat_d))
-    scale = np.max(ref)
+    # K distinct single-use capture buffers as staged float planes
+    bufs = []
+    for k in range(ARGS.repeats):
+        c = np.roll(capbuf, 977 * k + 1)
+        bufs.append((jnp.asarray(np.ascontiguousarray(c.real)),
+                     jnp.asarray(np.ascontiguousarray(c.imag))))
+    for re, im in bufs:
+        re.block_until_ready()
+        im.block_until_ready()
+    # closure constants must be HOST numpy: embedding a device-resident
+    # complex array as an MLIR constant pulls it back through the broken
+    # transfer path (measured UNIMPLEMENTED/hang)
+    starts_np = np.asarray(starts)
+
+    @jax.jit
+    def front_lean(re, im):
+        out = _xcorr_core_impl(jax.lax.complex(re, im), tmpl, starts_np, 2,
+                               keep_xc=False, lean=True)
+        _s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab = out
+        return (jnp.sum(pow_c) + jnp.sum(sp_inc) + jnp.sum(slab)
+                + jnp.sum(frq_c))
+
+    @jax.jit
+    def xla_pow(re, im):
+        return jnp.sum(_xla_pow_impl(jax.lax.complex(re, im), tmpl_flat))
+
+    def pallas_fn(prec):
+        @jax.jit
+        def f(re, im):
+            return jnp.sum(correlate_pow_pallas(
+                ComplexPair(re, im), tmpl_flat, n_lags, precision=prec))
+        return f
+
+    res["front_lean_ms"] = timed_throughput(front_lean, bufs) * 1e3
+    res["xla_pow_ms"] = timed_throughput(xla_pow, bufs) * 1e3
     for name, prec in (("pallas_f32", "f32"), ("pallas_bf16", "bf16")):
         try:
-            out = np.asarray(correlate_pow_pallas(cap_d, tmpl_flat, n_lags,
-                                                  precision=prec))
-            res[f"{name}_maxerr"] = float(
-                np.max(np.abs(out - ref)) / scale)
-            res[f"{name}_ms"] = best_of(
-                lambda: correlate_pow_pallas(cap_d, tmpl_flat, n_lags,
-                                             precision=prec),
-                ARGS.repeats) * 1e3
+            res[f"{name}_ms"] = timed_throughput(pallas_fn(prec),
+                                                 bufs) * 1e3
         except Exception as e:  # noqa: BLE001 - report, keep benching
             res[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # shard_map overhead bound: the sharded front end on a (1 x 1) mesh
-    # vs the plain program (VERDICT item 9 -- SCALING.md's efficiency
-    # model assumes this overhead is small).  Outputs stay on device
-    # (block only): on the axon client a complex-parameter program
-    # cannot transfer outputs, but timing needs no transfer.
+    # (VERDICT item 9 -- SCALING.md's efficiency model assumes small)
     try:
         from lte_cell_scanner_tpu.parallel.sharded import (
             make_mesh, plan_sharded_inputs, sharded_xcorr)
         mesh = make_mesh(1, 1)
         padded, tmpl_s, starts_s, ncx, nl = plan_sharded_inputs(
             capbuf, f_set, fc, fc, fs, mesh, dtype=np.complex64)
-        pd, td, sd = jnp.asarray(padded), jnp.asarray(tmpl_s), \
-            jnp.asarray(starts_s)
+        td, sd = tmpl_s, starts_s
         n_comb_sp = (n_cap - 136 - 137) // 9600
-        res["sharded_1x1_ms"] = round(best_of(
-            lambda: sharded_xcorr(mesh, pd, td, sd, 2, ncx, nl,
-                                  n_comb_sp=n_comb_sp)[0],
-            ARGS.repeats) * 1e3, 3)
+        n_pad = len(padded) - n_cap
+
+        @jax.jit
+        def sharded_sum(re, im):
+            cap_p = jnp.concatenate(
+                [jax.lax.complex(re, im),
+                 jnp.zeros(n_pad, jnp.complex64)])
+            pow_g, frq_g, sp_inc, single = sharded_xcorr(
+                mesh, cap_p, td, sd, 2, ncx, nl, n_comb_sp=n_comb_sp)
+            return (jnp.sum(pow_g) + jnp.sum(sp_inc) + jnp.sum(single)
+                    + jnp.sum(frq_g))
+
+        res["sharded_1x1_ms"] = round(
+            timed_throughput(sharded_sum, bufs) * 1e3, 3)
     except Exception as e:  # noqa: BLE001
         res["sharded_1x1_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # implied effective compute rate of the direct correlation
     flops = 8.0 * tmpl_flat.shape[0] * n_lags * PSS_TD_LEN
     for k in ("front_lean_ms", "xla_pow_ms", "pallas_f32_ms",
-              "pallas_bf16_ms"):
+              "pallas_bf16_ms", "sharded_1x1_ms"):
         if k in res:
             res[k.replace("_ms", "_tflops")] = round(
                 flops / (res[k] * 1e-3) / 1e12, 1)
