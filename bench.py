@@ -119,10 +119,22 @@ def main():
     # checksum over every output, each timed call gets a DISTINCT
     # single-use buffer, and one final device_get of all checksums
     # closes the pipeline.  wall / K = steady-state scan throughput.
+    # production correlation backend: the Pallas block-Toeplitz kernel
+    # on TPU (measured 1.8x the XLA-dot front end under transfer-synced
+    # timing), XLA dot elsewhere.  Bands ride as ARGUMENTS -- closing
+    # over device arrays would embed them as MLIR constants and pull
+    # them device->host at lowering.
+    from lte_cell_scanner_tpu.models.xcorr import use_pallas_corr
+    bands = ()
+    if use_pallas_corr("auto"):
+        from lte_cell_scanner_tpu.ops.corr_pallas import bands_for_templates
+        bands = bands_for_templates(templates, precision="bf16")
+
     @jax.jit
-    def launch(re, im):
+    def launch(re, im, *g):
+        kw = {"g_re": g[0], "g_im": g[1]} if g else {}
         out = _xcorr_core_impl(jax.lax.complex(re, im), templates,
-                               start_idx, 2, keep_xc=False, lean=True)
+                               start_idx, 2, keep_xc=False, lean=True, **kw)
         _s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab = out
         return (jnp.sum(pow_c) + jnp.sum(sp_inc) + jnp.sum(slab)
                 + jnp.sum(frq_c))
@@ -137,12 +149,12 @@ def main():
         re.block_until_ready()
         im.block_until_ready()
 
-    jax.device_get(launch(*bufs[0]))      # compile + true sync
+    jax.device_get(launch(*bufs[0], *bands))  # compile + true sync
     best = float("inf")
     for r in range(n_rounds):
         batch = bufs[r * n_iter: (r + 1) * n_iter]
         t0 = time.perf_counter()
-        outs = [launch(re, im) for re, im in batch]
+        outs = [launch(re, im, *bands) for re, im in batch]
         jax.device_get(outs)              # forces completion of all
         best = min(best, (time.perf_counter() - t0) / n_iter)
     dt = best

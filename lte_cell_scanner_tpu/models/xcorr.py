@@ -70,7 +70,8 @@ def combine_start_indices(f_search_set: np.ndarray, fc_requested: float,
 
 
 def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
-                     keep_xc: bool = True, lean: bool = False):
+                     keep_xc: bool = True, lean: bool = False,
+                     g_re=None, g_im=None):
     """Jitted device portion of xcorr_pss.
 
     Returns (xc_incoherent_single [3,n_f,9600], xc_incoherent [3,n_f,9600],
@@ -89,20 +90,45 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
     (searcher.cpp:457-465), gathered on DEVICE at the collapsed argmax
     frequency.  Cuts the device->host transfer ~6x at the default grid
     (the scan path never needs the full [3, n_f, 9600] tensor).
+
+    g_re/g_im (optional): host-built banded template matrices routing
+    the correlation through the Pallas block-Toeplitz kernel
+    (ops/corr_pallas.py) instead of the XLA im2col dot -- measured 2.6x
+    faster on the target chip under transfer-synced timing (the TPU
+    production path; see docs/SCALING.md "Pallas kernel").  Requires
+    keep_xc=False (the kernel fuses |.|^2 and never materializes the
+    complex correlation).
     """
     n_f = templates.shape[1]
     rdt = jnp.real(capbuf).dtype
+    n_lags = capbuf.shape[0] - (PSS_TD_LEN - 1)
 
-    # --- xc_correlate: one MXU matmul over all templates -------------------
-    tmpl = templates.reshape(3 * n_f, PSS_TD_LEN)
-    xc = correlate(capbuf, tmpl).reshape(3, n_f, -1)   # [3, n_f, n_lags]
+    if g_re is not None:
+        if keep_xc:
+            raise ValueError("pallas correlation backend cannot return "
+                             "the complex correlation (keep_xc=True)")
+        from ..ops.corr_pallas import corr_pow_core, plan_pallas
+        t_count = 3 * n_f
+        t_pad, n_tc, n_rows, n_rb = plan_pallas(t_count, n_lags)
+        prec = "bf16" if g_re.dtype == jnp.bfloat16 else "f32"
+        # interpret mode off-TPU so CPU CI can execute this branch
+        interp = jax.default_backend() != "tpu"
+        xc2 = corr_pow_core(jnp.real(capbuf), jnp.imag(capbuf), g_re, g_im,
+                            n_lags, t_count, t_pad, n_tc, n_rows, n_rb,
+                            interpret=interp, precision=prec)
+        xc2 = xc2.astype(rdt).reshape(3, n_f, n_lags)
+        xc = None
+    else:
+        # --- xc_correlate: one MXU matmul over all templates ---------------
+        tmpl = templates.reshape(3 * n_f, PSS_TD_LEN)
+        xc = correlate(capbuf, tmpl).reshape(3, n_f, -1)  # [3, n_f, n_lags]
 
-    # --- xc_combine: k_factor-aware fold mod one half frame ----------------
-    xc2 = jnp.real(xc) ** 2 + jnp.imag(xc) ** 2        # [3, n_f, n_lags]
-    # materialize xc2 once: without this barrier XLA fuses the matmul into
-    # every fold-slice consumer and recomputes the correlation ~n_comb
-    # times (measured 18x slowdown when xc is not an output)
-    xc2 = jax.lax.optimization_barrier(xc2)
+        # --- xc_combine: k_factor-aware fold mod one half frame ------------
+        xc2 = jnp.real(xc) ** 2 + jnp.imag(xc) ** 2      # [3, n_f, n_lags]
+        # materialize xc2 once: without this barrier XLA fuses the matmul
+        # into every fold-slice consumer and recomputes the correlation
+        # ~n_comb times (measured 18x slowdown when xc is not an output)
+        xc2 = jax.lax.optimization_barrier(xc2)
     n_comb_xc = start_idx.shape[1]
 
     def fold_one_f(xc2_f, starts):
@@ -168,26 +194,52 @@ class XcorrResult:
     refine_slab: np.ndarray = None     # [3, 2*arm+1, 9600] (lean only)
 
 
+def use_pallas_corr(corr_backend: str = "auto") -> bool:
+    """Resolve the correlation backend: the Pallas block-Toeplitz kernel
+    on TPU (measured 2.6x the XLA dot path under transfer-synced timing,
+    docs/SCALING.md), the XLA dot everywhere else (Pallas needs the TPU
+    ISA; the CPU/golden paths keep exact f64 semantics)."""
+    if corr_backend == "pallas":
+        return True
+    if corr_backend == "auto":
+        import jax as _jax
+        return _jax.default_backend() == "tpu"
+    return False
+
+
 def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
               fc_programmed: float, fs_programmed: float,
-              keep_xc: bool = False, lean: bool = False) -> XcorrResult:
+              keep_xc: bool = False, lean: bool = False,
+              corr_backend: str = "auto") -> XcorrResult:
     """Full xcorr_pss stage (reference searcher.cpp:389-419).
 
     lean=True (the production scan path) skips the test-only
     xc_incoherent/sp outputs entirely -- elided on device, never
-    transferred."""
+    transferred.
+
+    corr_backend: "auto" (Pallas kernel on TPU, XLA dot otherwise),
+    "pallas", or "xla"."""
     capbuf = device_complex(capbuf)
     dtype = capbuf.dtype
     n_lags = capbuf.shape[0] - (PSS_TD_LEN - 1)
     n_comb_xc = (n_lags - 100) // HALF_FRAME_LEN
 
-    templates = device_complex(pss_templates(
-        f_search_set, fc_requested, fc_programmed, fs_programmed, dtype))
+    tmpl_host = pss_templates(f_search_set, fc_requested, fc_programmed,
+                              fs_programmed,
+                              np.complex64 if dtype == np.complex64
+                              else np.complex128)
+    templates = device_complex(tmpl_host)
     start_idx = jnp.asarray(combine_start_indices(
         f_search_set, fc_requested, fc_programmed, fs_programmed, n_comb_xc))
 
+    bands = ()
+    if not keep_xc and use_pallas_corr(corr_backend):
+        from ..ops.corr_pallas import bands_for_templates
+        bands = bands_for_templates(tmpl_host.astype(np.complex64),
+                                    precision="bf16")
+
     (xc_single, xc_inc, pow_c, frq_c, sp, sp_inc, xc, slab) = _xcorr_core(
-        capbuf, templates, start_idx, ds_comb_arm, keep_xc, lean=lean)
+        capbuf, templates, start_idx, ds_comb_arm, keep_xc, lean, *bands)
 
     # one batched device_get instead of one round-trip per array (the
     # remote tunnel charges ~20 ms latency per blocking transfer)

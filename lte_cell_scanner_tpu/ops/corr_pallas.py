@@ -46,15 +46,15 @@ T_CHUNK = 16                # templates per grid step
 
 
 def _toeplitz_blocks(templates: np.ndarray) -> np.ndarray:
-    """[3, 128, 128, T] complex band matrices from [T, 137] templates."""
+    """[3, 128, 128, T] complex band matrices from [T, 137] templates:
+    g[p, d, c] = templates[:, 128 p + d - c] on the band, 0 elsewhere."""
     t_count = templates.shape[0]
+    p, d, c = np.meshgrid(np.arange(3), np.arange(128), np.arange(128),
+                          indexing="ij")
+    idx = 128 * p + d - c
+    mask = (idx >= 0) & (idx < PSS_TD_LEN)
     g = np.zeros((3, 128, 128, t_count), dtype=templates.dtype)
-    for p in range(3):
-        for d in range(128):
-            lo = max(0, 128 * p + d - (PSS_TD_LEN - 1))
-            hi = min(127, 128 * p + d)
-            for c in range(lo, hi + 1):
-                g[p, d, c] = templates[:, 128 * p + d - c]
+    g[mask] = templates[:, idx[mask]].T
     return g
 
 
@@ -147,12 +147,29 @@ def correlate_pow_pallas(capbuf, templates, n_lags: int,
                          precision)
 
 
-@partial(jax.jit, static_argnames=("n_lags", "t_count", "t_pad", "n_tc",
-                                   "n_rows", "n_row_blocks", "interpret",
-                                   "precision"))
-def _corr_pow_jit(cap_re, cap_im, g_re, g_im, n_lags, t_count, t_pad, n_tc,
-                  n_rows, n_row_blocks, interpret=False,
+def plan_pallas(t_count: int, n_lags: int):
+    """Static grid parameters for corr_pow_core: (t_pad, n_tc, n_rows,
+    n_row_blocks)."""
+    t_pad = int(np.ceil(t_count / T_CHUNK)) * T_CHUNK
+    n_tc = t_pad // T_CHUNK
+    n_row_blocks = int(np.ceil(n_lags / (ROWS_PER_BLOCK * 128)))
+    return t_pad, n_tc, n_row_blocks * ROWS_PER_BLOCK, n_row_blocks
+
+
+def bands_for_templates(templates, precision: str = "bf16"):
+    """Host-built device band matrices (g_re, g_im) for a [T, 137]
+    template set (content-cached)."""
+    templates = np.asarray(templates).reshape(-1, PSS_TD_LEN)
+    t_pad, n_tc, _, _ = plan_pallas(templates.shape[0], 1)
+    return _bands_for(templates, t_pad, n_tc, precision)
+
+
+def corr_pow_core(cap_re, cap_im, g_re, g_im, n_lags, t_count,
+                  t_pad, n_tc, n_rows, n_row_blocks, interpret=False,
                   precision: str = "f32"):
+    """Traceable pallas correlation-power: call from inside an outer jit
+    (e.g. models/xcorr._xcorr_core_impl's pallas backend) or via the
+    correlate_pow_pallas wrapper."""
     xdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     n_pad = (n_rows + 2) * 128 - cap_re.shape[0]
     pad = jnp.zeros(n_pad, jnp.float32)
@@ -195,3 +212,10 @@ def _corr_pow_jit(cap_re, cap_im, g_re, g_im, n_lags, t_count, t_pad, n_tc,
     out = jnp.transpose(out, (1, 3, 0, 2))          # [n_tc, Tc, rows, 128]
     out = out.reshape(t_pad, n_rows * 128)
     return out[:t_count, :n_lags]
+
+
+_corr_pow_jit = partial(jax.jit,
+                        static_argnames=("n_lags", "t_count", "t_pad",
+                                         "n_tc", "n_rows", "n_row_blocks",
+                                         "interpret", "precision")
+                        )(corr_pow_core)

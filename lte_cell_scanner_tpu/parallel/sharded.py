@@ -41,25 +41,39 @@ def make_mesh(n_time: int, n_hyp: int, devices=None) -> Mesh:
 
 
 def _fold_local(xc2, lag0, n_comb_xc: int, starts, n_valid_lags):
-    """Scatter local |xc|^2 lags into the half-frame fold accumulator.
+    """Fold local |xc|^2 lags into the half-frame accumulator.
 
     xc2: [T, B] local squared correlations (T = local templates);
     lag0: global lag of local index 0; starts: [n_comb] fold start indices
     for this device's hypothesis (already sliced per template).
-    """
+
+    Formulated as per-period DYNAMIC SLICES out of a zero-padded copy
+    (out[t, k] += xc2[t, k + starts[t, m] - lag0]) -- the natural
+    TPU-friendly gather.  The original scatter-add formulation
+    (acc.at[t, idx].add) lowered to a per-element scatter and measured
+    ~300x slower on the chip (1.9 s vs a few ms for the whole sharded
+    front end)."""
     T, B = xc2.shape
-    acc = jnp.zeros((T, HALF_FRAME_LEN), xc2.dtype)
     lags = lag0 + jnp.arange(B)
+    # zero the tail beyond the valid global lag range once, then pad so
+    # every period's 9600-lag window slices in-bounds (zeros outside)
+    xc2 = jnp.where((lags < n_valid_lags)[None, :], xc2, 0.0)
+    padded = jnp.concatenate(
+        [jnp.zeros((T, HALF_FRAME_LEN), xc2.dtype), xc2,
+         jnp.zeros((T, HALF_FRAME_LEN), xc2.dtype)], axis=1)
+
+    slice_row = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice_in_dim(row, s, HALF_FRAME_LEN))
 
     def body(m, acc):
-        idx = lags - starts[:, m][:, None] if starts.ndim == 2 else lags - starts[m]
-        # idx: [T, B] fold position of each local lag for period m
-        valid = (idx >= 0) & (idx < HALF_FRAME_LEN) & (lags < n_valid_lags)[None, :]
-        idxc = jnp.clip(idx, 0, HALF_FRAME_LEN - 1)
-        contrib = jnp.where(valid, xc2, 0.0)
-        return acc.at[jnp.arange(T)[:, None], idxc].add(contrib)
+        s = starts[:, m] if starts.ndim == 2 else jnp.full((T,), starts[m])
+        # local offset of fold position 0 for period m, shifted by the
+        # left padding; clamp only guards degenerate all-out-of-range
+        off = jnp.clip(s - lag0 + HALF_FRAME_LEN, 0, B + HALF_FRAME_LEN)
+        return acc + slice_row(padded, off)
 
-    acc = jax.lax.fori_loop(0, n_comb_xc, body, acc)
+    acc = jax.lax.fori_loop(0, n_comb_xc, body,
+                            jnp.zeros((T, HALF_FRAME_LEN), xc2.dtype))
     return acc / n_comb_xc
 
 

@@ -196,3 +196,42 @@ def test_pallas_kernel_bf16_mode_interpret():
     # and the per-template argmax (what detection consumes) is stable
     np.testing.assert_array_equal(got.argmax(axis=1),
                                   want[:, :n_lags].argmax(axis=1))
+
+
+def test_xcorr_core_pallas_backend_matches_xla():
+    """The pallas-backed front end (the TPU production correlation
+    route) reproduces the XLA path's fold/collapse outputs; interpreted
+    on CPU, tiny capture."""
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.xcorr import (_xcorr_core,
+                                                   combine_start_indices,
+                                                   pss_templates)
+    from lte_cell_scanner_tpu.ops.corr_pallas import bands_for_templates
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    rng = np.random.default_rng(21)
+    n_cap = 2 * 9600 + 400
+    capbuf = (rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) \
+        .astype(np.complex64) * 0.1
+    f_set = np.array([-5e3, 0.0, 5e3])
+    tmpl = pss_templates(f_set, fc, fc, fs, np.complex64)
+    n_comb = (n_cap - 136 - 100) // 9600
+    starts = jnp.asarray(combine_start_indices(f_set, fc, fc, fs, n_comb))
+    cap_d = jnp.asarray(capbuf)
+    tmpl_d = jnp.asarray(tmpl)
+
+    base = _xcorr_core(cap_d, tmpl_d, starts, 2, False, True)
+    g_re, g_im = bands_for_templates(tmpl, precision="f32")
+    pal = _xcorr_core(cap_d, tmpl_d, starts, 2, False, True, g_re, g_im)
+
+    # pow map, sp fold, refinement slab all agree (f32 bands: exact-ish)
+    np.testing.assert_allclose(np.asarray(pal[2]), np.asarray(base[2]),
+                               rtol=2e-4, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pal[5]), np.asarray(base[5]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pal[7]), np.asarray(base[7]),
+                               rtol=2e-4, atol=1e-9)
+    # argmax decisions identical
+    np.testing.assert_array_equal(np.asarray(pal[3]), np.asarray(base[3]))

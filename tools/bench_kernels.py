@@ -177,7 +177,28 @@ def main():
                 ComplexPair(re, im), tmpl_flat, n_lags, precision=prec))
         return f
 
+    from lte_cell_scanner_tpu.ops.corr_pallas import bands_for_templates
+    gb_re, gb_im = bands_for_templates(tmpl_flat, precision="bf16")
+
+    # bands ride as ARGUMENTS: closing over device arrays would embed
+    # them as MLIR constants, pulling them device->host at lowering
+    @jax.jit
+    def _flp(re, im, g1, g2):
+        out = _xcorr_core_impl(jax.lax.complex(re, im), tmpl, starts_np, 2,
+                               keep_xc=False, lean=True, g_re=g1, g_im=g2)
+        _s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab = out
+        return (jnp.sum(pow_c) + jnp.sum(sp_inc) + jnp.sum(slab)
+                + jnp.sum(frq_c))
+
+    def front_lean_pallas(re, im):
+        return _flp(re, im, gb_re, gb_im)
+
     res["front_lean_ms"] = timed_throughput(front_lean, bufs) * 1e3
+    try:
+        res["front_lean_pallas_ms"] = timed_throughput(front_lean_pallas,
+                                                       bufs) * 1e3
+    except Exception as e:  # noqa: BLE001
+        res["front_lean_pallas_error"] = f"{type(e).__name__}: {e}"[:300]
     res["xla_pow_ms"] = timed_throughput(xla_pow, bufs) * 1e3
     for name, prec in (("pallas_f32", "f32"), ("pallas_bf16", "bf16")):
         try:
