@@ -142,46 +142,48 @@ def safe_jit(fn, static_argnames: Tuple[str, ...] = ()):
             # no host boundary is being crossed here, so no splitting
             return plain(*args, **kwargs)
 
-        # pull statics out (positional or keyword), key the cache on them
-        statics = {}
-        dyn = []
+        # slot map over the ORIGINAL positional list: statics stay in
+        # place (re-inserted positionally at trace time), dynamics are
+        # split into float leaves -- statics may therefore appear
+        # anywhere, including between dynamic args
+        slots = []           # ("s", value) | ("d", tag)
+        flat = []
+        kw_statics = {}
         for i, a in enumerate(args):
             name = params[i] if i < len(params) else None
             if name in static_argnames:
-                statics[name] = a
+                slots.append(("s", a))
             else:
-                dyn.append(a)
+                t, leaves = _split_arg(a)
+                slots.append(("d", t))
+                flat.extend(leaves)
         for k, v in kwargs.items():
             if k in static_argnames:
-                statics[k] = v
+                kw_statics[k] = v
             else:
                 raise TypeError(f"safe_jit: non-static kwarg {k!r}")
 
-        tags = []
-        flat = []
-        for a in dyn:
-            t, leaves = _split_arg(a)
-            tags.append(t)
-            flat.extend(leaves)
-        key = (tuple(tags), tuple(sorted(statics.items())))
+        key = (tuple(slots), tuple(sorted(kw_statics.items())))
 
         if key not in inner_cache:
             meta: Dict[str, Any] = {}
-            tags_k = tuple(tags)
-            statics_k = dict(statics)
+            slots_k = tuple(slots)
+            kw_k = dict(kw_statics)
 
             def inner(*flat_args):
                 rebuilt = []
                 i = 0
-                for t in tags_k:
-                    if t == "c":
+                for kind, v in slots_k:
+                    if kind == "s":
+                        rebuilt.append(v)
+                    elif v == "c":
                         rebuilt.append(jax.lax.complex(flat_args[i],
                                                        flat_args[i + 1]))
                         i += 2
                     else:
                         rebuilt.append(flat_args[i])
                         i += 1
-                out = fn(*rebuilt, **statics_k)
+                out = fn(*rebuilt, **kw_k)
                 leaves, odef = jax.tree_util.tree_flatten(out)
                 oleaves = []
                 otags = []
