@@ -64,6 +64,10 @@ class SearchConfig:
     # program per stage (False = the reference's peak-at-a-time order;
     # same math, kept for A/B and per-peak debugging)
     batch_peaks: bool = True
+    # correlation backend: "auto" = the Pallas block-Toeplitz kernel on
+    # TPU (measured 1.7x the XLA front end, docs/SCALING.md), the XLA
+    # im2col dot elsewhere; "pallas"/"xla" force either
+    corr_backend: str = "auto"
 
 
 def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
@@ -177,7 +181,8 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
 
     with stage("xcorr_pss"):
         res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
-                        fc_programmed, fs_programmed, lean=True)
+                        fc_programmed, fs_programmed, lean=True,
+                        corr_backend=cfg.corr_backend)
     Z_th1 = compute_z_th1(res.sp_incoherent, res.n_comb_xc, cfg.ds_comb_arm,
                           cfg.thresh1_n_nines)
     with stage("peak_search"):

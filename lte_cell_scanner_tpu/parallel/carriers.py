@@ -37,7 +37,8 @@ from ..models.search import (SearchConfig, _decode_back_half, compute_z_th1,
 from ..models.peaks import peak_search
 from ..models.sss_detect import (pss_sss_foe_batch_multi,
                                  sss_detect_batch_multi)
-from ..models.xcorr import _xcorr_core, combine_start_indices, pss_templates
+from ..models.xcorr import (_xcorr_core, combine_start_indices,
+                            pss_templates, use_pallas_corr)
 from ..ops.boundary import needs_float_boundary, safe_jit
 from ..utils.debug import debug_export
 
@@ -49,7 +50,8 @@ def make_carrier_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("c",))
 
 
-def _front_one(capbuf, templates, start_idx, ds_comb_arm: int):
+def _front_one(capbuf, templates, start_idx, ds_comb_arm: int,
+               g_re=None, g_im=None):
     """One carrier's front end; only the host-needed outputs survive.
 
     Lean mode: instead of the full [3, n_f, 9600] pre-delay-spread fold,
@@ -57,27 +59,44 @@ def _front_one(capbuf, templates, start_idx, ds_comb_arm: int):
     peak_search's single-lag refinement reads, gathered on device at the
     collapsed argmax frequency.  ~n_f/(2*arm+1) less output per carrier
     and a measurably cheaper program (the wide-band scan rate metric,
-    tools/bench_carriers.py)."""
+    tools/bench_carriers.py).
+
+    g_re/g_im: per-carrier banded template matrices routing the
+    correlation through the Pallas kernel (the TPU production backend;
+    templates differ per carrier through k_factor, so bands are a
+    per-carrier batch axis under vmap)."""
     _s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab = _xcorr_core(
-        capbuf, templates, start_idx, ds_comb_arm, keep_xc=False,
-        lean=True)
+        capbuf, templates, start_idx, ds_comb_arm, False, True,
+        g_re, g_im)
     return slab, pow_c, frq_c, sp_inc
+
+
+def _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands):
+    if not bands:
+        return jax.vmap(
+            lambda c, t, s: _front_one(c, t, s, ds_comb_arm))(
+                capbufs, templates, start_idx)
+    return jax.vmap(
+        lambda c, t, s, gr, gi: _front_one(c, t, s, ds_comb_arm, gr, gi))(
+            capbufs, templates, start_idx, *bands)
 
 
 @partial(jax.jit, static_argnames=("mesh", "ds_comb_arm"))
 def _front_jit(mesh: Mesh, capbufs, templates, start_idx,
-               ds_comb_arm: int):
+               ds_comb_arm: int, *bands):
     shard = NamedSharding(mesh, P("c"))
     capbufs = jax.lax.with_sharding_constraint(capbufs, shard)
     templates = jax.lax.with_sharding_constraint(templates, shard)
     start_idx = jax.lax.with_sharding_constraint(start_idx, shard)
-    return jax.vmap(_front_one, in_axes=(0, 0, 0, None))(
-        capbufs, templates, start_idx, ds_comb_arm)
+    bands = tuple(jax.lax.with_sharding_constraint(g, shard)
+                  for g in bands)
+    return _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands)
 
 
-def _front_batch_impl(capbufs, templates, start_idx, ds_comb_arm: int):
-    return jax.vmap(_front_one, in_axes=(0, 0, 0, None))(
-        capbufs, templates, start_idx, ds_comb_arm)
+def _front_batch_impl(capbufs, templates, start_idx, ds_comb_arm: int,
+                      g_re=None, g_im=None):
+    bands = () if g_re is None else (g_re, g_im)
+    return _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands)
 
 
 # single-device batched front end behind the complex<->float host
@@ -87,17 +106,19 @@ _front_batch = safe_jit(_front_batch_impl, static_argnames=("ds_comb_arm",))
 
 
 def _front_sharded(mesh: Mesh, capbufs, templates, start_idx,
-                   ds_comb_arm: int):
+                   ds_comb_arm: int, bands=()):
     """Shard the host->device transfer itself (each device receives only
     its carrier slab, not the whole band staged on device 0)."""
     if mesh.devices.size == 1 and needs_float_boundary():
         return _front_batch(np.asarray(capbufs), np.asarray(templates),
-                            np.asarray(start_idx), ds_comb_arm)
+                            np.asarray(start_idx), ds_comb_arm, *bands)
     shard = NamedSharding(mesh, P("c"))
     capbufs = jax.device_put(capbufs, shard)
     templates = jax.device_put(templates, shard)
     start_idx = jax.device_put(start_idx, shard)
-    return _front_jit(mesh, capbufs, templates, start_idx, ds_comb_arm)
+    bands = tuple(jax.device_put(g, shard) for g in bands)
+    return _front_jit(mesh, capbufs, templates, start_idx, ds_comb_arm,
+                      *bands)
 
 
 def plan_carrier_inputs(capbufs: Sequence[np.ndarray],
@@ -179,8 +200,19 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
         capbufs, fc_list, f_search_set, fcp_list, fs_programmed, n_dev,
         dtype)
 
+    # per-carrier Pallas band matrices (the TPU production correlation
+    # backend; k_factor makes templates -- and so bands -- per-carrier)
+    bands = ()
+    if use_pallas_corr(getattr(cfg, "corr_backend", "auto")):
+        from ..ops.corr_pallas import bands_for_templates
+        gs = [bands_for_templates(tmpl[i].astype(np.complex64),
+                                  precision="bf16")
+              for i in range(tmpl.shape[0])]
+        bands = (jnp.stack([g[0] for g in gs]),
+                 jnp.stack([g[1] for g in gs]))
+
     slabs, pow_c, frq_c, sp_inc = _front_sharded(
-        mesh, cap, tmpl, starts, cfg.ds_comb_arm)
+        mesh, cap, tmpl, starts, cfg.ds_comb_arm, bands)
     return refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list,
                        fcp_list, f_search_set, fs_programmed, n_comb_xc,
                        cfg)

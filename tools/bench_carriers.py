@@ -43,7 +43,7 @@ import jax.numpy as jnp  # noqa: E402
 from lte_cell_scanner_tpu.constants import FS_LTE  # noqa: E402
 from lte_cell_scanner_tpu.models.search import default_f_search_set  # noqa: E402
 from lte_cell_scanner_tpu.parallel.carriers import (  # noqa: E402
-    _front_one, plan_carrier_inputs)
+    _vmap_front, plan_carrier_inputs)
 from lte_cell_scanner_tpu.utils import read_itfile  # noqa: E402
 
 REF_CARRIERS_PER_S = 1.0 / 6.0
@@ -79,17 +79,27 @@ def main():
             re.block_until_ready()
             im.block_until_ready()
         # closure constants stay HOST numpy (device-complex constants
-        # would be pulled back through the broken transfer path)
+        # would be pulled back through the broken transfer path); the
+        # per-carrier Pallas bands (production TPU backend) ride as
+        # arguments
+        from lte_cell_scanner_tpu.models.xcorr import use_pallas_corr
+        bands = ()
+        if use_pallas_corr("auto"):
+            from lte_cell_scanner_tpu.ops.corr_pallas import \
+                bands_for_templates
+            gs = [bands_for_templates(tmpl[i], precision="bf16")
+                  for i in range(tmpl.shape[0])]
+            bands = (jnp.stack([g[0] for g in gs]),
+                     jnp.stack([g[1] for g in gs]))
 
         @jax.jit
-        def band(re, im, tmpl=tmpl, starts=starts):
-            outs = jax.vmap(_front_one, in_axes=(0, 0, 0, None))(
-                jax.lax.complex(re, im), tmpl, starts, 2)
+        def band(re, im, *g, tmpl=tmpl, starts=starts):
+            outs = _vmap_front(jax.lax.complex(re, im), tmpl, starts, 2, g)
             return sum(jnp.sum(o) for o in outs)
 
-        jax.device_get(band(*bufs[0]))        # compile + true sync
+        jax.device_get(band(*bufs[0], *bands))  # compile + true sync
         t0 = time.perf_counter()
-        outs = [band(re, im) for re, im in bufs[1:]]
+        outs = [band(re, im, *bands) for re, im in bufs[1:]]
         jax.device_get(outs)                  # completion barrier
         dt = (time.perf_counter() - t0) / (len(bufs) - 1)
         rows.append({"carriers": C, "ms": round(dt * 1e3, 2),
