@@ -145,7 +145,8 @@ def cmd_search(args) -> int:
     fc_search_set = np.arange(freq_start, freq_end + 1, 100e3)
     cfg = SearchConfig(interp=args.interp, compat=args.compat,
                        thresh2_n_sigma=float(args.thresh2_sigma),
-                       decode=not args.no_decode)
+                       decode=not args.no_decode,
+                       corr_backend=args.corr_backend)
 
     if args.coordinator:
         # multi-host entry path: join the jax.distributed runtime, scan
@@ -154,22 +155,28 @@ def cmd_search(args) -> int:
         from .parallel.multihost import initialize, scan_band_multihost
         initialize(args.coordinator, args.num_processes, args.process_id)
         import jax
-        my = [float(fc) for fc in fc_search_set[args.process_id::
-                                                args.num_processes]]
-        counts = [len(fc_search_set[p::args.num_processes])
-                  for p in range(args.num_processes)]
-        while len(my) < max(counts):        # equal local carrier counts
-            my.append(my[-1] if my else float(fc_search_set[0]))
+        if not len(fc_search_set[args.process_id::args.num_processes]):
+            print(f"Error: band has fewer carriers than processes "
+                  f"(process {args.process_id} owns none)")
+            return 1
         session = CaptureSession(args.data_dir)
         captures = []
-        for fc in my:
+        # capture only this process's REAL carriers, each numbered by
+        # its GLOBAL band index so --load replays (and --record writes)
+        # the right strided capbuf_XXXX.it files even on a shared
+        # data dir; scan_band_multihost pads unequal slices itself
+        for k, fc in enumerate(fc_search_set[args.process_id::
+                                             args.num_processes]):
+            fc = float(fc)
+            band_idx = args.process_id + k * args.num_processes
             if args.verbose:
                 print(f"[proc {args.process_id}] capturing "
-                      f"{fc / 1e6:.4g} MHz ...")
+                      f"{fc / 1e6:.4g} MHz (band index {band_idx}) ...")
             capbuf, fc_programmed = session.capture_data(
                 fc, source, save_cap=args.record,
                 use_recorded_data=args.load,
-                tuner="none" if (args.load or source) else "e4000")
+                tuner="none" if (args.load or source) else "e4000",
+                index=band_idx)
             captures.append((capbuf, fc, fc_programmed))
         local_lists, merged = scan_band_multihost(
             captures, f_search_set, FS_WORK, cfg)
@@ -309,7 +316,10 @@ def cmd_track(args) -> int:
                            search_mesh=mesh,
                            search_async=args.async_search,
                            search_duty=args.search_duty,
-                           parallel_cells=args.parallel_cells)
+                           parallel_cells=args.parallel_cells,
+                           debug_knobs=tuple(
+                               getattr(args, f"g{i}") for i in
+                               range(1, 10)))
     if not args.no_warmup:
         if args.verbose:
             print("Compiling the search/decode path (one-time warmup) ...")
@@ -459,6 +469,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("--no-decode", action="store_true",
                     help="stop after SSS detection + fine FOE (skip "
                          "tfg/tfoec/MIB)")
+    ps.add_argument("--corr-backend", default="auto",
+                    choices=("auto", "pallas", "xla"),
+                    help="correlation backend: auto = the Pallas "
+                         "block-Toeplitz kernel on TPU (the production "
+                         "route, ~2.4x the XLA dot), the XLA im2col dot "
+                         "elsewhere; pallas/xla force either")
     ps.add_argument("--coordinator", default=None,
                     help="HOST:PORT of process 0 -- enables the "
                          "multi-host band scan (jax.distributed over "
@@ -552,6 +568,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.add_argument("--no-tui", action="store_true",
                     help="disable the interactive curses dashboard even "
                          "on a tty (plain periodic prints)")
+    for i in range(1, 10):
+        # the reference's hidden generic debug knobs
+        # (LTE-Tracker.cpp:158-166); surfaced on GlobalState.g for
+        # experimental tracker code, consumed by no production path
+        pt.add_argument(f"--g{i}", type=float, default=0.0,
+                        help=argparse.SUPPRESS)
     pt.set_defaults(func=cmd_track)
 
     pc = sub.add_parser("check", help="scan a capture for dropped samples")

@@ -179,16 +179,24 @@ class CaptureSession:
                      source: Optional[CaptureSource],
                      save_cap: bool = False,
                      use_recorded_data: bool = False,
-                     tuner: str = "e4000") -> Tuple[np.ndarray, float]:
+                     tuner: str = "e4000",
+                     index: Optional[int] = None
+                     ) -> Tuple[np.ndarray, float]:
         """Capture or replay one buffer, optionally recording it.
 
         Returns (capbuf, fc_programmed).  A source that reports its own
         fc_programmed (e.g. the live RTL-SDR source, io/rtlsdr.py) is
         trusted; otherwise an E4000-style tuner emulates the PLL model
         (+58 Hz fudge, reference capbuf.cpp:134-149).
+
+        ``index`` overrides the session counter for the capbuf_XXXX.it
+        filename (and leaves the counter untouched): a multi-host scan
+        must number each capture by its GLOBAL band index, so process p
+        replays/records its own strided carriers rather than the first
+        files of a full-band recording.
         """
-        filename = os.path.join(self.data_dir,
-                                f"capbuf_{self._counter:04d}.it")
+        n = self._counter if index is None else index
+        filename = os.path.join(self.data_dir, f"capbuf_{n:04d}.it")
         if use_recorded_data:
             d = read_itfile(filename)
             capbuf = d["capbuf"]
@@ -209,7 +217,8 @@ class CaptureSession:
             write_itfile(filename, {
                 "capbuf": np.asarray(capbuf, dtype=np.complex128),
                 "fc": np.array([int(fc_requested)], dtype=np.int32)})
-        self._counter += 1
+        if index is None:
+            self._counter += 1
         return capbuf, fc_programmed
 
 

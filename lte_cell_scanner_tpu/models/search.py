@@ -220,7 +220,9 @@ def cell_search_sharded(capbuf, f_search_set, fc_requested: float,
     This is the streaming tracker's multi-chip searcher path
     (BASELINE.json config 5) as well as a single-carrier accelerator for
     very wide hypothesis grids."""
-    from ..parallel.sharded import plan_sharded_inputs, sharded_xcorr
+    from ..parallel.sharded import (plan_sharded_bands,
+                                    plan_sharded_inputs, sharded_xcorr)
+    from .xcorr import use_pallas_corr
 
     cfg = config or SearchConfig()
     capbuf = np.asarray(capbuf)
@@ -228,9 +230,14 @@ def cell_search_sharded(capbuf, f_search_set, fc_requested: float,
     padded, tmpl, starts, n_comb_xc, n_lags = plan_sharded_inputs(
         capbuf, np.asarray(f_search_set, dtype=np.float64), fc_requested,
         fc_programmed, fs_programmed, mesh, dtype=capbuf.dtype)
+    # route each shard's local correlation through the production
+    # Pallas kernel on TPU (same backend switch as the unsharded and
+    # carrier-batched layouts)
+    bands = plan_sharded_bands(tmpl, mesh.shape["f"]) \
+        if use_pallas_corr(cfg.corr_backend) else ()
     pow_g, frq_g, sp_inc, single = sharded_xcorr(
         mesh, padded, tmpl, starts, cfg.ds_comb_arm, n_comb_xc, n_lags,
-        n_comb_sp=n_comb_sp)
+        n_comb_sp, *bands)
     sp_inc = np.asarray(sp_inc)
     Z_th1 = compute_z_th1(sp_inc, n_comb_xc, cfg.ds_comb_arm,
                           cfg.thresh1_n_nines)

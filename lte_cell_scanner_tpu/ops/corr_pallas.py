@@ -1,13 +1,15 @@
 """Pallas TPU kernel: fused PSS correlation + squared magnitude.
 
-An alternative hand-written kernel for the hot path.  Measured on the
-target chip, XLA's own lowering of the im2col einsum (ops/corr.py
-"dot" + fused |.|^2, used by models/xcorr._xcorr_core) is ~4x faster
-than this kernel (0.05 ms vs 0.22 ms for the default 93-template scan)
-because the MXU absorbs the im2col reuse better than the banded
-Toeplitz zero-padding; the XLA path is therefore the production route
-and this kernel is kept as the explicit-kernel reference and as the
-fallback for shapes where XLA's fusion misbehaves.
+**This is the production TPU correlation backend** (models/xcorr
+`corr_backend="auto"` resolves to it on TPU): under transfer-synced
+checksum timing on the target chip it beats XLA's lowering of the
+im2col einsum (ops/corr.py "dot" + fused |.|^2) by ~2.4-2.6x for the
+default 93-template scan.  Earlier rounds reported the opposite — the
+XLA path "~4x faster" — from `block_until_ready` timings that the
+tunnel runtime's fire-ahead dispatch fabricated; those numbers are
+retracted (methodology: docs/SCALING.md "Measurement integrity").
+The XLA dot path remains the golden/CPU route and the fallback for
+shapes this kernel does not cover.
 
 Key design point: the sliding-window
 (im2col) formulation needs unaligned vector slices, which the TPU vector
@@ -219,3 +221,153 @@ _corr_pow_jit = partial(jax.jit,
                                          "n_tc", "n_rows", "n_row_blocks",
                                          "interpret", "precision")
                         )(corr_pow_core)
+
+
+# ---------------------------------------------------------------------------
+# Kernel v2: im2col rows of W=120 lags, K=256 sample span, ONE merged dot
+# ---------------------------------------------------------------------------
+#
+# The banded v1 kernel pays K=384 per 128-lag row (2.8x the 137 minimal
+# taps) and issues 12 separate [M,128]x[128,N] dots per grid step (4
+# real-combination matmuls x 3 row shifts).  v2 restructures both:
+#
+# - Rows hold W=120 lags: lag l = W r + c needs samples l..l+136, i.e.
+#   within-row offsets c+m <= 255 < 256 -- TWO disjoint 128-lane views
+#   instead of three (K = 256, waste 256/137 = 1.87x).  W=120 is the
+#   largest W with W+136 <= 256, so this is the minimum waste any
+#   128-lane-aligned matmul formulation can reach with 2 views.
+# - The real/imag plane combinations stack along K: X3[r] =
+#   [cap_re[Wr..Wr+255] | cap_im[...]] (K=512) against a single
+#   G[512, 2*W*Tc] whose column halves produce Re(xc) and Im(xc), so
+#   each grid step is ONE [M,512]x[512,2*W*Tc] MXU dot + fused |.|^2
+#   instead of 12 short-K dots (short K leaves the MXU pipeline
+#   draining; one K=512 dot keeps it full).
+
+W_V2 = 120          # lags per im2col row
+KV_V2 = 256         # sample span per row (covers W-1 + 137 taps)
+
+
+def plan_pallas_v2(t_count: int, n_lags: int, rows_per_block: int = 128,
+                   t_chunk: int = 16):
+    """Static grid parameters for corr_pow_core_v2:
+    (t_pad, n_tc, n_rows, n_row_blocks)."""
+    t_pad = int(np.ceil(t_count / t_chunk)) * t_chunk
+    n_tc = t_pad // t_chunk
+    n_row_blocks = int(np.ceil(n_lags / (rows_per_block * W_V2)))
+    return t_pad, n_tc, n_row_blocks * rows_per_block, n_row_blocks
+
+
+def _im2col_bands(templates: np.ndarray, t_pad: int, n_tc: int,
+                  t_chunk: int) -> np.ndarray:
+    """[512, n_tc * 2 * W * t_chunk] float32 coefficient matrix.
+
+    Per chunk j the column block is [(half, c, tc)] (half 0 = Re(xc),
+    1 = Im(xc); c-major like v1):
+        G[k,      (0,c,t)] =  Re(tmpl[t, k-c])   (0 <= k-c < 137)
+        G[256+k', (0,c,t)] = -Im(tmpl[t, k'-c])
+        G[k,      (1,c,t)] =  Im(tmpl[t, k-c])
+        G[256+k', (1,c,t)] =  Re(tmpl[t, k'-c])
+    so that X3 @ G = [Re(xc) | Im(xc)] for X3 = [cap_re | cap_im]."""
+    tmpl = np.zeros((t_pad, PSS_TD_LEN), dtype=np.complex64)
+    tmpl[: templates.shape[0]] = templates
+    k, c = np.meshgrid(np.arange(KV_V2), np.arange(W_V2), indexing="ij")
+    m = k - c
+    mask = (m >= 0) & (m < PSS_TD_LEN)
+    coeff = np.zeros((KV_V2, W_V2, t_pad), dtype=np.complex64)
+    coeff[mask] = tmpl[:, m[mask]].T
+    u, v = coeff.real, coeff.imag
+    g = np.zeros((2 * KV_V2, 2, W_V2, t_pad), dtype=np.float32)
+    g[:KV_V2, 0] = u
+    g[KV_V2:, 0] = -v
+    g[:KV_V2, 1] = v
+    g[KV_V2:, 1] = u
+    g = g.reshape(2 * KV_V2, 2, W_V2, n_tc, t_chunk)
+    g = np.transpose(g, (0, 3, 1, 2, 4))     # [512, n_tc, 2, W, Tc]
+    return np.ascontiguousarray(
+        g.reshape(2 * KV_V2, n_tc * 2 * W_V2 * t_chunk))
+
+
+_band_v2_cache = {}
+
+
+def bands_v2_for_templates(templates, precision: str = "bf16",
+                           t_chunk: int = 16):
+    """Host-built v2 coefficient matrix for a [T, 137] template set
+    (content-cached, like bands_for_templates)."""
+    templates = np.asarray(templates).reshape(-1, PSS_TD_LEN) \
+        .astype(np.complex64)
+    key = (templates.shape, templates.tobytes(), precision, t_chunk)
+    hit = _band_v2_cache.get(key)
+    if hit is not None:
+        return hit
+    t_pad, n_tc, _, _ = plan_pallas_v2(templates.shape[0], 1,
+                                       t_chunk=t_chunk)
+    g = _im2col_bands(templates, t_pad, n_tc, t_chunk)
+    gdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    g = jnp.asarray(g, gdt)
+    if len(_band_v2_cache) > 8:
+        _band_v2_cache.pop(next(iter(_band_v2_cache)))
+    _band_v2_cache[key] = g
+    return g
+
+
+def _corr_kernel_v2(x_ref, g_ref, out_ref):
+    acc = jnp.dot(x_ref[:], g_ref[:],
+                  preferred_element_type=jnp.float32)   # [M, 2*W*Tc]
+    h = acc.shape[1] // 2
+    xr = acc[:, :h]
+    xi = acc[:, h:]
+    out_ref[:] = xr * xr + xi * xi
+
+
+def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
+                     t_pad: int, n_tc: int, n_rows: int,
+                     n_row_blocks: int, rows_per_block: int = 128,
+                     t_chunk: int = 16, interpret: bool = False,
+                     precision: str = "f32"):
+    """Traceable v2 correlation-power (see module notes above)."""
+    xdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    need = W_V2 * (n_rows - 1) + KV_V2
+    idx = (W_V2 * jnp.arange(n_rows))[:, None] \
+        + jnp.arange(KV_V2)[None, :]            # [n_rows, 256]
+    planes = []
+    for plane in (cap_re, cap_im):
+        p = plane.astype(jnp.float32)
+        pad = need - p.shape[0]
+        if pad > 0:
+            p = jnp.concatenate([p, jnp.zeros(pad, jnp.float32)])
+        else:
+            p = p[:need]
+        planes.append(jnp.take(p, idx, axis=0))
+    x3 = jnp.concatenate(planes, axis=1).astype(xdt)    # [n_rows, 512]
+
+    n_cols = 2 * W_V2 * t_chunk
+    grid = (n_tc, n_row_blocks)
+    out = pl.pallas_call(
+        _corr_kernel_v2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows_per_block, 2 * KV_V2), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * KV_V2, n_cols), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows_per_block, W_V2 * t_chunk),
+                               lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, W_V2 * t_pad),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_rows * 2 * KV_V2 * n_cols * n_tc,
+            bytes_accessed=n_rows * (2 * KV_V2 * 2 * n_tc
+                                     + 4 * W_V2 * t_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x3, g)
+
+    out = out.reshape(n_rows, n_tc, W_V2, t_chunk)
+    out = jnp.transpose(out, (1, 3, 0, 2))      # [n_tc, Tc, rows, W]
+    out = out.reshape(t_pad, n_rows * W_V2)
+    return out[:t_count, :n_lags]

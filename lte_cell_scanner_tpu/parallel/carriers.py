@@ -230,6 +230,10 @@ def refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list, fcp_list,
     (single-process mesh) and parallel.multihost.scan_band_multihost
     (each host refines its local carriers)."""
     c_real = len(capbufs)
+    if c_real == 0:
+        # a pure-padding multihost chunk: this process had no real
+        # carriers in it (it still ran the global front end above)
+        return []
     pow_c = np.asarray(pow_c)
     frq_c = np.asarray(frq_c)
     sp_inc = np.asarray(sp_inc)
@@ -253,6 +257,8 @@ def refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list, fcp_list,
         all_peaks.extend(peaks)
         carrier_of.extend([i] * len(peaks))
 
+    if not all_peaks:
+        return [[] for _ in range(c_real)]
     if not cfg.batch_peaks:
         results: List[List[Cell]] = [[] for _ in range(c_real)]
         for i in range(c_real):

@@ -107,23 +107,35 @@ def records_to_cells(rec: np.ndarray) -> List[Cell]:
 _front_cache = {}
 
 
-def _front_global(mesh, cap, tmpl, starts, ds_comb_arm: int):
+def _front_global(mesh, cap_re, cap_im, tmpl_re, tmpl_im, starts,
+                  ds_comb_arm: int, bands=()):
     """The carriers front end jitted with explicit P('c') out shardings,
     so each process's addressable output shards are exactly its own
-    carriers' rows."""
+    carriers' rows.
+
+    Captures/templates arrive as FLOAT planes and are rebuilt as complex
+    inside the jit: complex program parameters are what the axon TPU
+    client cannot transfer afterwards (ops/boundary.py), and the outputs
+    (slab/pow/frq/sp) are all-real, so the global program keeps an
+    all-float boundary.  ``bands`` (optional per-carrier Pallas band
+    matrices) route the correlation through the production TPU kernel,
+    same as the single-process ``scan_band``."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    key = (mesh, ds_comb_arm)
+    key = (mesh, ds_comb_arm, bool(bands))
     if key not in _front_cache:
         shard = NamedSharding(mesh, P("c"))
 
-        def impl(c, t, s):
-            return jax.vmap(_front_one, in_axes=(0, 0, 0, None))(
-                c, t, s, ds_comb_arm)
+        def impl(cr, ci, tr, ti, s, *gs):
+            c = jax.lax.complex(cr, ci)
+            t = jax.lax.complex(tr, ti)
+            from .carriers import _vmap_front
+            return _vmap_front(c, t, s, ds_comb_arm, tuple(gs))
 
         _front_cache[key] = jax.jit(impl, out_shardings=(shard,) * 4)
-    return _front_cache[key](cap, tmpl, starts)
+    return _front_cache[key](cap_re, cap_im, tmpl_re, tmpl_im, starts,
+                             *bands)
 
 
 def _local_rows(garr) -> np.ndarray:
@@ -133,17 +145,76 @@ def _local_rows(garr) -> np.ndarray:
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
+def _scan_chunk(chunk, chunk_real: int, mesh, n_local_dev: int,
+                f_search_set, fs_programmed: float, cfg: SearchConfig,
+                dtype) -> List[List[Cell]]:
+    """One bounded-size chunk of the multihost band scan: global-mesh
+    front end over every process's chunk, local refinement of this
+    process's real carriers."""
+    import jax
+    from .carriers import use_pallas_corr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    capbufs = [np.asarray(c[0]) for c in chunk]
+    fc_list = [c[1] for c in chunk]
+    fcp_list = [c[2] for c in chunk]
+    cap, tmpl, starts, n_comb_xc, _ = plan_carrier_inputs(
+        capbufs, fc_list, f_search_set, fcp_list, fs_programmed,
+        n_local_dev, dtype)
+
+    # per-carrier Pallas band matrices (the TPU production correlation
+    # backend), same routing as the single-process scan_band
+    bands = ()
+    if use_pallas_corr(cfg.corr_backend):
+        from ..ops.corr_pallas import bands_for_templates
+        gs = [bands_for_templates(tmpl[i].astype(np.complex64),
+                                  precision="bf16")
+              for i in range(tmpl.shape[0])]
+        bands = (np.stack([np.asarray(g[0]) for g in gs]),
+                 np.stack([np.asarray(g[1]) for g in gs]))
+
+    shard = NamedSharding(mesh, P("c"))
+
+    def mk(x):
+        return jax.make_array_from_process_local_data(
+            shard, np.ascontiguousarray(x))
+
+    fdt = np.float32 if dtype == np.complex64 else np.float64
+    g_bands = tuple(mk(g) for g in bands)
+    slabs, pow_c, frq_c, sp_inc = _front_global(
+        mesh, mk(cap.real.astype(fdt)), mk(cap.imag.astype(fdt)),
+        mk(tmpl.real.astype(fdt)), mk(tmpl.imag.astype(fdt)),
+        mk(starts), cfg.ds_comb_arm, g_bands)
+
+    # local slices (this process's real carriers only; padding rows at
+    # the tail are dropped by slicing to chunk_real)
+    return refine_band(
+        _local_rows(pow_c)[:chunk_real], _local_rows(frq_c)[:chunk_real],
+        _local_rows(sp_inc)[:chunk_real], _local_rows(slabs)[:chunk_real],
+        capbufs[:chunk_real], fc_list[:chunk_real], fcp_list[:chunk_real],
+        f_search_set, fs_programmed, n_comb_xc, cfg)
+
+
 def scan_band_multihost(
         local_captures: Sequence[Tuple[np.ndarray, float, float]],
         f_search_set: np.ndarray, fs_programmed: float,
         config: Optional[SearchConfig] = None, dtype=np.complex64,
         max_cells_per_host: int = 128,
+        max_carriers_per_program: int = 32,
 ) -> Tuple[List[List[Cell]], List[Cell]]:
     """Scan a band whose carriers are distributed across processes.
 
     local_captures: THIS process's (capbuf, fc_requested, fc_programmed)
-    slice of the band -- every process must contribute the same number of
-    carriers (pad by repeating the last one if the band does not divide).
+    slice of the band.  Uneven slices are fine: counts are all-gathered
+    and every process pads ITS OWN list to the global maximum by
+    repeating its last capture (array-level padding, dropped before
+    refinement -- the caller never has to duplicate RF dwell time).
+    Every process must contribute at least one carrier.
+
+    Wide slices are processed in chunks of ``max_carriers_per_program``
+    carriers per local device (same bounded-HBM rationale as
+    ``scan_band``); chunk boundaries are identical on every process, so
+    each chunk is one global SPMD program.
 
     Returns (per-local-carrier decoded cell lists, globally deduped cell
     list).  The dedup result is identical on every process; print it from
@@ -152,41 +223,33 @@ def scan_band_multihost(
     """
     import jax
     from jax.experimental import multihost_utils
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
 
     cfg = config or SearchConfig()
     n_local_dev = jax.local_device_count()
     mesh = Mesh(np.asarray(jax.devices()), ("c",))
 
-    capbufs = [c[0] for c in local_captures]
-    fc_list = [c[1] for c in local_captures]
-    fcp_list = [c[2] for c in local_captures]
-    cap, tmpl, starts, n_comb_xc, c_real = plan_carrier_inputs(
-        capbufs, fc_list, f_search_set, fcp_list, fs_programmed,
-        n_local_dev, dtype)
-
-    counts = multihost_utils.process_allgather(
-        np.array([cap.shape[0]], np.int64))
-    if not np.all(counts == cap.shape[0]):
+    if not local_captures:
         raise ValueError(
-            f"unequal padded carrier counts across processes: "
-            f"{counts.ravel().tolist()} -- every process must contribute "
-            f"the same number of local carriers")
+            "every process must contribute at least one local carrier "
+            "(run a band narrower than the process count with fewer "
+            "processes)")
 
-    shard = NamedSharding(mesh, P("c"))
-    g_cap = jax.make_array_from_process_local_data(shard, cap)
-    g_tmpl = jax.make_array_from_process_local_data(shard, tmpl)
-    g_starts = jax.make_array_from_process_local_data(shard, starts)
+    c_real = len(local_captures)
+    counts = multihost_utils.process_allgather(
+        np.array([c_real], np.int64))
+    n_eq = int(np.max(counts))
+    padded = list(local_captures) \
+        + [local_captures[-1]] * (n_eq - c_real)
 
-    slabs, pow_c, frq_c, sp_inc = _front_global(
-        mesh, g_cap, g_tmpl, g_starts, cfg.ds_comb_arm)
-
-    # local slices (this process's carriers only; padding rows dropped by
-    # refine_band's c_real = len(capbufs))
-    results_local = refine_band(
-        _local_rows(pow_c), _local_rows(frq_c), _local_rows(sp_inc),
-        _local_rows(slabs), capbufs, fc_list, fcp_list, f_search_set,
-        fs_programmed, n_comb_xc, cfg)
+    limit = max(1, max_carriers_per_program) * n_local_dev
+    results_local: List[List[Cell]] = []
+    for i0 in range(0, n_eq, limit):
+        chunk = padded[i0: i0 + limit]
+        chunk_real = max(0, min(c_real - i0, len(chunk)))
+        results_local.extend(_scan_chunk(
+            chunk, chunk_real, mesh, n_local_dev, f_search_set,
+            fs_programmed, cfg, dtype))
 
     # one DCN all-gather of fixed-width records, then everyone dedups
     # identically (host 0 prints -- reference CellSearch.cpp:573-614)

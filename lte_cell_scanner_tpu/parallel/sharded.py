@@ -77,11 +77,33 @@ def _fold_local(xc2, lag0, n_comb_xc: int, starts, n_valid_lags):
     return acc / n_comb_xc
 
 
+def plan_sharded_bands(tmpl_flat: np.ndarray, n_f_axis: int,
+                       precision: str = "bf16"):
+    """Per-shard Pallas band matrices for the "f" axis of the (t x f)
+    mesh: shard s's rows of ``tmpl_flat`` (the plan_sharded_inputs
+    layout) become one banded block set, stacked along axis 0 so
+    P("f") sharding hands each device exactly its own bands.  Feed the
+    result as ``*bands`` to sharded_xcorr to route the local
+    correlation through the production TPU kernel
+    (ops/corr_pallas.py)."""
+    from ..ops.corr_pallas import bands_for_templates
+
+    T = tmpl_flat.shape[0]
+    assert T % n_f_axis == 0
+    t_loc = T // n_f_axis
+    gs = [bands_for_templates(
+        np.asarray(tmpl_flat[s * t_loc:(s + 1) * t_loc]).astype(
+            np.complex64), precision=precision)
+        for s in range(n_f_axis)]
+    return (jnp.concatenate([g[0] for g in gs], axis=0),
+            jnp.concatenate([g[1] for g in gs], axis=0))
+
+
 @partial(jax.jit, static_argnames=("mesh", "ds_comb_arm", "n_comb_xc",
                                   "n_valid_lags", "n_comb_sp"))
 def sharded_xcorr(mesh: Mesh, capbuf_blocks, templates, start_idx,
                   ds_comb_arm: int, n_comb_xc: int, n_valid_lags: int,
-                  n_comb_sp: int = 0):
+                  n_comb_sp: int = 0, *bands):
     """Sharded xcorr front end.
 
     capbuf_blocks: [n_cap_padded] complex, sharded along "t".
@@ -98,12 +120,17 @@ def sharded_xcorr(mesh: Mesh, capbuf_blocks, templates, start_idx,
     fold rides the same halo exchange, and the pre-delay-spread fold is
     gathered over the "f" shards -- this is what lets peak_search +
     Z_th1 + per-peak refinement run off a multi-chip front end (the
-    streaming tracker's sharded searcher path)."""
+    streaming tracker's sharded searcher path).
+
+    ``*bands``: optional (g_re, g_im) from plan_sharded_bands -- routes
+    each shard's local correlation through the Pallas block-Toeplitz
+    kernel (the TPU production backend) instead of the XLA windows
+    matmul; sharded over "f" like the templates."""
     n_t = mesh.shape["t"]
     n_f_axis = mesh.shape["f"]
     n_tmpl = templates.shape[0]
 
-    def local_fn(cap_local, tmpl_local, starts_local):
+    def local_fn(cap_local, tmpl_local, starts_local, *bands_local):
         # cap_local: [B]; tmpl_local: [T_local, 137]; starts: [T_local, n_comb]
         t_idx = jax.lax.axis_index("t")
         f_idx = jax.lax.axis_index("f")
@@ -115,14 +142,31 @@ def sharded_xcorr(mesh: Mesh, capbuf_blocks, templates, start_idx,
         halo = jax.lax.ppermute(lead, "t", perm)    # device n_t-1 gets zeros
         cap_ext = jnp.concatenate([cap_local, halo])  # [B + _HALO]
 
-        # --- local correlation: windows matmul on the MXU ------------------
-        n_loc_lags = B
-        win = jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(cap_ext, m, n_loc_lags)
-             for m in range(PSS_TD_LEN)], axis=1)     # [B, 137]
-        xc = jnp.einsum("lm,tm->tl", win, tmpl_local,
-                        preferred_element_type=cap_ext.dtype)
-        xc2 = jnp.real(xc) ** 2 + jnp.imag(xc) ** 2   # [T_local, B]
+        if bands_local:
+            # --- local correlation: Pallas block-Toeplitz kernel ----------
+            from ..ops.corr_pallas import corr_pow_core, plan_pallas
+            g_re_loc, g_im_loc = bands_local
+            t_loc = tmpl_local.shape[0]
+            t_pad, n_tc, n_rows, n_rb = plan_pallas(t_loc, B)
+            lim = (n_rows + 2) * 128      # kernel row-view span
+            cap_k = cap_ext[:lim] if cap_ext.shape[0] > lim else cap_ext
+            prec = "bf16" if g_re_loc.dtype == jnp.bfloat16 else "f32"
+            interp = jax.default_backend() != "tpu"
+            xc2 = corr_pow_core(
+                jnp.real(cap_k).astype(jnp.float32),
+                jnp.imag(cap_k).astype(jnp.float32),
+                g_re_loc, g_im_loc, B, t_loc, t_pad, n_tc, n_rows, n_rb,
+                interpret=interp, precision=prec)
+            xc2 = xc2.astype(jnp.real(cap_local).dtype)  # [T_local, B]
+        else:
+            # --- local correlation: windows matmul on the MXU --------------
+            n_loc_lags = B
+            win = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(cap_ext, m, n_loc_lags)
+                 for m in range(PSS_TD_LEN)], axis=1)     # [B, 137]
+            xc = jnp.einsum("lm,tm->tl", win, tmpl_local,
+                            preferred_element_type=cap_ext.dtype)
+            xc2 = jnp.real(xc) ** 2 + jnp.imag(xc) ** 2   # [T_local, B]
 
         # --- fold mod half-frame, combined across time shards --------------
         lag0 = t_idx * B
@@ -174,11 +218,12 @@ def sharded_xcorr(mesh: Mesh, capbuf_blocks, templates, start_idx,
         out_specs = (P(), P(), P(), P(None, "f", None))
     f = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P("t"), P("f", None), P("f", None)),
+        in_specs=(P("t"), P("f", None), P("f", None))
+        + (P("f", None),) * len(bands),
         out_specs=out_specs,
         check_vma=False,
     )
-    return f(capbuf_blocks, templates, start_idx)
+    return f(capbuf_blocks, templates, start_idx, *bands)
 
 
 def plan_sharded_inputs(capbuf: np.ndarray, f_search_set: np.ndarray,

@@ -71,11 +71,14 @@ class TrackerRunner:
                  search_config: Optional[SearchConfig] = None,
                  device_fd: bool = True, search_period: float = 0.0,
                  search_mesh=None, search_async: bool = False,
-                 search_duty: float = 0.5, parallel_cells: int = 0):
+                 search_duty: float = 0.5, parallel_cells: int = 0,
+                 debug_knobs: tuple = ()):
+        g = tuple(debug_knobs) + (0.0,) * (9 - len(debug_knobs))
         self.state = GlobalState(fc_requested=fc_requested,
                                  fc_programmed=fc_programmed,
                                  fs_programmed=fs_programmed,
-                                 frequency_offset=initial_fo)
+                                 frequency_offset=initial_fo,
+                                 g=g)
         self.producer = Producer(self.state)
         self.cells: List[TrackedCell] = []
         self.processors = {}

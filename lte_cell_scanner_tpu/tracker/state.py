@@ -31,6 +31,11 @@ class GlobalState:
     raw_seconds_dropped: int = 0
     cell_seconds_dropped: int = 0
     searcher_cycle_time: float = 0.0
+    # generic developer scratch parameters, the reference's hidden
+    # --g1..--g9 debug knobs (LTE-Tracker.cpp:158-166, globals :52-60):
+    # carried on the shared state so experimental tracker code can read
+    # them without new plumbing; no production path consumes them
+    g: tuple = (0.0,) * 9
 
     def k_factor(self) -> float:
         return (self.fc_requested - self.frequency_offset) \

@@ -95,6 +95,15 @@ def test_two_process_band_scan_matches_single_process(worker_results):
     assert 3 * 92 + 1 in ids0
     assert 3 * 167 + 2 in ids1
 
+    # decoded MIB fields crossed the DCN gather (the reference's
+    # results table deliverable, CellSearch.cpp:576-614): the sim
+    # eNodeBs transmit 2-port PBCH encoding n_rb_dl=6
+    for g in r0["merged"]:
+        assert g["n_ports"] == 2
+        assert g["n_rb_dl"] == 6
+        assert 0 <= g["sfn"] < 1024
+        assert g["phich_duration"] == "normal"
+
     # single-process reference: same captures through scan_band on the
     # test session's own 8 virtual devices
     from lte_cell_scanner_tpu.constants import FS_LTE
@@ -104,7 +113,7 @@ def test_two_process_band_scan_matches_single_process(worker_results):
     captures = [worker_mod.make_capture(i)
                 for i in range(worker_mod.N_CARRIERS)]
     ref_lists = scan_band(captures, np.asarray(worker_mod.F_SEARCH),
-                          FS_LTE / 16, SearchConfig(decode=False))
+                          FS_LTE / 16, SearchConfig())
     ref = sorted(dedup(ref_lists), key=lambda c: c.fc_requested)
 
     got = r0["merged"]
@@ -116,6 +125,17 @@ def test_two_process_band_scan_matches_single_process(worker_results):
         assert abs(g["frame_start"] - r.frame_start) < 1e-3
         assert abs(g["freq_fine"] - r.freq_fine) < 1.0
         assert abs(g["pss_pow"] - r.pss_pow) < 1e-6 * abs(r.pss_pow) + 1e-12
+        assert (g["n_ports"], g["n_rb_dl"], g["sfn"]) == \
+            (r.n_ports, r.n_rb_dl, r.sfn)
+
+
+def test_unequal_band_split_matches(worker_results):
+    """An unequal per-process carrier split (3+1) produces the same
+    global merge as the equal 2+2 split: scan_band_multihost pads
+    internally (array-level, no caller-side duplicate captures)."""
+    r0, r1 = sorted(worker_results, key=lambda r: r["process"])
+    assert r0["merged_unequal"] == r1["merged_unequal"]
+    assert r0["merged_unequal"] == r0["merged"]
 
 
 def test_record_round_trip():

@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 N_CARRIERS = 4
 CARRIERS_PER_PROC = 2
 FC0 = 739e6
-N_SUBFRAMES = 40          # 40 ms captures
+N_SUBFRAMES = 80          # 80 ms captures (>= one full 40 ms PBCH
+                          # period at any frame phase -> MIB decodes)
 F_SEARCH = [-5e3, 0.0, 5e3]
 # carrier -> (n_id_1, n_id_2) of an embedded sim cell (None = pure noise)
 CELL_OF = {0: (92, 1), 3: (167, 2)}
@@ -55,7 +56,12 @@ def cell_summary(c):
             "fc": c.fc_requested,
             "frame_start": round(float(c.frame_start), 6),
             "freq_fine": round(float(c.freq_fine), 3),
-            "pss_pow": float(c.pss_pow)}
+            "pss_pow": float(c.pss_pow),
+            # decoded MIB fields -- these must cross the DCN gather
+            # (the reference's results table, CellSearch.cpp:576-614)
+            "n_ports": c.n_ports, "n_rb_dl": c.n_rb_dl, "sfn": c.sfn,
+            "phich_duration": c.phich_duration.value,
+            "phich_resource": c.phich_resource.value}
 
 
 def main():
@@ -85,9 +91,20 @@ def main():
                (args.process_id + 1) * CARRIERS_PER_PROC)
     captures = [make_capture(i) for i in my]
 
-    cfg = SearchConfig(decode=False)
+    # full decode: n_ports/n_rb_dl/sfn must actually cross the gather
+    cfg = SearchConfig()
     local_lists, merged = multihost.scan_band_multihost(
         captures, np.asarray(F_SEARCH), FS_LTE / 16, cfg)
+
+    # second pass, UNEQUAL split of the same band (proc 0: carriers
+    # 0..2, proc 1: carrier 3): exercises scan_band_multihost's
+    # internal auto-padding (no caller-side capture duplication)
+    if args.process_id == 0:
+        uneq = [make_capture(i) for i in range(3)]
+    else:
+        uneq = [make_capture(3)]
+    _, merged_uneq = multihost.scan_band_multihost(
+        uneq, np.asarray(F_SEARCH), FS_LTE / 16, cfg)
 
     out = {
         "process": args.process_id,
@@ -97,6 +114,9 @@ def main():
         "local": [[cell_summary(c) for c in l] for l in local_lists],
         "merged": [cell_summary(c) for c in
                    sorted(merged, key=lambda c: c.fc_requested)],
+        "merged_unequal": [cell_summary(c) for c in
+                           sorted(merged_uneq,
+                                  key=lambda c: c.fc_requested)],
     }
     with open(args.out, "w") as f:
         json.dump(out, f)
