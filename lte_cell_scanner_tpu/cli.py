@@ -343,6 +343,8 @@ def cmd_track(args) -> int:
                     return False
                 runner.process_block(block)
                 n_blocks[0] += 1
+            if hasattr(source, "dropped_seconds"):
+                runner.state.usb_seconds_dropped = source.dropped_seconds()
             return True
 
         try:
@@ -360,6 +362,8 @@ def cmd_track(args) -> int:
         for block in source.stream(10000):
             runner.process_block(block)
             n_blocks += 1
+            if hasattr(source, "dropped_seconds"):
+                runner.state.usb_seconds_dropped = source.dropped_seconds()
             if n_blocks % report_every == 0:
                 print(render(runner.state, runner.cells,
                              plots=args.expert))

@@ -15,16 +15,23 @@ retry/settle/correction semantics against a fake without hardware, and
 environments without the shared library fail with a clear message at
 construction time only.
 
-The reference reads via an async USB callback; this source uses
-synchronous block reads (librtlsdr buffers internally) -- capture() is
-a one-shot 80 ms read and stream() a generator of raw blocks for the
-tracker's producer loop.
+Streaming ingestion is ASYNCHRONOUS like the reference's
+rtlsdr_read_async callback thread (capbuf.cpp:41-71, the tracker's
+pre-producer loop LTE-Tracker.cpp:743-763,870): ``stream()`` spawns a
+reader thread that drains the dongle into the native lock-free SPSC
+byte ring (native/ingest.cpp) continuously, so a slow tracker tick or a
+GC pause never stalls the USB endpoint; ring overflow drops whole
+blocks and COUNTS them (``dropped_bytes``/``dropped_seconds()``,
+surfaced on the dashboard like the reference's dropped-seconds row,
+display_thread.cpp:538-541).  ``capture()`` remains a one-shot
+synchronous 80 ms read.
 """
 
 from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import threading
 import time
 from typing import Iterator, Optional, Tuple
 
@@ -84,6 +91,83 @@ def _declare(lib):
     lib.rtlsdr_read_sync.restype = i32
     lib.rtlsdr_read_sync.argtypes = [p, ctypes.c_char_p, i32,
                                      ctypes.POINTER(i32)]
+
+
+class _PyRing:
+    """Bounded locked byte ring -- fallback when the native SPSC ring
+    (native/ingest.cpp) is unavailable.  Same drop-on-overflow contract:
+    push returns the number of bytes accepted."""
+
+    def __init__(self, capacity_bytes: int):
+        self._buf = np.empty(capacity_bytes, dtype=np.uint8)
+        self._cap = capacity_bytes
+        self._lock = threading.Lock()
+        self._head = 0      # write position (monotonic)
+        self._tail = 0      # read position
+
+    def size(self) -> int:
+        with self._lock:
+            return self._head - self._tail
+
+    def push(self, data: np.ndarray) -> int:
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        with self._lock:
+            space = self._cap - (self._head - self._tail)
+            n = min(int(space), data.size)
+            pos = self._head % self._cap
+            first = min(n, self._cap - pos)
+            self._buf[pos: pos + first] = data[:first]
+            self._buf[: n - first] = data[first:n]
+            self._head += n
+            return n
+
+    def pop(self, n: int) -> np.ndarray:
+        with self._lock:
+            avail = self._head - self._tail
+            n = min(int(avail), n)
+            pos = self._tail % self._cap
+            first = min(n, self._cap - pos)
+            out = np.empty(n, dtype=np.uint8)
+            out[:first] = self._buf[pos: pos + first]
+            out[first:] = self._buf[: n - first]
+            self._tail += n
+            return out
+
+
+class _AsyncReader:
+    """USB reader thread feeding the sample ring -- the reference's
+    rtlsdr_read_async callback filling sampbuf_sync.fifo
+    (capbuf.cpp:41-71; LTE-Tracker.cpp:743-763).  A full ring drops the
+    whole incoming block (counted), never blocks the USB side."""
+
+    def __init__(self, read_exact, ring, block_bytes: int = 16 * 16384):
+        self._read = read_exact
+        self.ring = ring
+        self.block_bytes = block_bytes
+        self.dropped_bytes = 0
+        self.overruns = 0
+        self.error: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="rtlsdr-reader")
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                raw = self._read(self.block_bytes)
+            except BaseException as e:  # device lost: surface to consumer
+                self.error = e
+                return
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            pushed = self.ring.push(arr)
+            if pushed < arr.size:
+                self.dropped_bytes += arr.size - pushed
+                self.overruns += 1
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
 
 
 class RtlSdrSource(CaptureSource):
@@ -183,12 +267,66 @@ class RtlSdrSource(CaptureSource):
         raw = self._read_exact(CAPLENGTH * 2)
         return iq_u8_to_complex(np.frombuffer(raw, dtype=np.uint8)), fc_programmed
 
-    def stream(self, block: int = 10000) -> Iterator[np.ndarray]:
-        while True:
-            raw = self._read_exact(block * 2)
-            yield iq_u8_to_complex(np.frombuffer(raw, dtype=np.uint8))
+    def _make_ring(self, capacity_bytes: int):
+        try:
+            from .native import SampleRing
+            return SampleRing(capacity_bytes)
+        except Exception:
+            return _PyRing(capacity_bytes)
+
+    def stream(self, block: int = 10000, use_async: bool = True,
+               ring_seconds: float = 2.0,
+               poll_sleep: float = 0.001) -> Iterator[np.ndarray]:
+        """Continuous blocks of ``block`` complex samples.
+
+        use_async=True (default, the reference layout): a reader thread
+        drains the dongle into the SPSC ring regardless of consumer
+        pace; overruns drop whole USB blocks with counters
+        (``dropped_bytes``, ``dropped_seconds()``).  use_async=False
+        keeps the plain blocking read loop."""
+        if not use_async:
+            while True:
+                raw = self._read_exact(block * 2)
+                yield iq_u8_to_complex(np.frombuffer(raw, dtype=np.uint8))
+            return
+        cap_bytes = max(int(2 * self.fs_programmed * ring_seconds),
+                        4 * block * 2)
+        ring = self._make_ring(cap_bytes)
+        reader = _AsyncReader(self._read_exact, ring)
+        self._reader = reader
+        try:
+            pending = np.empty(0, dtype=np.uint8)
+            while True:
+                need = block * 2 - pending.size
+                chunk = ring.pop(need)
+                if chunk.size:
+                    pending = np.concatenate([pending, chunk]) \
+                        if pending.size else chunk
+                if pending.size < block * 2:
+                    if reader.error is not None:
+                        raise RuntimeError(
+                            f"USB reader thread died: {reader.error}")
+                    self._sleep(poll_sleep)
+                    continue
+                yield iq_u8_to_complex(pending)
+                pending = np.empty(0, dtype=np.uint8)
+        finally:
+            reader.stop()
+            self._reader = None
+
+    def dropped_seconds(self) -> float:
+        """Seconds of raw stream dropped at the USB ring so far (the
+        dashboard's usb-drops readout)."""
+        reader = getattr(self, "_reader", None)
+        if reader is None or self.fs_programmed <= 0:
+            return 0.0
+        return reader.dropped_bytes / (2.0 * self.fs_programmed)
 
     def close(self) -> None:
+        reader = getattr(self, "_reader", None)
+        if reader is not None:
+            reader.stop()
+            self._reader = None
         if getattr(self, "_dev", None) is not None:
             self._lib.rtlsdr_close(self._dev)
             self._dev = None

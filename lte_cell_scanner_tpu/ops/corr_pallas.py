@@ -326,20 +326,30 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
                      t_chunk: int = 16, interpret: bool = False,
                      precision: str = "f32"):
     """Traceable v2 correlation-power (see module notes above)."""
+    if (W_V2 * t_chunk) % 128:
+        raise ValueError("t_chunk must be a multiple of 16 so the "
+                         "output block's lane dimension (120*t_chunk) "
+                         "is 128-aligned")
     xdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
-    need = W_V2 * (n_rows - 1) + KV_V2
-    idx = (W_V2 * jnp.arange(n_rows))[:, None] \
-        + jnp.arange(KV_V2)[None, :]            # [n_rows, 256]
+    # X3[r, 0:120]   = cap[120r .. 120r+119]
+    # X3[r, 120:240] = cap[120r+120 .. 120r+239]
+    # X3[r, 240:256] = cap[120r+240 .. 120r+255]
+    # built from THREE row-shifted slices of the W-strided reshape -- a
+    # plain gather here lowers near-scalar on TPU and dominated the
+    # whole kernel (measured 6.8 ms vs 1.5 ms total; see SCALING.md)
+    n_ext = W_V2 * (n_rows + 2)
     planes = []
     for plane in (cap_re, cap_im):
         p = plane.astype(jnp.float32)
-        pad = need - p.shape[0]
+        pad = n_ext - p.shape[0]
         if pad > 0:
             p = jnp.concatenate([p, jnp.zeros(pad, jnp.float32)])
         else:
-            p = p[:need]
-        planes.append(jnp.take(p, idx, axis=0))
+            p = p[:n_ext]
+        a = p.reshape(n_rows + 2, W_V2)
+        planes.append(jnp.concatenate(
+            [a[:-2], a[1:-1], a[2:, : KV_V2 - 2 * W_V2]], axis=1))
     x3 = jnp.concatenate(planes, axis=1).astype(xdt)    # [n_rows, 512]
 
     n_cols = 2 * W_V2 * t_chunk

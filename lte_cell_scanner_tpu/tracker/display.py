@@ -50,10 +50,12 @@ def render(state: GlobalState, cells: List[TrackedCell],
            plots: bool = False) -> str:
     """Render the full dashboard as a string."""
     lines = []
+    usb = (f" / usb {state.usb_seconds_dropped:.2f}s"
+           if state.usb_seconds_dropped else "")
     lines.append(f"Dongle FO: {state.frequency_offset:9.1f} Hz   "
                  f"searcher cycle: {state.searcher_cycle_time:6.2f} s   "
                  f"dropped: raw {state.raw_seconds_dropped}s / "
-                 f"cell {state.cell_seconds_dropped}s")
+                 f"cell {state.cell_seconds_dropped}s{usb}")
     lines.append(f"Tracking {len(cells)} cell(s)")
     for c in cells:
         lines.append(

@@ -30,6 +30,10 @@ class GlobalState:
     frequency_offset: float = 0.0
     raw_seconds_dropped: int = 0
     cell_seconds_dropped: int = 0
+    # seconds of raw USB bytes dropped at the radio->host ring when the
+    # consumer stalls (the reference surfaces these on the dashboard,
+    # display_thread.cpp:538-541); fed from RtlSdrSource.dropped_seconds
+    usb_seconds_dropped: float = 0.0
     searcher_cycle_time: float = 0.0
     # generic developer scratch parameters, the reference's hidden
     # --g1..--g9 debug knobs (LTE-Tracker.cpp:158-166, globals :52-60):

@@ -137,6 +137,47 @@ def render_screen(tui: TuiState, state: GlobalState,
     return "\n".join(lines)
 
 
+def tui_loop(scr, process_until_next_frame, state: GlobalState,
+             get_cells, duration: Optional[float] = None) -> None:
+    """The shell's event loop against an injected screen object (any
+    object with nodelay/erase/addstr/refresh/getch/getmaxyx --
+    a curses window in production, a fake in the headless CI test).
+    Factored out of run_tui so the erase/paint/getch-dispatch/quit path
+    itself executes under test (reference display loop
+    /root/reference/src/display_thread.cpp:763-830)."""
+    import curses
+    import time
+
+    scr.nodelay(True)
+    tui = TuiState()
+    t_start = time.time()
+    running = True
+    while running:
+        if not process_until_next_frame(tui.refresh_delay_sec):
+            break
+        if duration and time.time() - t_start >= duration:
+            break
+        cells = get_cells()
+        if tui.auto_refresh:
+            scr.erase()
+            text = render_screen(tui, state, cells)
+            maxy, maxx = scr.getmaxyx()
+            for y, ln in enumerate(text.splitlines()[:maxy - 1]):
+                try:
+                    scr.addstr(y, 0, ln[:maxx - 1])
+                except curses.error:
+                    pass
+            scr.refresh()
+        while True:
+            ch = scr.getch()
+            if ch < 0:
+                break
+            tui, quit_ = handle_key(tui, ch, len(cells))
+            if quit_:
+                running = False
+                break
+
+
 def run_tui(process_until_next_frame, state: GlobalState,
             get_cells, duration: Optional[float] = None) -> None:
     """Curses shell: repeatedly advance the tracker loop by ~one refresh
@@ -145,37 +186,10 @@ def run_tui(process_until_next_frame, state: GlobalState,
     process_until_next_frame(seconds) -> False when the stream ended.
     """
     import curses
-    import time
 
     def loop(scr):
         curses.use_default_colors()
-        scr.nodelay(True)
-        tui = TuiState()
-        t_start = time.time()
-        running = True
-        while running:
-            if not process_until_next_frame(tui.refresh_delay_sec):
-                break
-            if duration and time.time() - t_start >= duration:
-                break
-            cells = get_cells()
-            if tui.auto_refresh:
-                scr.erase()
-                text = render_screen(tui, state, cells)
-                maxy, maxx = scr.getmaxyx()
-                for y, ln in enumerate(text.splitlines()[:maxy - 1]):
-                    try:
-                        scr.addstr(y, 0, ln[:maxx - 1])
-                    except curses.error:
-                        pass
-                scr.refresh()
-            while True:
-                ch = scr.getch()
-                if ch < 0:
-                    break
-                tui, quit_ = handle_key(tui, ch, len(cells))
-                if quit_:
-                    running = False
-                    break
+        tui_loop(scr, process_until_next_frame, state, get_cells,
+                 duration)
 
     curses.wrapper(loop)

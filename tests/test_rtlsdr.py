@@ -147,3 +147,87 @@ def test_device_index_bounds():
 def test_no_devices():
     with pytest.raises(RuntimeError, match="no RTL-SDR devices"):
         make_source(lib=FakeLib(n_devices=0))
+
+
+class PacedFakeLib(FakeLib):
+    """FakeLib whose reads are paced (so the reader thread does not
+    spin unboundedly) and fill an incrementing byte pattern."""
+
+    def __init__(self, pace=0.0005, **kw):
+        super().__init__(**kw)
+        self.pace = pace
+        self._ctr = 0
+
+    def rtlsdr_read_sync(self, dev, buf, n, n_read_p):
+        import ctypes
+        import time as _t
+        if self.pace:
+            _t.sleep(self.pace)
+        data = bytes((self._ctr + i) & 0xFF for i in range(n))
+        self._ctr += n
+        ctypes.memmove(buf, data, n)
+        n_read_p._obj.value = n
+        self.bytes_read += n
+        return 0
+
+
+def test_async_stream_slow_consumer_counts_drops():
+    """The reference's async-ingest contract (capbuf.cpp:41-71): a
+    stalled consumer must NOT stall the radio -- the reader thread keeps
+    draining, the ring drops with COUNTERS, and the stream keeps
+    yielding afterwards."""
+    import time
+
+    src, lib = make_source(lib=PacedFakeLib(pace=0.0), agc_settle=False)
+    # tiny ring (1000-sample blocks -> 8000-byte floor) so a slow
+    # consumer overruns within milliseconds of free-running reads
+    gen = src.stream(block=1000, ring_seconds=1e-9, poll_sleep=1e-4)
+    first = next(gen)
+    assert len(first) == 1000
+    time.sleep(0.05)            # stalled consumer; reader keeps reading
+    second = next(gen)          # stream survives the stall
+    assert len(second) == 1000
+    reader = src._reader
+    assert reader.dropped_bytes > 0
+    assert reader.overruns > 0
+    assert src.dropped_seconds() == pytest.approx(
+        reader.dropped_bytes / (2.0 * src.fs_programmed))
+    gen.close()                 # generator finally: reader stops
+    assert src._reader is None
+    src.close()
+
+
+def test_async_stream_no_drops_when_consumer_keeps_up():
+    """A consumer faster than the (paced) radio sees a gap-free
+    incrementing byte stream and zero drops."""
+    src, lib = make_source(lib=PacedFakeLib(pace=0.0005),
+                           agc_settle=False)
+    gen = src.stream(block=2000, ring_seconds=2.0, poll_sleep=1e-4)
+    blocks = [next(gen) for _ in range(5)]
+    reader = src._reader
+    assert reader.dropped_bytes == 0
+    assert src.dropped_seconds() == 0.0
+    gen.close()
+    # continuity: undo the (x-127)/128 scaling back to the u8 pattern
+    raw = np.empty(2 * sum(len(b) for b in blocks), dtype=np.uint8)
+    flat = np.concatenate(blocks)
+    raw[0::2] = np.round(flat.real * 128 + 127).astype(np.uint8)
+    raw[1::2] = np.round(flat.imag * 128 + 127).astype(np.uint8)
+    expected = (np.arange(raw.size) & 0xFF).astype(np.uint8)
+    assert np.array_equal(raw, expected)
+    src.close()
+
+
+def test_async_stream_surfaces_reader_death():
+    """A dead USB endpoint surfaces as a RuntimeError from the stream,
+    not a silent hang."""
+    src, lib = make_source(agc_settle=False)
+
+    def boom(dev, buf, n, n_read_p):
+        raise OSError("usb gone")
+
+    lib.rtlsdr_read_sync = boom
+    gen = src.stream(block=1000, poll_sleep=1e-4)
+    with pytest.raises(RuntimeError, match="reader thread died"):
+        next(gen)
+    src.close()

@@ -100,3 +100,120 @@ def test_render_screen_std_and_detail():
     text = render_screen(tui, gs, cells)
     assert "detail 3/4" in text
     assert "ac_fd" in text
+
+
+class FakeScreen:
+    """Headless stand-in for a curses window: scripted key stream,
+    painted text captured."""
+
+    def __init__(self, keys):
+        self._keys = list(keys)
+        self.painted = []
+        self.frames = 0
+        self.erases = 0
+        self.refreshes = 0
+
+    def nodelay(self, flag):
+        self.nodelay_set = flag
+
+    def erase(self):
+        self.erases += 1
+
+    def getmaxyx(self):
+        return (40, 120)
+
+    def addstr(self, y, x, s):
+        self.painted.append(s)
+
+    def refresh(self):
+        self.refreshes += 1
+
+    def getch(self):
+        if self._keys:
+            v = self._keys.pop(0)
+            return ord(v) if isinstance(v, str) else v
+        return -1
+
+
+def test_tui_loop_headless_quit_path():
+    """The shell loop itself (erase/paint/getch dispatch/quit) executes
+    headlessly: keys flow through handle_key, 'q' exits while the
+    stream is still live (VERDICT r2 item 8)."""
+    from lte_cell_scanner_tpu.tracker.tui import tui_loop
+
+    gs = GlobalState(fc_requested=739e6, fc_programmed=739e6,
+                     fs_programmed=1.92e6)
+    cells = [_cell(277)]
+    # frame 1: no key; frame 2: toggle fifo + select; frame 3: quit
+    scr = FakeScreen([-1, "f", "j", -1, "q"])
+    calls = []
+
+    def process_for(seconds):
+        calls.append(seconds)
+        return True                   # stream never ends: only 'q' exits
+
+    tui_loop(scr, process_for, gs, lambda: cells)
+    assert len(calls) >= 2            # loop ran multiple frames
+    assert scr.erases >= 2 and scr.refreshes >= 2
+    joined = "\n".join(scr.painted)
+    assert "q quit" in joined and "Cell 277" in joined
+
+
+def test_tui_loop_headless_stream_end():
+    from lte_cell_scanner_tpu.tracker.tui import tui_loop
+
+    gs = GlobalState(fc_requested=739e6, fc_programmed=739e6,
+                     fs_programmed=1.92e6)
+    scr = FakeScreen([])
+    seen = []
+
+    def process_for(seconds):
+        seen.append(1)
+        return len(seen) < 3          # stream ends on the 3rd frame
+
+    tui_loop(scr, process_for, gs, lambda: [])
+    assert len(seen) == 3
+
+
+def test_run_tui_real_curses_under_pty():
+    """run_tui itself -- curses.wrapper, real terminal init -- enters
+    and exits via the 'q' key on a pty."""
+    import os
+    import pty
+    import subprocess
+    import sys
+    import time
+
+    child = (
+        "from lte_cell_scanner_tpu.tracker.tui import run_tui\n"
+        "from lte_cell_scanner_tpu.tracker.state import GlobalState\n"
+        "gs = GlobalState(fc_requested=739e6, fc_programmed=739e6,\n"
+        "                 fs_programmed=1.92e6)\n"
+        "run_tui(lambda s: True, gs, lambda: [])\n"
+        "print('TUI-EXITED-CLEANLY')\n")
+    master, slave = pty.openpty()
+    env = dict(os.environ)
+    env["TERM"] = "xterm"
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child], stdin=slave, stdout=slave,
+        stderr=subprocess.PIPE, env=env, close_fds=True)
+    os.close(slave)
+    try:
+        time.sleep(1.0)               # let curses init + first frame
+        os.write(master, b"q")
+        out = b""
+        deadline = time.time() + 20
+        while time.time() < deadline and proc.poll() is None:
+            time.sleep(0.1)
+        assert proc.poll() == 0, \
+            f"run_tui child rc={proc.poll()}: {proc.stderr.read()[-2000:]}"
+        try:
+            out = os.read(master, 65536)
+        except OSError:
+            pass
+        assert b"TUI-EXITED-CLEANLY" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        os.close(master)

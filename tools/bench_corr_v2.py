@@ -1,0 +1,187 @@
+"""On-chip sweep of the correlation kernels: v1 banded vs v2 im2col.
+
+Times, under the transfer-synced checksum scheme (see
+tools/bench_kernels.py "Measurement methodology" -- block-only timing is
+fiction on this runtime):
+
+  mxu_peak        R chained [4096x4096]x[4096x4096] bf16 matmuls -- the
+                  honest-clock achievable MXU rate on this chip, the MFU
+                  denominator used in docs/SCALING.md
+  v1_bf16         production banded kernel (ops/corr_pallas.corr_pow_core)
+  v2_bf16_M*_T*   im2col kernel (corr_pow_core_v2) at each
+                  (rows_per_block, t_chunk) combination
+
+Each correlation program folds R kernel invocations over R
+jnp.roll-shifted copies of the capture inside ONE device program, so
+per-kernel on-die time = wall / (K * R) even when the tunnel's
+per-dispatch issue rate floors small programs.  The checksum depends on
+every invocation; inputs differ per invocation and per buffer, so no
+(program, inputs) pair ever repeats.
+
+Usage: python tools/bench_corr_v2.py [--ppm 100] [--repeats 4] [--inner 8]
+       [--json] [--platform tpu|cpu] [--variants v1,v2_128_16,...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--ppm", type=float, default=100.0)
+ap.add_argument("--repeats", type=int, default=4,
+                help="distinct single-use buffers per timed program")
+ap.add_argument("--inner", type=int, default=8,
+                help="kernel invocations folded inside one program")
+ap.add_argument("--json", action="store_true")
+ap.add_argument("--platform", default="tpu")
+ap.add_argument("--variants", default="peak,v1,v2_64_16,v2_128_16,"
+                                      "v2_256_16,v2_128_8")
+ARGS = ap.parse_args()
+
+from _bench_common import enable_compile_cache, setup_platform  # noqa: E402
+
+setup_platform(ARGS.platform, x64_on_cpu=False)
+enable_compile_cache()
+
+import jax.numpy as jnp  # noqa: E402
+
+from lte_cell_scanner_tpu.constants import FS_LTE, PSS_TD_LEN  # noqa: E402
+from lte_cell_scanner_tpu.models.search import default_f_search_set  # noqa: E402
+from lte_cell_scanner_tpu.models.xcorr import pss_templates  # noqa: E402
+from lte_cell_scanner_tpu.ops.corr_pallas import (  # noqa: E402
+    bands_for_templates, bands_v2_for_templates, corr_pow_core,
+    corr_pow_core_v2, plan_pallas, plan_pallas_v2)
+from lte_cell_scanner_tpu.utils import read_itfile  # noqa: E402
+
+
+def timed_throughput(fn, bufs):
+    jax.device_get(fn(*bufs[0]))          # compile + true sync
+    t0 = time.perf_counter()
+    outs = [fn(re, im) for re, im in bufs]
+    jax.device_get(outs)                  # the only reliable barrier
+    return (time.perf_counter() - t0) / len(bufs)
+
+
+def main():
+    fs = FS_LTE / 16
+    fc = 739e6
+    R = ARGS.inner
+    try:
+        capbuf = read_itfile("/root/reference/test/capbuf_0000.it")["capbuf"]
+    except Exception:
+        rng = np.random.default_rng(0)
+        capbuf = (rng.normal(size=153600) + 1j * rng.normal(size=153600)) \
+            * 0.1
+    capbuf = np.asarray(capbuf, np.complex64)
+    n_cap = len(capbuf)
+    n_lags = n_cap - (PSS_TD_LEN - 1)
+
+    f_set = default_f_search_set(fc, ARGS.ppm)
+    tmpl_flat = pss_templates(f_set, fc, fc, fs,
+                              np.complex64).reshape(-1, PSS_TD_LEN)
+    t_count = tmpl_flat.shape[0]
+    variants = ARGS.variants.split(",")
+
+    res = {"backend": jax.default_backend(), "n_templates": t_count,
+           "n_lags": n_lags, "inner": R, "buffers": ARGS.repeats}
+    # useful (minimal im2col) FLOPs per kernel invocation
+    useful_flops = 8.0 * t_count * n_lags * PSS_TD_LEN
+    res["useful_gflop_per_call"] = round(useful_flops / 1e9, 2)
+
+    bufs = []
+    for k in range(ARGS.repeats):
+        c = np.roll(capbuf, 977 * k + 1)
+        bufs.append((jnp.asarray(np.ascontiguousarray(c.real)),
+                     jnp.asarray(np.ascontiguousarray(c.imag))))
+    for re, im in bufs:
+        re.block_until_ready()
+        im.block_until_ready()
+
+    if "peak" in variants:
+        rngp = np.random.default_rng(1)
+        w_np = rngp.normal(size=(4096, 4096)).astype(np.float32)
+
+        @jax.jit
+        def mxu_peak(re, im):
+            x = jnp.tile(re[: 4096 * 36].reshape(36, 4096),
+                         (114, 1))[:4096].astype(jnp.bfloat16)
+            w = jnp.asarray(w_np, jnp.bfloat16)
+            for _ in range(R):
+                # 1/64 keeps the chained products in bf16 range
+                x = jnp.dot(x, w,
+                            preferred_element_type=jnp.bfloat16) * 0.015625
+            return jnp.sum(x.astype(jnp.float32))
+
+        dt = timed_throughput(mxu_peak, bufs)
+        flops = R * 2.0 * 4096 ** 3
+        res["mxu_peak_ms_per_matmul"] = round(dt * 1e3 / R, 4)
+        res["mxu_peak_tflops"] = round(flops / dt / 1e12, 1)
+
+    def add(name, fn, raw_flops_per_call):
+        try:
+            dt = timed_throughput(fn, bufs) / R
+        except Exception as e:  # noqa: BLE001 - report, keep sweeping
+            res[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            return
+        res[f"{name}_ms"] = round(dt * 1e3, 4)
+        res[f"{name}_useful_tflops"] = round(useful_flops / dt / 1e12, 2)
+        res[f"{name}_raw_tflops"] = round(raw_flops_per_call / dt / 1e12, 1)
+
+    if "v1" in variants:
+        g_re, g_im = bands_for_templates(tmpl_flat, precision="bf16")
+        t_pad, n_tc, n_rows, n_rb = plan_pallas(t_count, n_lags)
+
+        @jax.jit
+        def v1(re, im):
+            acc = jnp.float32(0)
+            for r in range(R):
+                out = corr_pow_core(jnp.roll(re, 131 * r),
+                                    jnp.roll(im, 131 * r),
+                                    g_re, g_im, n_lags, t_count, t_pad,
+                                    n_tc, n_rows, n_rb, precision="bf16")
+                acc = acc + jnp.sum(out)
+            return acc
+
+        add("v1_bf16", v1, 12.0 * n_rows * 128 * 128 * t_pad)
+
+    for v in variants:
+        if not v.startswith("v2_"):
+            continue
+        _, m_s, t_s = v.split("_")
+        m, tc = int(m_s), int(t_s)
+        g2 = bands_v2_for_templates(tmpl_flat, precision="bf16",
+                                    t_chunk=tc)
+        t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(t_count, n_lags,
+                                                   rows_per_block=m,
+                                                   t_chunk=tc)
+
+        def mk(g2, m, tc, t_pad, n_tc, n_rows, n_rb):
+            @jax.jit
+            def v2(re, im):
+                acc = jnp.float32(0)
+                for r in range(R):
+                    out = corr_pow_core_v2(
+                        jnp.roll(re, 131 * r), jnp.roll(im, 131 * r),
+                        g2, n_lags, t_count, t_pad, n_tc, n_rows, n_rb,
+                        rows_per_block=m, t_chunk=tc, precision="bf16")
+                    acc = acc + jnp.sum(out)
+                return acc
+            return v2
+
+        add(f"v2_bf16_{m}_{tc}", mk(g2, m, tc, t_pad, n_tc, n_rows, n_rb),
+            2.0 * n_rows * 512 * 2 * 120 * tc * n_tc)
+
+    print(json.dumps(res) if ARGS.json else
+          "\n".join(f"{k:26} {v}" for k, v in res.items()))
+
+
+if __name__ == "__main__":
+    main()
