@@ -258,16 +258,21 @@ def plan_pallas_v2(t_count: int, n_lags: int, rows_per_block: int = 128,
 
 
 def _im2col_bands(templates: np.ndarray, t_pad: int, n_tc: int,
-                  t_chunk: int) -> np.ndarray:
+                  t_chunk: int, tc_major: bool = False) -> np.ndarray:
     """[512, n_tc * 2 * W * t_chunk] float32 coefficient matrix.
 
     Per chunk j the column block is [(half, c, tc)] (half 0 = Re(xc),
-    1 = Im(xc); c-major like v1):
+    1 = Im(xc); c-major by default):
         G[k,      (0,c,t)] =  Re(tmpl[t, k-c])   (0 <= k-c < 137)
         G[256+k', (0,c,t)] = -Im(tmpl[t, k'-c])
         G[k,      (1,c,t)] =  Im(tmpl[t, k-c])
         G[256+k', (1,c,t)] =  Re(tmpl[t, k'-c])
-    so that X3 @ G = [Re(xc) | Im(xc)] for X3 = [cap_re | cap_im]."""
+    so that X3 @ G = [Re(xc) | Im(xc)] for X3 = [cap_re | cap_im].
+
+    tc_major=True orders each block's columns [(half, tc, c)] instead:
+    the W lags of one template are then CONTIGUOUS in the dot output,
+    which is what lets the v3 kernel emit [template, lag] layout
+    directly (no giant XLA transpose downstream)."""
     tmpl = np.zeros((t_pad, PSS_TD_LEN), dtype=np.complex64)
     tmpl[: templates.shape[0]] = templates
     k, c = np.meshgrid(np.arange(KV_V2), np.arange(W_V2), indexing="ij")
@@ -282,7 +287,8 @@ def _im2col_bands(templates: np.ndarray, t_pad: int, n_tc: int,
     g[:KV_V2, 1] = v
     g[KV_V2:, 1] = u
     g = g.reshape(2 * KV_V2, 2, W_V2, n_tc, t_chunk)
-    g = np.transpose(g, (0, 3, 1, 2, 4))     # [512, n_tc, 2, W, Tc]
+    perm = (0, 3, 1, 4, 2) if tc_major else (0, 3, 1, 2, 4)
+    g = np.transpose(g, perm)   # [512, n_tc, 2, (Tc,W) or (W,Tc)]
     return np.ascontiguousarray(
         g.reshape(2 * KV_V2, n_tc * 2 * W_V2 * t_chunk))
 
@@ -291,18 +297,19 @@ _band_v2_cache = {}
 
 
 def bands_v2_for_templates(templates, precision: str = "bf16",
-                           t_chunk: int = 16):
-    """Host-built v2 coefficient matrix for a [T, 137] template set
+                           t_chunk: int = 16, tc_major: bool = False):
+    """Host-built v2/v3 coefficient matrix for a [T, 137] template set
     (content-cached, like bands_for_templates)."""
     templates = np.asarray(templates).reshape(-1, PSS_TD_LEN) \
         .astype(np.complex64)
-    key = (templates.shape, templates.tobytes(), precision, t_chunk)
+    key = (templates.shape, templates.tobytes(), precision, t_chunk,
+           tc_major)
     hit = _band_v2_cache.get(key)
     if hit is not None:
         return hit
     t_pad, n_tc, _, _ = plan_pallas_v2(templates.shape[0], 1,
                                        t_chunk=t_chunk)
-    g = _im2col_bands(templates, t_pad, n_tc, t_chunk)
+    g = _im2col_bands(templates, t_pad, n_tc, t_chunk, tc_major)
     gdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     g = jnp.asarray(g, gdt)
     if len(_band_v2_cache) > 8:
@@ -317,15 +324,42 @@ def _corr_kernel_v2(x_ref, g_ref, out_ref):
     h = acc.shape[1] // 2
     xr = acc[:, :h]
     xi = acc[:, h:]
-    out_ref[:] = xr * xr + xi * xi
+    out_ref[:] = (xr * xr + xi * xi).astype(out_ref.dtype)
+
+
+def _corr_kernel_v3(x_ref, g_ref, out_ref):
+    """tc-major columns + IN-KERNEL transpose: emits a [Tc, M*W] block
+    of the final [template, lag] layout, so the 59-118 MB XLA transpose
+    downstream of v2 disappears (the chip's effective streaming HBM
+    bandwidth is ~190 GB/s -- the v2 kernel was output-traffic-bound,
+    see docs/SCALING.md)."""
+    m = x_ref.shape[0]
+    acc = jnp.dot(x_ref[:], g_ref[:],
+                  preferred_element_type=jnp.float32)   # [M, 2*Tc*W]
+    h = acc.shape[1] // 2
+    tc = h // W_V2
+    xr = acc[:, :h]
+    xi = acc[:, h:]
+    pw = xr * xr + xi * xi                              # [M, Tc*W]
+    pw = pw.reshape(m, tc, W_V2)
+    pw = jnp.transpose(pw, (1, 0, 2))                   # [Tc, M, W]
+    out_ref[:] = pw.reshape(tc, m * W_V2).astype(out_ref.dtype)
 
 
 def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
                      t_pad: int, n_tc: int, n_rows: int,
                      n_row_blocks: int, rows_per_block: int = 128,
                      t_chunk: int = 16, interpret: bool = False,
-                     precision: str = "f32"):
-    """Traceable v2 correlation-power (see module notes above)."""
+                     precision: str = "f32", post: str = "xla",
+                     out_dtype=jnp.float32):
+    """Traceable v2/v3 correlation-power (see module notes above).
+
+    post="xla": c-major columns, kernel emits [rows, cols] blocks, one
+    XLA transpose produces [template, lag].  post="kernel" (v3):
+    tc-major columns + in-kernel transpose emit [template, lag]
+    directly.  out_dtype=jnp.bfloat16 halves the output-side HBM
+    traffic (storage rounding ~0.4% on powers; the fold still
+    accumulates in f32)."""
     if (W_V2 * t_chunk) % 128:
         raise ValueError("t_chunk must be a multiple of 16 so the "
                          "output block's lane dimension (120*t_chunk) "
@@ -354,26 +388,43 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
 
     n_cols = 2 * W_V2 * t_chunk
     grid = (n_tc, n_row_blocks)
+    cost = pl.CostEstimate(
+        flops=2 * n_rows * 2 * KV_V2 * n_cols * n_tc,
+        bytes_accessed=n_rows * (2 * KV_V2 * 2 * n_tc
+                                 + 4 * W_V2 * t_pad),
+        transcendentals=0,
+    )
+    in_specs = [
+        pl.BlockSpec((rows_per_block, 2 * KV_V2), lambda j, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * KV_V2, n_cols), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if post == "kernel":
+        out = pl.pallas_call(
+            _corr_kernel_v3,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (t_chunk, rows_per_block * W_V2), lambda j, i: (j, i),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_pad, n_rows * W_V2),
+                                           out_dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x3, g)
+        return out[:t_count, :n_lags]
+
     out = pl.pallas_call(
         _corr_kernel_v2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows_per_block, 2 * KV_V2), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * KV_V2, n_cols), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rows_per_block, W_V2 * t_chunk),
                                lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, W_V2 * t_pad),
-                                       jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_rows * 2 * KV_V2 * n_cols * n_tc,
-            bytes_accessed=n_rows * (2 * KV_V2 * 2 * n_tc
-                                     + 4 * W_V2 * t_pad),
-            transcendentals=0,
-        ),
+                                       out_dtype),
+        cost_estimate=cost,
         interpret=interpret,
     )(x3, g)
 

@@ -135,6 +135,84 @@ def main():
         res[f"{name}_useful_tflops"] = round(useful_flops / dt / 1e12, 2)
         res[f"{name}_raw_tflops"] = round(raw_flops_per_call / dt / 1e12, 1)
 
+    if "bw" in variants:
+        # HBM read-bandwidth probe on the honest clock: sum a 59 MB f32
+        # array R times (rolled so no (program, inputs) pair repeats)
+        big_np = np.arange(1280 * 11520, dtype=np.float32) * 1e-6
+        nbytes = big_np.nbytes
+
+        @jax.jit
+        def bw(re, im):
+            big = jnp.asarray(big_np) + re[0] + im[0]
+            acc = jnp.float32(0)
+            for r in range(R):
+                acc = acc + jnp.sum(jnp.roll(big, 97 * r) * (r + 1))
+            return acc
+
+        dt = timed_throughput(bw, bufs) / R
+        # each iteration: roll = read+write, sum = read => ~3x nbytes
+        res["bw_ms_per_59MB_roll_sum"] = round(dt * 1e3, 4)
+        res["bw_GBps_est"] = round(3 * nbytes / dt / 1e9, 1)
+
+    if "v2sum" in variants:
+        # kernel compute + input traffic only: per-block checksums
+        # instead of the 59 MB power map (isolates the output-side cost)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from lte_cell_scanner_tpu.ops.corr_pallas import KV_V2, W_V2
+
+        g2 = bands_v2_for_templates(tmpl_flat, precision="bf16",
+                                    t_chunk=16)
+        t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(t_count, n_lags,
+                                                   rows_per_block=128,
+                                                   t_chunk=16)
+
+        def _sum_kernel(x_ref, g_ref, out_ref):
+            acc = jnp.dot(x_ref[:], g_ref[:],
+                          preferred_element_type=jnp.float32)
+            h = acc.shape[1] // 2
+            xr = acc[:, :h]
+            xi = acc[:, h:]
+            s = jnp.sum(xr * xr + xi * xi, axis=0, keepdims=True)
+            out_ref[:] = jnp.broadcast_to(s[:, :128], (8, 128))
+
+        def v2sum_once(re, im, shift):
+            n_ext = W_V2 * (n_rows + 2)
+            planes = []
+            for plane in (jnp.roll(re, shift), jnp.roll(im, shift)):
+                p = plane.astype(jnp.float32)
+                p = jnp.concatenate(
+                    [p, jnp.zeros(n_ext - p.shape[0], jnp.float32)])
+                a = p.reshape(n_rows + 2, W_V2)
+                planes.append(jnp.concatenate(
+                    [a[:-2], a[1:-1], a[2:, : KV_V2 - 2 * W_V2]], axis=1))
+            x3 = jnp.concatenate(planes, axis=1).astype(jnp.bfloat16)
+            out = pl.pallas_call(
+                _sum_kernel,
+                grid=(n_tc, n_rb),
+                in_specs=[
+                    pl.BlockSpec((128, 2 * KV_V2), lambda j, i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2 * KV_V2, 2 * W_V2 * 16),
+                                 lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((8, 128), lambda j, i: (i, j),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((8 * n_rb, 128 * n_tc),
+                                               jnp.float32),
+            )(x3, g2)
+            return jnp.sum(out)
+
+        @jax.jit
+        def v2sum(re, im):
+            acc = jnp.float32(0)
+            for r in range(R):
+                acc = acc + v2sum_once(re, im, 131 * r)
+            return acc
+
+        add("v2sum_bf16", v2sum, 2.0 * n_rows * 512 * 2 * 120 * 16 * n_tc)
+
     if "v1" in variants:
         g_re, g_im = bands_for_templates(tmpl_flat, precision="bf16")
         t_pad, n_tc, n_rows, n_rb = plan_pallas(t_count, n_lags)
@@ -152,18 +230,25 @@ def main():
 
         add("v1_bf16", v1, 12.0 * n_rows * 128 * 128 * t_pad)
 
+    # v2_M_T: c-major cols + XLA transpose, f32 out
+    # v2b_M_T: same with bf16 out; v3_M_T / v3b_M_T: tc-major cols +
+    # in-kernel transpose ([template, lag] emitted directly)
     for v in variants:
-        if not v.startswith("v2_"):
+        kind = v.split("_")[0]
+        if kind not in ("v2", "v2b", "v3", "v3b"):
             continue
         _, m_s, t_s = v.split("_")
         m, tc = int(m_s), int(t_s)
+        post = "kernel" if kind.startswith("v3") else "xla"
+        odt = jnp.bfloat16 if kind.endswith("b") else jnp.float32
         g2 = bands_v2_for_templates(tmpl_flat, precision="bf16",
-                                    t_chunk=tc)
+                                    t_chunk=tc,
+                                    tc_major=(post == "kernel"))
         t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(t_count, n_lags,
                                                    rows_per_block=m,
                                                    t_chunk=tc)
 
-        def mk(g2, m, tc, t_pad, n_tc, n_rows, n_rb):
+        def mk(g2, m, tc, t_pad, n_tc, n_rows, n_rb, post, odt):
             @jax.jit
             def v2(re, im):
                 acc = jnp.float32(0)
@@ -171,12 +256,14 @@ def main():
                     out = corr_pow_core_v2(
                         jnp.roll(re, 131 * r), jnp.roll(im, 131 * r),
                         g2, n_lags, t_count, t_pad, n_tc, n_rows, n_rb,
-                        rows_per_block=m, t_chunk=tc, precision="bf16")
-                    acc = acc + jnp.sum(out)
+                        rows_per_block=m, t_chunk=tc, precision="bf16",
+                        post=post, out_dtype=odt)
+                    acc = acc + jnp.sum(out.astype(jnp.float32))
                 return acc
             return v2
 
-        add(f"v2_bf16_{m}_{tc}", mk(g2, m, tc, t_pad, n_tc, n_rows, n_rb),
+        add(f"{kind}_bf16_{m}_{tc}",
+            mk(g2, m, tc, t_pad, n_tc, n_rows, n_rb, post, odt),
             2.0 * n_rows * 512 * 2 * 120 * tc * n_tc)
 
     print(json.dumps(res) if ARGS.json else
