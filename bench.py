@@ -119,25 +119,25 @@ def main():
     # checksum over every output, each timed call gets a DISTINCT
     # single-use buffer, and one final device_get of all checksums
     # closes the pipeline.  wall / K = steady-state scan throughput.
-    # production correlation backend: the Pallas block-Toeplitz kernel
-    # on TPU (measured 1.8x the XLA-dot front end under transfer-synced
-    # timing), XLA dot elsewhere.  Bands ride as ARGUMENTS -- closing
-    # over device arrays would embed them as MLIR constants and pull
-    # them device->host at lowering.
+    # production correlation backend: the Pallas v2 im2col kernel on TPU
+    # (K=256 sample span, one merged MXU dot, bf16 power output folded
+    # in f32 -- docs/SCALING.md), XLA dot elsewhere.  Bands ride as
+    # ARGUMENTS -- closing over device arrays would embed them as MLIR
+    # constants and pull them device->host at lowering.
     from lte_cell_scanner_tpu.models.xcorr import use_pallas_corr
     bands = ()
     if use_pallas_corr("auto"):
-        from lte_cell_scanner_tpu.ops.corr_pallas import bands_for_templates
-        bands = bands_for_templates(templates, precision="bf16")
+        from lte_cell_scanner_tpu.ops.corr_pallas import \
+            prod_bands_for_templates
+        bands = (prod_bands_for_templates(templates.reshape(-1, 137)),)
 
     @jax.jit
     def launch(re, im, *g):
-        kw = {"g_re": g[0], "g_im": g[1]} if g else {}
         out = _xcorr_core_impl(jax.lax.complex(re, im), templates,
-                               start_idx, 2, keep_xc=False, lean=True, **kw)
+                               start_idx, 2, False, True, *g)
         _s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab = out
         return (jnp.sum(pow_c) + jnp.sum(sp_inc) + jnp.sum(slab)
-                + jnp.sum(frq_c))
+                + jnp.sum(frq_c.astype(jnp.float32)))
 
     n_iter, n_rounds = 24, 4
     bufs = []

@@ -91,12 +91,14 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
     frequency.  Cuts the device->host transfer ~6x at the default grid
     (the scan path never needs the full [3, n_f, 9600] tensor).
 
-    g_re/g_im (optional): host-built banded template matrices routing
-    the correlation through the Pallas block-Toeplitz kernel
-    (ops/corr_pallas.py) instead of the XLA im2col dot -- measured 2.6x
-    faster on the target chip under transfer-synced timing (the TPU
-    production path; see docs/SCALING.md "Pallas kernel").  Requires
-    keep_xc=False (the kernel fuses |.|^2 and never materializes the
+    g_re/g_im (optional): host-built template matrices routing the
+    correlation through a Pallas kernel (ops/corr_pallas.py) instead of
+    the XLA im2col dot -- the TPU production path (see docs/SCALING.md
+    "Pallas kernel").  Passing g_re ALONE selects the production v2/v3
+    im2col kernel (K=256 span, single merged dot, bf16 power output that
+    the fold accumulates in f32); passing the (g_re, g_im) pair selects
+    the original banded block-Toeplitz kernel (kept for A/B).  Requires
+    keep_xc=False (the kernels fuse |.|^2 and never materialize the
     complex correlation).
     """
     n_f = templates.shape[1]
@@ -107,16 +109,34 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
         if keep_xc:
             raise ValueError("pallas correlation backend cannot return "
                              "the complex correlation (keep_xc=True)")
-        from ..ops.corr_pallas import corr_pow_core, plan_pallas
         t_count = 3 * n_f
-        t_pad, n_tc, n_rows, n_rb = plan_pallas(t_count, n_lags)
         prec = "bf16" if g_re.dtype == jnp.bfloat16 else "f32"
         # interpret mode off-TPU so CPU CI can execute this branch
         interp = jax.default_backend() != "tpu"
-        xc2 = corr_pow_core(jnp.real(capbuf), jnp.imag(capbuf), g_re, g_im,
-                            n_lags, t_count, t_pad, n_tc, n_rows, n_rb,
-                            interpret=interp, precision=prec)
-        xc2 = xc2.astype(rdt).reshape(3, n_f, n_lags)
+        if g_im is None:
+            from ..ops.corr_pallas import (PROD_V2_OUT_DTYPE,
+                                           PROD_V2_POST,
+                                           corr_pow_core_v2,
+                                           plan_pallas_v2)
+            t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(t_count, n_lags)
+            odt = PROD_V2_OUT_DTYPE if prec == "bf16" else jnp.float32
+            xc2 = corr_pow_core_v2(
+                jnp.real(capbuf), jnp.imag(capbuf), g_re, n_lags,
+                t_count, t_pad, n_tc, n_rows, n_rb, interpret=interp,
+                precision=prec, post=PROD_V2_POST, out_dtype=odt)
+        else:
+            from ..ops.corr_pallas import corr_pow_core, plan_pallas
+            t_pad, n_tc, n_rows, n_rb = plan_pallas(t_count, n_lags)
+            xc2 = corr_pow_core(jnp.real(capbuf), jnp.imag(capbuf),
+                                g_re, g_im, n_lags, t_count, t_pad,
+                                n_tc, n_rows, n_rb, interpret=interp,
+                                precision=prec)
+        if xc2.dtype != rdt and xc2.dtype != jnp.bfloat16:
+            xc2 = xc2.astype(rdt)
+        # bf16 power maps stay bf16 here: the fold's f32 accumulator
+        # promotes each slice on read, so casting up front would only
+        # double the map's HBM footprint
+        xc2 = xc2.reshape(3, n_f, n_lags)
         xc = None
     else:
         # --- xc_correlate: one MXU matmul over all templates ---------------
@@ -234,9 +254,9 @@ def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
 
     bands = ()
     if not keep_xc and use_pallas_corr(corr_backend):
-        from ..ops.corr_pallas import bands_for_templates
-        bands = bands_for_templates(tmpl_host.astype(np.complex64),
-                                    precision="bf16")
+        from ..ops.corr_pallas import prod_bands_for_templates
+        bands = (prod_bands_for_templates(
+            tmpl_host.astype(np.complex64).reshape(-1, PSS_TD_LEN)),)
 
     (xc_single, xc_inc, pow_c, frq_c, sp, sp_inc, xc, slab) = _xcorr_core(
         capbuf, templates, start_idx, ds_comb_arm, keep_xc, lean, *bands)

@@ -246,6 +246,21 @@ _corr_pow_jit = partial(jax.jit,
 W_V2 = 120          # lags per im2col row
 KV_V2 = 256         # sample span per row (covers W-1 + 137 taps)
 
+# Production configuration of the v2/v3 kernel family, picked by the
+# on-chip A/B (tools/bench_corr_v2.py; see docs/SCALING.md):
+# post="kernel" = v3 (in-kernel transpose, no XLA transpose downstream),
+# bf16 output (halves output-side HBM traffic; storage rounding ~0.2%
+# on detection powers, folds still accumulate f32).
+PROD_V2_POST = "xla"
+PROD_V2_OUT_DTYPE = jnp.bfloat16
+
+
+def prod_bands_for_templates(templates):
+    """The production band matrix for the v2/v3 kernel (single array;
+    layout matches PROD_V2_POST)."""
+    return bands_v2_for_templates(templates, precision="bf16",
+                                  tc_major=(PROD_V2_POST == "kernel"))
+
 
 def plan_pallas_v2(t_count: int, n_lags: int, rows_per_block: int = 128,
                    t_chunk: int = 16):
@@ -328,22 +343,30 @@ def _corr_kernel_v2(x_ref, g_ref, out_ref):
 
 
 def _corr_kernel_v3(x_ref, g_ref, out_ref):
-    """tc-major columns + IN-KERNEL transpose: emits a [Tc, M*W] block
-    of the final [template, lag] layout, so the 59-118 MB XLA transpose
-    downstream of v2 disappears (the chip's effective streaming HBM
-    bandwidth is ~190 GB/s -- the v2 kernel was output-traffic-bound,
-    see docs/SCALING.md)."""
+    """tc-major columns + IN-KERNEL transpose: emits a [Tc, M, W] block
+    of the final [template, lag-row, W] layout, so the 59-118 MB XLA
+    transpose downstream of v2 disappears (the chip's effective
+    streaming HBM bandwidth is ~190 GB/s -- the v2 kernel was
+    output-traffic-bound, see docs/SCALING.md).
+
+    The dot runs operand-swapped (G contracted on its K rows against
+    X's K columns) so its output is [cols, M]; the template/W split is
+    then a SUBLANE reshape (1920 = 16*120, 8-aligned) and only a
+    last-two-dims (W, M) -> (M, W) transpose remains, which Mosaic
+    lowers natively -- the axis-rotating (M, Tc, W) -> (Tc, M, W)
+    formulation crashed the Mosaic compiler."""
     m = x_ref.shape[0]
-    acc = jnp.dot(x_ref[:], g_ref[:],
-                  preferred_element_type=jnp.float32)   # [M, 2*Tc*W]
-    h = acc.shape[1] // 2
+    acc = jax.lax.dot_general(
+        g_ref[:], x_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [2*Tc*W, M]
+    h = acc.shape[0] // 2
     tc = h // W_V2
-    xr = acc[:, :h]
-    xi = acc[:, h:]
-    pw = xr * xr + xi * xi                              # [M, Tc*W]
-    pw = pw.reshape(m, tc, W_V2)
-    pw = jnp.transpose(pw, (1, 0, 2))                   # [Tc, M, W]
-    out_ref[:] = pw.reshape(tc, m * W_V2).astype(out_ref.dtype)
+    xr = acc[:h]
+    xi = acc[h:]
+    pw = xr * xr + xi * xi                              # [Tc*W, M]
+    pw = pw.reshape(tc, W_V2, m)
+    pw = jnp.transpose(pw, (0, 2, 1))                   # [Tc, M, W]
+    out_ref[:] = pw.astype(out_ref.dtype)
 
 
 def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
@@ -406,14 +429,16 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (t_chunk, rows_per_block * W_V2), lambda j, i: (j, i),
+                (t_chunk, rows_per_block, W_V2), lambda j, i: (j, i, 0),
                 memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((t_pad, n_rows * W_V2),
+            out_shape=jax.ShapeDtypeStruct((t_pad, n_rows, W_V2),
                                            out_dtype),
             cost_estimate=cost,
             interpret=interpret,
         )(x3, g)
-        return out[:t_count, :n_lags]
+        # merging the trailing (rows, W) dims of a row-major array is a
+        # free reshape -- no transpose ever materializes
+        return out.reshape(t_pad, n_rows * W_V2)[:t_count, :n_lags]
 
     out = pl.pallas_call(
         _corr_kernel_v2,

@@ -72,12 +72,10 @@ def _front_one(capbuf, templates, start_idx, ds_comb_arm: int,
 
 
 def _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands):
-    if not bands:
-        return jax.vmap(
-            lambda c, t, s: _front_one(c, t, s, ds_comb_arm))(
-                capbufs, templates, start_idx)
+    """bands: () for the XLA backend, (g,) for the production v2/v3
+    Pallas kernel, or (g_re, g_im) for the banded v1 kernel."""
     return jax.vmap(
-        lambda c, t, s, gr, gi: _front_one(c, t, s, ds_comb_arm, gr, gi))(
+        lambda c, t, s, *g: _front_one(c, t, s, ds_comb_arm, *g))(
             capbufs, templates, start_idx, *bands)
 
 
@@ -204,12 +202,10 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
     # backend; k_factor makes templates -- and so bands -- per-carrier)
     bands = ()
     if use_pallas_corr(getattr(cfg, "corr_backend", "auto")):
-        from ..ops.corr_pallas import bands_for_templates
-        gs = [bands_for_templates(tmpl[i].astype(np.complex64),
-                                  precision="bf16")
-              for i in range(tmpl.shape[0])]
-        bands = (jnp.stack([g[0] for g in gs]),
-                 jnp.stack([g[1] for g in gs]))
+        from ..ops.corr_pallas import prod_bands_for_templates
+        bands = (jnp.stack([
+            prod_bands_for_templates(tmpl[i].astype(np.complex64))
+            for i in range(tmpl.shape[0])]),)
 
     slabs, pow_c, frq_c, sp_inc = _front_sharded(
         mesh, cap, tmpl, starts, cfg.ds_comb_arm, bands)

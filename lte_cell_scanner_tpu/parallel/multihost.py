@@ -166,12 +166,11 @@ def _scan_chunk(chunk, chunk_real: int, mesh, n_local_dev: int,
     # backend), same routing as the single-process scan_band
     bands = ()
     if use_pallas_corr(cfg.corr_backend):
-        from ..ops.corr_pallas import bands_for_templates
-        gs = [bands_for_templates(tmpl[i].astype(np.complex64),
-                                  precision="bf16")
-              for i in range(tmpl.shape[0])]
-        bands = (np.stack([np.asarray(g[0]) for g in gs]),
-                 np.stack([np.asarray(g[1]) for g in gs]))
+        from ..ops.corr_pallas import prod_bands_for_templates
+        bands = (np.stack([
+            np.asarray(prod_bands_for_templates(
+                tmpl[i].astype(np.complex64)))
+            for i in range(tmpl.shape[0])]),)
 
     shard = NamedSharding(mesh, P("c"))
 

@@ -81,22 +81,22 @@ def plan_sharded_bands(tmpl_flat: np.ndarray, n_f_axis: int,
                        precision: str = "bf16"):
     """Per-shard Pallas band matrices for the "f" axis of the (t x f)
     mesh: shard s's rows of ``tmpl_flat`` (the plan_sharded_inputs
-    layout) become one banded block set, stacked along axis 0 so
-    P("f") sharding hands each device exactly its own bands.  Feed the
-    result as ``*bands`` to sharded_xcorr to route the local
+    layout) become one v2/v3 im2col coefficient set, stacked along axis
+    0 so P("f") sharding hands each device exactly its own bands.  Feed
+    the result as ``*bands`` to sharded_xcorr to route the local
     correlation through the production TPU kernel
     (ops/corr_pallas.py)."""
-    from ..ops.corr_pallas import bands_for_templates
+    from ..ops.corr_pallas import PROD_V2_POST, bands_v2_for_templates
 
     T = tmpl_flat.shape[0]
     assert T % n_f_axis == 0
     t_loc = T // n_f_axis
-    gs = [bands_for_templates(
+    gs = [bands_v2_for_templates(
         np.asarray(tmpl_flat[s * t_loc:(s + 1) * t_loc]).astype(
-            np.complex64), precision=precision)
+            np.complex64), precision=precision,
+        tc_major=(PROD_V2_POST == "kernel"))
         for s in range(n_f_axis)]
-    return (jnp.concatenate([g[0] for g in gs], axis=0),
-            jnp.concatenate([g[1] for g in gs], axis=0))
+    return (jnp.concatenate(gs, axis=0),)
 
 
 @partial(jax.jit, static_argnames=("mesh", "ds_comb_arm", "n_comb_xc",
@@ -143,20 +143,23 @@ def sharded_xcorr(mesh: Mesh, capbuf_blocks, templates, start_idx,
         cap_ext = jnp.concatenate([cap_local, halo])  # [B + _HALO]
 
         if bands_local:
-            # --- local correlation: Pallas block-Toeplitz kernel ----------
-            from ..ops.corr_pallas import corr_pow_core, plan_pallas
-            g_re_loc, g_im_loc = bands_local
+            # --- local correlation: production Pallas v2/v3 kernel --------
+            from ..ops.corr_pallas import (PROD_V2_OUT_DTYPE,
+                                           PROD_V2_POST,
+                                           corr_pow_core_v2,
+                                           plan_pallas_v2)
+            (g_loc,) = bands_local
             t_loc = tmpl_local.shape[0]
-            t_pad, n_tc, n_rows, n_rb = plan_pallas(t_loc, B)
-            lim = (n_rows + 2) * 128      # kernel row-view span
-            cap_k = cap_ext[:lim] if cap_ext.shape[0] > lim else cap_ext
-            prec = "bf16" if g_re_loc.dtype == jnp.bfloat16 else "f32"
+            t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(t_loc, B)
+            prec = "bf16" if g_loc.dtype == jnp.bfloat16 else "f32"
+            odt = PROD_V2_OUT_DTYPE if prec == "bf16" else jnp.float32
             interp = jax.default_backend() != "tpu"
-            xc2 = corr_pow_core(
-                jnp.real(cap_k).astype(jnp.float32),
-                jnp.imag(cap_k).astype(jnp.float32),
-                g_re_loc, g_im_loc, B, t_loc, t_pad, n_tc, n_rows, n_rb,
-                interpret=interp, precision=prec)
+            xc2 = corr_pow_core_v2(
+                jnp.real(cap_ext).astype(jnp.float32),
+                jnp.imag(cap_ext).astype(jnp.float32),
+                g_loc, B, t_loc, t_pad, n_tc, n_rows, n_rb,
+                interpret=interp, precision=prec, post=PROD_V2_POST,
+                out_dtype=odt)
             xc2 = xc2.astype(jnp.real(cap_local).dtype)  # [T_local, B]
         else:
             # --- local correlation: windows matmul on the MXU --------------

@@ -235,3 +235,50 @@ def test_xcorr_core_pallas_backend_matches_xla():
                                rtol=2e-4, atol=1e-9)
     # argmax decisions identical
     np.testing.assert_array_equal(np.asarray(pal[3]), np.asarray(base[3]))
+
+
+def test_xcorr_core_v2_production_backend_matches_xla():
+    """The v2/v3 im2col kernel (the CURRENT production TPU correlation
+    route: single band array, K=256 span, bf16 power output folded in
+    f32) reproduces the XLA path's fold/collapse outputs; interpreted on
+    CPU, tiny capture."""
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.xcorr import (_xcorr_core,
+                                                   combine_start_indices,
+                                                   pss_templates)
+    from lte_cell_scanner_tpu.ops.corr_pallas import \
+        prod_bands_for_templates
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    rng = np.random.default_rng(22)
+    n_cap = 2 * 9600 + 400
+    capbuf = (rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) \
+        .astype(np.complex64) * 0.1
+    f_set = np.array([-5e3, 0.0, 5e3])
+    tmpl = pss_templates(f_set, fc, fc, fs, np.complex64)
+    n_comb = (n_cap - 136 - 100) // 9600
+    starts = jnp.asarray(combine_start_indices(f_set, fc, fc, fs, n_comb))
+    cap_d = jnp.asarray(capbuf)
+    tmpl_d = jnp.asarray(tmpl)
+
+    base = _xcorr_core(cap_d, tmpl_d, starts, 2, False, True)
+    g = prod_bands_for_templates(tmpl.reshape(-1, 137))
+    pal = _xcorr_core(cap_d, tmpl_d, starts, 2, False, True, g)
+
+    # bf16 bands + bf16 power storage: detection-grade tolerance
+    scale = float(np.max(np.asarray(base[2])))
+    np.testing.assert_allclose(np.asarray(pal[2]), np.asarray(base[2]),
+                               atol=2e-2 * scale)
+    np.testing.assert_allclose(np.asarray(pal[5]), np.asarray(base[5]),
+                               rtol=1e-6)
+    # argmax decisions identical (collapsed frequency per lag) except
+    # bf16-rounded near-ties on this pure-noise capture
+    same = np.asarray(pal[3]) == np.asarray(base[3])
+    assert same.mean() > 0.99
+    # the refinement slab reads xc_single AT the collapsed argmax
+    # frequency, so compare only where that argmax decision agrees
+    mask = np.broadcast_to(same[:, None, :], np.asarray(base[7]).shape)
+    d = np.abs(np.asarray(pal[7]) - np.asarray(base[7]))
+    assert np.max(d[mask]) < 2e-2 * scale

@@ -86,11 +86,9 @@ def main():
         bands = ()
         if use_pallas_corr("auto"):
             from lte_cell_scanner_tpu.ops.corr_pallas import \
-                bands_for_templates
-            gs = [bands_for_templates(tmpl[i], precision="bf16")
-                  for i in range(tmpl.shape[0])]
-            bands = (jnp.stack([g[0] for g in gs]),
-                     jnp.stack([g[1] for g in gs]))
+                prod_bands_for_templates
+            bands = (jnp.stack([prod_bands_for_templates(tmpl[i])
+                                for i in range(tmpl.shape[0])]),)
 
         @jax.jit
         def band(re, im, *g, tmpl=tmpl, starts=starts):

@@ -230,6 +230,68 @@ def main():
 
         add("v1_bf16", v1, 12.0 * n_rows * 128 * 128 * t_pad)
 
+    if any(v.startswith("v2s_") for v in variants):
+        # G-residency probe: one pallas_call PER template chunk with the
+        # chunk's G as a full (non-gridded) block -- if the gridded
+        # version re-fetches G every row step despite its constant
+        # index, this variant should be dramatically faster
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from lte_cell_scanner_tpu.ops.corr_pallas import (KV_V2, W_V2,
+                                                          _corr_kernel_v2)
+
+        tc = 16
+        g2 = bands_v2_for_templates(tmpl_flat, precision="bf16",
+                                    t_chunk=tc)
+        t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(t_count, n_lags,
+                                                   rows_per_block=128,
+                                                   t_chunk=tc)
+        n_cols = 2 * W_V2 * tc
+        g_np = np.asarray(g2)
+
+        def v2s_once(re, im, shift):
+            n_ext = W_V2 * (n_rows + 2)
+            planes = []
+            for plane in (jnp.roll(re, shift), jnp.roll(im, shift)):
+                p = plane.astype(jnp.float32)
+                p = jnp.concatenate(
+                    [p, jnp.zeros(n_ext - p.shape[0], jnp.float32)])
+                a = p.reshape(n_rows + 2, W_V2)
+                planes.append(jnp.concatenate(
+                    [a[:-2], a[1:-1], a[2:, : KV_V2 - 2 * W_V2]],
+                    axis=1))
+            x3 = jnp.concatenate(planes, axis=1).astype(jnp.bfloat16)
+            acc = jnp.float32(0)
+            for j in range(n_tc):
+                gj = jnp.asarray(g_np[:, j * n_cols: (j + 1) * n_cols])
+                out = pl.pallas_call(
+                    _corr_kernel_v2,
+                    grid=(n_rb,),
+                    in_specs=[
+                        pl.BlockSpec((128, 2 * KV_V2), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((2 * KV_V2, n_cols), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((128, W_V2 * tc),
+                                           lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (n_rows, W_V2 * tc), jnp.bfloat16),
+                )(x3, gj)
+                acc = acc + jnp.sum(out.astype(jnp.float32))
+            return acc
+
+        @jax.jit
+        def v2s(re, im):
+            acc = jnp.float32(0)
+            for r in range(R):
+                acc = acc + v2s_once(re, im, 131 * r)
+            return acc
+
+        add("v2s_bf16_128_16", v2s,
+            2.0 * n_rows * 512 * 2 * 120 * tc * n_tc)
+
     # v2_M_T: c-major cols + XLA transpose, f32 out
     # v2b_M_T: same with bf16 out; v3_M_T / v3b_M_T: tc-major cols +
     # in-kernel transpose ([template, lag] emitted directly)
