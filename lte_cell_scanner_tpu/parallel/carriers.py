@@ -61,10 +61,9 @@ def _front_one(capbuf, templates, start_idx, ds_comb_arm: int,
     and a measurably cheaper program (the wide-band scan rate metric,
     tools/bench_carriers.py).
 
-    g_re/g_im: per-carrier banded template matrices routing the
-    correlation through the Pallas kernel (the TPU production backend;
-    templates differ per carrier through k_factor, so bands are a
-    per-carrier batch axis under vmap)."""
+    g_re (single array): the shared v2 band matrix routing the
+    correlation through the production Pallas kernel (one band set
+    serves the whole batch -- see _vmap_front)."""
     _s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab = _xcorr_core(
         capbuf, templates, start_idx, ds_comb_arm, False, True,
         g_re, g_im)
@@ -73,10 +72,20 @@ def _front_one(capbuf, templates, start_idx, ds_comb_arm: int,
 
 def _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands):
     """bands: () for the XLA backend, (g,) for the production v2/v3
-    Pallas kernel, or (g_re, g_im) for the banded v1 kernel."""
+    Pallas kernel, or (g_re, g_im) for the banded v1 kernel.
+
+    Bands are SHARED across the carrier batch (in_axes=None): adjacent
+    carriers' templates differ only through k_factor = 1 - f_off/fc,
+    i.e. by ~4e-5 relative phase across a 10 MHz band (measured; ~4e-7
+    per 100 kHz) -- two orders below the bf16 band quantization -- while the
+    fold START indices (where k_factor acts over the whole 80 ms
+    capture, ~15 samples) remain exactly per-carrier.  Sharing cuts the
+    dominant HBM stream of the batched scan ~C-fold (measured: the
+    per-carrier bands were ~24 MB/carrier vs 1.2 MB of capture)."""
+    in_axes = (0, 0, 0) + (None,) * len(bands)
     return jax.vmap(
-        lambda c, t, s, *g: _front_one(c, t, s, ds_comb_arm, *g))(
-            capbufs, templates, start_idx, *bands)
+        lambda c, t, s, *g: _front_one(c, t, s, ds_comb_arm, *g),
+        in_axes=in_axes)(capbufs, templates, start_idx, *bands)
 
 
 @partial(jax.jit, static_argnames=("mesh", "ds_comb_arm"))
@@ -86,7 +95,9 @@ def _front_jit(mesh: Mesh, capbufs, templates, start_idx,
     capbufs = jax.lax.with_sharding_constraint(capbufs, shard)
     templates = jax.lax.with_sharding_constraint(templates, shard)
     start_idx = jax.lax.with_sharding_constraint(start_idx, shard)
-    bands = tuple(jax.lax.with_sharding_constraint(g, shard)
+    # shared bands replicate across the carrier mesh
+    rep = NamedSharding(mesh, P())
+    bands = tuple(jax.lax.with_sharding_constraint(g, rep)
                   for g in bands)
     return _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands)
 
@@ -114,7 +125,8 @@ def _front_sharded(mesh: Mesh, capbufs, templates, start_idx,
     capbufs = jax.device_put(capbufs, shard)
     templates = jax.device_put(templates, shard)
     start_idx = jax.device_put(start_idx, shard)
-    bands = tuple(jax.device_put(g, shard) for g in bands)
+    bands = tuple(jax.device_put(g, NamedSharding(mesh, P()))
+                  for g in bands)
     return _front_jit(mesh, capbufs, templates, start_idx, ds_comb_arm,
                       *bands)
 
@@ -198,14 +210,17 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
         capbufs, fc_list, f_search_set, fcp_list, fs_programmed, n_dev,
         dtype)
 
-    # per-carrier Pallas band matrices (the TPU production correlation
-    # backend; k_factor makes templates -- and so bands -- per-carrier)
+    # ONE shared Pallas band matrix for the whole batch (the TPU
+    # production correlation backend): carrier-to-carrier template
+    # differences are ~4e-5 relative per 10 MHz (see _vmap_front), far
+    # below the bf16 band quantization, so the middle carrier's templates serve
+    # every carrier; fold starts stay exactly per-carrier
     bands = ()
     if use_pallas_corr(getattr(cfg, "corr_backend", "auto")):
         from ..ops.corr_pallas import prod_bands_for_templates
-        bands = (jnp.stack([
-            prod_bands_for_templates(tmpl[i].astype(np.complex64))
-            for i in range(tmpl.shape[0])]),)
+        mid = tmpl.shape[0] // 2
+        bands = (prod_bands_for_templates(
+            tmpl[mid].astype(np.complex64)),)
 
     slabs, pow_c, frq_c, sp_inc = _front_sharded(
         mesh, cap, tmpl, starts, cfg.ds_comb_arm, bands)

@@ -164,13 +164,19 @@ def _scan_chunk(chunk, chunk_real: int, mesh, n_local_dev: int,
 
     # per-carrier Pallas band matrices (the TPU production correlation
     # backend), same routing as the single-process scan_band
+    # ONE shared band matrix for every carrier (numerically exact at
+    # bf16 precision -- parallel/carriers._vmap_front), replicated over
+    # the global mesh.  NOTE: every process derives bands from its OWN
+    # middle carrier; the ~4e-5-per-10-MHz relative template spread is
+    # far below the bf16 quantization, so the replicated arrays agree to
+    # working precision on every host (and no collective ever reads
+    # them cross-host -- each device uses its process's replica).
     bands = ()
     if use_pallas_corr(cfg.corr_backend):
         from ..ops.corr_pallas import prod_bands_for_templates
-        bands = (np.stack([
-            np.asarray(prod_bands_for_templates(
-                tmpl[i].astype(np.complex64)))
-            for i in range(tmpl.shape[0])]),)
+        mid = tmpl.shape[0] // 2
+        bands = (np.asarray(prod_bands_for_templates(
+            tmpl[mid].astype(np.complex64))),)
 
     shard = NamedSharding(mesh, P("c"))
 
@@ -179,7 +185,9 @@ def _scan_chunk(chunk, chunk_real: int, mesh, n_local_dev: int,
             shard, np.ascontiguousarray(x))
 
     fdt = np.float32 if dtype == np.complex64 else np.float64
-    g_bands = tuple(mk(g) for g in bands)
+    rep = NamedSharding(mesh, P())
+    g_bands = tuple(jax.make_array_from_process_local_data(
+        rep, np.ascontiguousarray(g)) for g in bands)
     slabs, pow_c, frq_c, sp_inc = _front_global(
         mesh, mk(cap.real.astype(fdt)), mk(cap.imag.astype(fdt)),
         mk(tmpl.real.astype(fdt)), mk(tmpl.imag.astype(fdt)),

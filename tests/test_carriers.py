@@ -153,3 +153,68 @@ def test_scan_band_chunks_match_single_program():
             assert cw.n_id_cell() == cc.n_id_cell()
             np.testing.assert_allclose(cw.freq_fine, cc.freq_fine,
                                        rtol=1e-9)
+
+
+def test_shared_band_matrix_substitution_is_exact_at_bf16():
+    """The batched scan shares ONE Pallas band matrix across carriers:
+    adjacent carriers' templates differ only through k_factor
+    (~4e-5 relative phase across a whole 10 MHz band, ~4e-7 per
+    100 kHz step), two orders below the bf16 band quantization
+    (eps ~ 4e-3).  Pin that bound in f32."""
+    import numpy as np
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.xcorr import pss_templates
+    from lte_cell_scanner_tpu.ops.corr_pallas import \
+        bands_v2_for_templates
+
+    fs = FS_LTE / 16
+    f_set = np.arange(-75e3, 75e3 + 1, 5e3)
+    g0 = np.asarray(bands_v2_for_templates(
+        pss_templates(f_set, 739e6, 739e6, fs,
+                      np.complex64).reshape(-1, 137),
+        precision="f32"), np.float32)
+    g1 = np.asarray(bands_v2_for_templates(
+        pss_templates(f_set, 749e6, 749e6, fs,
+                      np.complex64).reshape(-1, 137),
+        precision="f32"), np.float32)
+    scale = np.max(np.abs(g0))
+    # 10 MHz of carrier spread: bound ~4e-5 relative; bf16 eps ~4e-3
+    assert np.max(np.abs(g0 - g1)) / scale < 2e-4
+
+
+def test_scan_band_pallas_backend_matches_xla_backend():
+    """The production Pallas path through scan_band (shared bf16 band
+    matrix, interpreted on CPU) reaches the same detections as the XLA
+    backend."""
+    import numpy as np
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.search import SearchConfig
+    from lte_cell_scanner_tpu.parallel.carriers import (make_carrier_mesh,
+                                                        scan_band)
+    from lte_cell_scanner_tpu.cell import CpType
+    from lte_cell_scanner_tpu.sim import awgn, create_dl_sig
+
+    rng = np.random.default_rng(12)
+    n_cap = 30 * 1920
+    sig = awgn(create_dl_sig(CpType.NORMAL, 30, 0, 92, 1, 0.5, rng=rng,
+                             n_ports=2), 8.0, rng=rng)
+    noise = (rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) \
+        * np.sqrt(0.5)
+    caps = [(noise, 739e6, 739e6), (sig, 739.1e6, 739.1e6)]
+    f_set = np.array([-5e3, 0.0, 5e3])
+    mesh = make_carrier_mesh(1)
+
+    ref = scan_band(caps, f_set, FS_LTE / 16,
+                    SearchConfig(decode=False, corr_backend="xla"),
+                    mesh)
+    pal = scan_band(caps, f_set, FS_LTE / 16,
+                    SearchConfig(decode=False, corr_backend="pallas"),
+                    mesh)
+    assert [len(l) for l in ref] == [len(l) for l in pal]
+    assert pal[1] and pal[1][0].n_id_cell() == 277
+    assert not pal[0]
+    for lr, lp in zip(ref, pal):
+        for cr, cp in zip(lr, lp):
+            assert cr.n_id_cell() == cp.n_id_cell()
+            # detection powers at detection-grade (bf16) tolerance
+            assert abs(cr.pss_pow - cp.pss_pow) < 2e-2 * cr.pss_pow

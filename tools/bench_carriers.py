@@ -87,8 +87,9 @@ def main():
         if use_pallas_corr("auto"):
             from lte_cell_scanner_tpu.ops.corr_pallas import \
                 prod_bands_for_templates
-            bands = (jnp.stack([prod_bands_for_templates(tmpl[i])
-                                for i in range(tmpl.shape[0])]),)
+            # ONE shared band set (carriers._vmap_front: ~4e-5 relative
+            # template spread per 10 MHz, far below bf16)
+            bands = (prod_bands_for_templates(tmpl[tmpl.shape[0] // 2]),)
 
         @jax.jit
         def band(re, im, *g, tmpl=tmpl, starts=starts):
