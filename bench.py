@@ -161,11 +161,23 @@ def main():
 
     samples_per_sec = n_cap / dt
     baseline = 153600 / 6.0
+    # MFU on the chip: exact-correlation useful FLOPs (8 real FLOPs per
+    # complex MAC x templates x taps x lags) per front-end pass, against
+    # (a) the v5e nominal bf16 peak and (b) this chip's measured
+    # achievable chained-matmul rate (88 TF/s, tools/bench_corr_v2.py
+    # mxu_peak under transfer-synced timing -- docs/SCALING.md).
+    n_lags = n_cap - 136
+    useful_flops = 8.0 * templates.shape[0] * templates.shape[1] \
+        * 137 * n_lags
+    tflops = useful_flops / dt / 1e12
     out = {
         "metric": "pss_scan_samples_per_sec",
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / baseline, 2),
+        "useful_tflops": round(tflops, 2),
+        "mfu_pct_nominal_197tf": round(100 * tflops / 197.0, 2),
+        "mfu_pct_measured_peak_88tf": round(100 * tflops / 88.0, 2),
     }
     if os.environ.get("BENCH_FULL_CHAIN", "1") != "0":
         try:

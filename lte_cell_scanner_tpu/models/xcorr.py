@@ -178,19 +178,41 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
     n_comb_sp = (n_cap - 136 - 137) // HALF_FRAME_LEN
     n_sp = n_comb_sp * HALF_FRAME_LEN
     p = jnp.real(capbuf) ** 2 + jnp.imag(capbuf) ** 2
-    cs = jnp.concatenate([jnp.zeros(1, rdt), jnp.cumsum(p)])
-    sp = (cs[274: 274 + n_sp] - cs[:n_sp]) / 274.0
-    sp_incoherent = jnp.mean(sp.reshape(n_comb_sp, HALF_FRAME_LEN), axis=0)
+    if lean:
+        # fold-then-window: mean_m window_274(p)[k + m*9600] equals
+        # window_274(sum_m p[m*9600:...])[k] / n_comb -- the same
+        # sp_incoherent with a 9873-element scan instead of a
+        # full-capture cumsum (the full sliding sp is a test-only
+        # output the lean path never emits)
+        q = jnp.zeros(HALF_FRAME_LEN + 273, rdt)
+        for m in range(n_comb_sp):
+            q = q + jax.lax.dynamic_slice_in_dim(
+                p, m * HALF_FRAME_LEN, HALF_FRAME_LEN + 273)
+        cq = jnp.concatenate([jnp.zeros(1, rdt), jnp.cumsum(q)])
+        sp_incoherent = (cq[274: 274 + HALF_FRAME_LEN]
+                         - cq[:HALF_FRAME_LEN]) / (274.0 * n_comb_sp)
+        sp = None
+    else:
+        cs = jnp.concatenate([jnp.zeros(1, rdt), jnp.cumsum(p)])
+        sp = (cs[274: 274 + n_sp] - cs[:n_sp]) / 274.0
+        sp_incoherent = jnp.mean(sp.reshape(n_comb_sp, HALF_FRAME_LEN),
+                                 axis=0)
     sp_incoherent = jnp.roll(sp_incoherent, 137)
 
     refine_slab = None
     if lean:
-        frq_idx = frq_collapsed[:, None, :]             # [3, 1, 9600]
+        # slab[t, d, l] = xc_single[t, frq[t, l], (l - arm + d) % 9600].
+        # GATHER-FREE: take_along_axis lowers to a TPU gather, which
+        # measured ~2 ms/carrier in the batched scan
+        # (tools/bench_front_stages.py --carriers); a one-hot masked
+        # reduction over the small hypothesis axis is the same exact
+        # pick (argmax indices are unique) as fusable VPU work.
+        oh = frq_collapsed[:, None, :] == jnp.arange(
+            n_f, dtype=frq_collapsed.dtype)[None, :, None]
         slab_rows = []
         for d in range(2 * ds_comb_arm + 1):
             rolled = jnp.roll(xc_single, ds_comb_arm - d, axis=-1)
-            slab_rows.append(jnp.take_along_axis(rolled, frq_idx,
-                                                 axis=1)[:, 0, :])
+            slab_rows.append(jnp.sum(jnp.where(oh, rolled, 0), axis=1))
         refine_slab = jnp.stack(slab_rows, axis=1)      # [3, 2a+1, 9600]
     return (None if lean else xc_single, None if lean else xc_inc,
             pow_collapsed, frq_collapsed, None if lean else sp,

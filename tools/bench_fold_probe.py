@@ -67,9 +67,7 @@ def main():
     rng = np.random.default_rng(0)
     base = rng.normal(size=(3, n_f, n_lags)).astype(np.float32) ** 2
 
-    def one_carrier(xc2, st):
-        """fold + delay spread + collapse + slab for one carrier
-        (mirrors models/xcorr._xcorr_core_impl's lean back stages)."""
+    def fold_fori(xc2, st):
         def fold_one_f(xc2_f, starts_f):
             def body(m, acc):
                 return acc + jax.lax.dynamic_slice_in_dim(
@@ -78,8 +76,24 @@ def main():
                 0, n_comb, body,
                 jnp.zeros((3, HALF_FRAME_LEN), jnp.float32)) / n_comb
 
-        xc_single = jax.vmap(fold_one_f, in_axes=(1, 0),
-                             out_axes=1)(xc2, st)
+        return jax.vmap(fold_one_f, in_axes=(1, 0), out_axes=1)(xc2, st)
+
+    def fold_unroll(xc2, st):
+        """Static python loop over periods: 15 big batched slice ops
+        instead of a fori_loop of small ones."""
+        acc = jnp.zeros((3, n_f, HALF_FRAME_LEN), jnp.float32)
+        for m in range(n_comb):
+            sl = jax.vmap(
+                lambda xf, s: jax.lax.dynamic_slice_in_dim(
+                    xf, s, HALF_FRAME_LEN, axis=1),
+                in_axes=(1, 0), out_axes=1)(xc2, st[:, m])
+            acc = acc + sl
+        return acc / n_comb
+
+    def one_carrier(xc2, st, fold=fold_fori, with_slab=True):
+        """fold + delay spread + collapse (+ slab) for one carrier
+        (mirrors models/xcorr._xcorr_core_impl's lean back stages)."""
+        xc_single = fold(xc2, st)
         xc_inc = xc_single
         for t in range(1, 3):
             xc_inc = xc_inc + jnp.roll(xc_single, t, axis=-1) \
@@ -87,6 +101,9 @@ def main():
         xc_inc = xc_inc / 5
         pow_c = jnp.max(xc_inc, axis=1)
         frq_c = jnp.argmax(xc_inc, axis=1)
+        out = jnp.sum(pow_c) + jnp.sum(frq_c.astype(jnp.float32))
+        if not with_slab:
+            return out
         frq_idx = frq_c[:, None, :]
         rows = []
         for d in range(5):
@@ -94,19 +111,25 @@ def main():
             rows.append(jnp.take_along_axis(rolled, frq_idx,
                                             axis=1)[:, 0, :])
         slab = jnp.stack(rows, axis=1)
-        return (jnp.sum(pow_c) + jnp.sum(slab)
-                + jnp.sum(frq_c.astype(jnp.float32)))
+        return out + jnp.sum(slab)
 
     st_d = jnp.asarray(starts)
 
-    @jax.jit
-    def via_vmap(xc2_all):
-        return jnp.sum(jax.vmap(one_carrier)(xc2_all, st_d))
+    def mkfn(fold, with_slab):
+        @jax.jit
+        def f(xc2_all):
+            return jnp.sum(jax.vmap(
+                lambda x, s: one_carrier(x, s, fold, with_slab))(
+                    xc2_all, st_d))
+        return f
+
+    via_vmap = mkfn(fold_fori, True)
 
     @jax.jit
     def via_map(xc2_all):
-        return jnp.sum(jax.lax.map(lambda ab: one_carrier(*ab),
-                                   (xc2_all, st_d)))
+        return jnp.sum(jax.lax.map(
+            lambda ab: one_carrier(*ab, fold_fori, True),
+            (xc2_all, st_d)))
 
     bufs = []
     for k in range(ARGS.repeats):
@@ -118,7 +141,10 @@ def main():
 
     res = {"backend": jax.default_backend(), "carriers": C,
            "n_f": n_f, "n_comb": n_comb}
-    for name, fn in (("vmap", via_vmap), ("map", via_map)):
+    for name, fn in (("vmap", via_vmap), ("map", via_map),
+                     ("unroll", mkfn(fold_unroll, True)),
+                     ("noslab_fori", mkfn(fold_fori, False)),
+                     ("noslab_unroll", mkfn(fold_unroll, False))):
         try:
             dt = timed(fn, bufs)
             res[f"{name}_ms"] = round(dt * 1e3, 2)

@@ -37,6 +37,13 @@ ap.add_argument("--inner", type=int, default=4)
 ap.add_argument("--json", action="store_true")
 ap.add_argument("--platform", default="tpu")
 ap.add_argument("--stages", default="kern,fold,ds,slab,full")
+ap.add_argument("--carriers", type=int, default=0,
+                help=">0: vmap each stage prefix over C carriers with "
+                     "per-carrier fold starts and ONE shared band set "
+                     "(the production batched-scan context; programs "
+                     "are then large enough that per-program overhead "
+                     "is negligible and stage deltas attribute "
+                     "reliably)")
 ARGS = ap.parse_args()
 
 from _bench_common import enable_compile_cache, setup_platform  # noqa: E402
@@ -155,6 +162,49 @@ def main():
 
     fns = {"kern": prefix("kern"), "fold": prefix("fold"),
            "ds": prefix("ds"), "slab": prefix("slab"), "full": full}
+
+    C = ARGS.carriers
+    if C:
+        # production context: per-carrier starts, one shared band set,
+        # jax.vmap over carriers (per-carrier capture = rolled planes)
+        starts_c = np.stack([
+            combine_start_indices(f_set, fc + 1e5 * c, fc + 1e5 * c, fs,
+                                  n_comb_xc) for c in range(C)
+        ]).astype(np.int32)
+        res["carriers"] = C
+
+        def batched(stage):
+            def one(re, im, st):
+                if stage == "full":
+                    out = _xcorr_core_impl(jax.lax.complex(re, im),
+                                           tmpl, st, 2, False, True, g)
+                    _s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab = out
+                    return (jnp.sum(pow_c) + jnp.sum(sp_inc)
+                            + jnp.sum(slab)
+                            + jnp.sum(frq_c.astype(jnp.float32)))
+                return fns[stage](re, im)  # starts closed over: fine
+                # (per-carrier starts only matter for fold exactness,
+                # not cost attribution)
+
+            @jax.jit
+            def run(re, im):
+                res_ = jax.vmap(
+                    lambda k, st: one(jnp.roll(re, 131 * k + 7),
+                                      jnp.roll(im, 131 * k + 7), st))(
+                    jnp.arange(C), jnp.asarray(starts_c))
+                return jnp.sum(res_)
+            return run
+
+        for name in ARGS.stages.split(","):
+            try:
+                dt = timed(batched(name), bufs) / C
+                res[f"{name}_ms_per_carrier"] = round(dt * 1e3, 4)
+            except Exception as e:  # noqa: BLE001
+                res[f"{name}_error"] = f"{type(e).__name__}: {e}"[:250]
+        print(json.dumps(res) if ARGS.json else
+              "\n".join(f"{k:14} {v}" for k, v in res.items()))
+        return
+
     for name in ARGS.stages.split(","):
         f = fns[name]
 
