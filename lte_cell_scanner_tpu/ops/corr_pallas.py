@@ -1,17 +1,21 @@
-"""Pallas TPU kernel: fused PSS correlation + squared magnitude.
+"""Pallas TPU kernels: fused PSS correlation + squared magnitude.
 
-**This is the production TPU correlation backend** (models/xcorr
-`corr_backend="auto"` resolves to it on TPU): under transfer-synced
-checksum timing on the target chip it beats XLA's lowering of the
-im2col einsum (ops/corr.py "dot" + fused |.|^2) by ~2.4-2.6x for the
-default 93-template scan.  Earlier rounds reported the opposite — the
-XLA path "~4x faster" — from `block_until_ready` timings that the
-tunnel runtime's fire-ahead dispatch fabricated; those numbers are
-retracted (methodology: docs/SCALING.md "Measurement integrity").
-The XLA dot path remains the golden/CPU route and the fallback for
-shapes this kernel does not cover.
+Two generations live here.  **The v2 im2col kernel (bottom of the
+file) with bf16 output is the production TPU correlation backend**
+(models/xcorr `corr_backend="auto"` -> prod_bands_for_templates /
+corr_pow_core_v2): K=256 sample span per 120-lag row (1.87x FLOP
+waste, the 128-lane minimum), one merged [M,512]x[512,N] MXU dot per
+grid step, measured 1.27 ms vs the v1 banded kernel's 1.47 ms and the
+XLA im2col dot's ~3.5 ms for the default 93-template scan under
+transfer-synced timing (docs/SCALING.md "Utilization").  v1 (directly
+below) is the original banded block-Toeplitz formulation, kept for
+A/B and as a fallback.  Earlier rounds reported the XLA path "~4x
+faster" from `block_until_ready` timings that the tunnel runtime's
+fire-ahead dispatch fabricated; those numbers are retracted
+(methodology: docs/SCALING.md "Measurement integrity").  The XLA dot
+remains the golden/CPU route.
 
-Key design point: the sliding-window
+v1's key design point: the sliding-window
 (im2col) formulation needs unaligned vector slices, which the TPU vector
 ISA dislikes; instead the correlation is cast as a *block-Toeplitz* matmul
 that needs no in-kernel slicing at all:
