@@ -187,6 +187,12 @@ def main():
                          "legitimately acquire slowly)")
     ap.add_argument("--sweep", action="store_true",
                     help="bench 1..--cells instead of just --cells")
+    ap.add_argument("--block", type=int, default=10000,
+                    help="samples per process_block tick.  Larger "
+                         "blocks = coarser ticks: on a remote/tunnel "
+                         "accelerator each tick is one device dispatch "
+                         "(~RTT-bound), so deployment-mode TPU runs "
+                         "amortize by ticking at 50-100 ms granularity")
     ap.add_argument("--profile", action="store_true",
                     help="cProfile the timed segments, print top stats")
     ap.add_argument("--parallel", type=int, default=0,
@@ -195,6 +201,8 @@ def main():
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
+    global BLOCK
+    BLOCK = args.block
     counts = range(1, args.cells + 1) if args.sweep else [args.cells]
     out = {}
     for n in counts:
