@@ -182,9 +182,10 @@ def main():
                     return (jnp.sum(pow_c) + jnp.sum(sp_inc)
                             + jnp.sum(slab)
                             + jnp.sum(frq_c.astype(jnp.float32)))
-                return fns[stage](re, im)  # starts closed over: fine
-                # (per-carrier starts only matter for fold exactness,
-                # not cost attribution)
+                # prefix stages close over one shared starts plan:
+                # per-carrier starts only change fold exactness, not
+                # cost attribution (identical access pattern)
+                return fns[stage](re, im)
 
             @jax.jit
             def run(re, im):

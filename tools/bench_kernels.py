@@ -208,29 +208,37 @@ def main():
             res[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # shard_map overhead bound: the sharded front end on a (1 x 1) mesh
-    # (VERDICT item 9 -- SCALING.md's efficiency model assumes small)
+    # (VERDICT item 9 -- SCALING.md's efficiency model assumes small),
+    # measured with BOTH local-correlation backends (the production
+    # Pallas bands ride sharded over "f" -- VERDICT r2 item 2)
     try:
         from lte_cell_scanner_tpu.parallel.sharded import (
-            make_mesh, plan_sharded_inputs, sharded_xcorr)
+            make_mesh, plan_sharded_bands, plan_sharded_inputs,
+            sharded_xcorr)
         mesh = make_mesh(1, 1)
         padded, tmpl_s, starts_s, ncx, nl = plan_sharded_inputs(
             capbuf, f_set, fc, fc, fs, mesh, dtype=np.complex64)
         td, sd = tmpl_s, starts_s
         n_comb_sp = (n_cap - 136 - 137) // 9600
         n_pad = len(padded) - n_cap
+        sh_bands = plan_sharded_bands(td, 1)
 
-        @jax.jit
-        def sharded_sum(re, im):
-            cap_p = jnp.concatenate(
-                [jax.lax.complex(re, im),
-                 jnp.zeros(n_pad, jnp.complex64)])
-            pow_g, frq_g, sp_inc, single = sharded_xcorr(
-                mesh, cap_p, td, sd, 2, ncx, nl, n_comb_sp=n_comb_sp)
-            return (jnp.sum(pow_g) + jnp.sum(sp_inc) + jnp.sum(single)
-                    + jnp.sum(frq_g))
+        def mk_sharded(bands):
+            @jax.jit
+            def sharded_sum(re, im):
+                cap_p = jnp.concatenate(
+                    [jax.lax.complex(re, im),
+                     jnp.zeros(n_pad, jnp.complex64)])
+                pow_g, frq_g, sp_inc, single = sharded_xcorr(
+                    mesh, cap_p, td, sd, 2, ncx, nl, n_comb_sp, *bands)
+                return (jnp.sum(pow_g) + jnp.sum(sp_inc)
+                        + jnp.sum(single) + jnp.sum(frq_g))
+            return sharded_sum
 
         res["sharded_1x1_ms"] = round(
-            timed_throughput(sharded_sum, bufs) * 1e3, 3)
+            timed_throughput(mk_sharded(()), bufs) * 1e3, 3)
+        res["sharded_1x1_pallas_ms"] = round(
+            timed_throughput(mk_sharded(sh_bands), bufs) * 1e3, 3)
     except Exception as e:  # noqa: BLE001
         res["sharded_1x1_error"] = f"{type(e).__name__}: {e}"[:300]
 
