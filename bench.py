@@ -12,8 +12,9 @@ Primary metric: the full per-carrier front end on the real capture
 (test/capbuf_0000.it when present, synthetic otherwise): template
 correlation over the default +-100 ppm hypothesis grid, incoherent fold,
 delay-spread combining, hypothesis collapse, and signal-power estimation,
-on one TPU chip in complex64, dispatch-pipelined (steady-state
-throughput).
+on one TPU chip in complex64, measured through the PRODUCTION batched
+scan program (16 carriers per dispatch, the parallel/carriers layout),
+dispatch-pipelined (steady-state throughput), reported per carrier.
 
 Second headline (BASELINE config 2, VERDICT round-1 item 1): the whole
 detect+decode chain on the same chip -- front end + chi-squared
@@ -131,15 +132,28 @@ def main():
             prod_bands_for_templates
         bands = (prod_bands_for_templates(templates.reshape(-1, 137)),)
 
+    # the production scan program: C carriers batched per dispatch
+    # (parallel/carriers._vmap_front -- correlation vmapped, back
+    # stages under lax.map, one shared band set), per-carrier fold
+    # starts exactly as scan_band plans them
+    from lte_cell_scanner_tpu.parallel.carriers import _vmap_front
+    C = 16
+    starts_c = np.stack([combine_start_indices(
+        f_set, fc + 1e5 * c, fc + 1e5 * c, fs, n_comb_xc)
+        for c in range(C)]).astype(np.int32)
+    tmpl_c = np.broadcast_to(templates, (C,) + templates.shape)
+
     @jax.jit
     def launch(re, im, *g):
-        out = _xcorr_core_impl(jax.lax.complex(re, im), templates,
-                               start_idx, 2, False, True, *g)
-        _s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab = out
+        cap_c = jax.vmap(
+            lambda k: jnp.roll(jax.lax.complex(re, im), 977 * k + 7))(
+            jnp.arange(C))
+        slab, pow_c, frq_c, sp_inc = _vmap_front(
+            cap_c, tmpl_c, starts_c, 2, tuple(g))
         return (jnp.sum(pow_c) + jnp.sum(sp_inc) + jnp.sum(slab)
                 + jnp.sum(frq_c.astype(jnp.float32)))
 
-    n_iter, n_rounds = 24, 4
+    n_iter, n_rounds = 6, 4
     bufs = []
     for k in range(n_iter * n_rounds):
         c = np.roll(capbuf, 977 * k + 1)
@@ -157,7 +171,7 @@ def main():
         outs = [launch(re, im, *bands) for re, im in batch]
         jax.device_get(outs)              # forces completion of all
         best = min(best, (time.perf_counter() - t0) / n_iter)
-    dt = best
+    dt = best / C                         # per carrier
 
     samples_per_sec = n_cap / dt
     baseline = 153600 / 6.0

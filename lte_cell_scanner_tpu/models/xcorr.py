@@ -101,6 +101,22 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
     keep_xc=False (the kernels fuse |.|^2 and never materialize the
     complex correlation).
     """
+    xc2, xc = _corr_stage(capbuf, templates, keep_xc, g_re, g_im)
+    (xc_single, xc_inc, pow_collapsed, frq_collapsed, sp, sp_incoherent,
+     refine_slab) = _back_stage(xc2, capbuf, start_idx, ds_comb_arm,
+                                lean)
+    return (xc_single, xc_inc, pow_collapsed, frq_collapsed, sp,
+            sp_incoherent, xc if keep_xc else None, refine_slab)
+
+
+def _corr_stage(capbuf, templates, keep_xc: bool = False,
+                g_re=None, g_im=None):
+    """Correlation-power part of the front end: -> (xc2 [3, n_f,
+    n_lags], xc-or-None).  Split from _back_stage so the batched scan
+    can vmap THIS stage over carriers while running the back stages
+    under lax.map (per-carrier fold starts under vmap batch dynamic
+    slices into TPU gathers -- measured ~1 ms/carrier,
+    tools/bench_front_stages.py)."""
     n_f = templates.shape[1]
     rdt = jnp.real(capbuf).dtype
     n_lags = capbuf.shape[0] - (PSS_TD_LEN - 1)
@@ -149,6 +165,16 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
         # into every fold-slice consumer and recomputes the correlation
         # ~n_comb times (measured 18x slowdown when xc is not an output)
         xc2 = jax.lax.optimization_barrier(xc2)
+    return xc2, xc
+
+
+def _back_stage(xc2, capbuf, start_idx, ds_comb_arm: int, lean: bool):
+    """Fold + delay-spread + collapse + sp_est (+ lean refinement slab)
+    off a materialized power map -- the per-carrier back stages of the
+    front end.  Returns (xc_single, xc_inc, pow, frq, sp, sp_inc, slab)
+    with the lean-mode Nones of _xcorr_core_impl."""
+    n_f = xc2.shape[1]
+    rdt = jnp.real(capbuf).dtype
     n_comb_xc = start_idx.shape[1]
 
     def fold_one_f(xc2_f, starts):
@@ -216,7 +242,7 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
         refine_slab = jnp.stack(slab_rows, axis=1)      # [3, 2a+1, 9600]
     return (None if lean else xc_single, None if lean else xc_inc,
             pow_collapsed, frq_collapsed, None if lean else sp,
-            sp_incoherent, xc if keep_xc else None, refine_slab)
+            sp_incoherent, refine_slab)
 
 
 _xcorr_core = safe_jit(_xcorr_core_impl,

@@ -81,7 +81,29 @@ def _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands):
     fold START indices (where k_factor acts over the whole 80 ms
     capture, ~15 samples) remain exactly per-carrier.  Sharing cuts the
     dominant HBM stream of the batched scan ~C-fold (measured: the
-    per-carrier bands were ~24 MB/carrier vs 1.2 MB of capture)."""
+    per-carrier bands were ~24 MB/carrier vs 1.2 MB of capture).
+
+    On the production Pallas path only the CORRELATION is vmapped over
+    carriers; the back stages (fold/delay-spread/collapse/slab/sp) run
+    under lax.map: per-carrier fold starts under vmap batch the fold's
+    dynamic slices into TPU gathers, measured ~1 ms/carrier
+    (tools/bench_front_stages.py --carriers), while lax.map keeps them
+    plain dynamic slices -- each carrier's back stages are large enough
+    that the sequential map stays device-busy."""
+    if len(bands) == 1:
+        from ..models.xcorr import _back_stage, _corr_stage
+
+        xc2 = jax.vmap(
+            lambda c, t: _corr_stage(c, t, False, *bands)[0])(
+                capbufs, templates)
+
+        def back_one(args):
+            xc2_c, cap_c, starts_c = args
+            (_s, _i, pow_c, frq_c, _sp, sp_inc, slab) = _back_stage(
+                xc2_c, cap_c, starts_c, ds_comb_arm, True)
+            return slab, pow_c, frq_c, sp_inc
+
+        return jax.lax.map(back_one, (xc2, capbufs, start_idx))
     in_axes = (0, 0, 0) + (None,) * len(bands)
     return jax.vmap(
         lambda c, t, s, *g: _front_one(c, t, s, ds_comb_arm, *g),

@@ -142,15 +142,42 @@ def main():
             if upto == "ds":
                 return (jnp.sum(pow_c)
                         + jnp.sum(frq_c.astype(jnp.float32)))
-            frq_idx = frq_c[:, None, :]
+            if upto == "gslab":
+                # the RETIRED gather-based slab (take_along_axis), kept
+                # to quantify the one-hot fix
+                frq_idx = frq_c[:, None, :]
+                rows = []
+                for d in range(5):
+                    rolled = jnp.roll(xc_single, 2 - d, axis=-1)
+                    rows.append(jnp.take_along_axis(rolled, frq_idx,
+                                                    axis=1)[:, 0, :])
+                slab = jnp.stack(rows, axis=1)
+                return (jnp.sum(pow_c) + jnp.sum(slab)
+                        + jnp.sum(frq_c.astype(jnp.float32)))
+            # production one-hot slab (models/xcorr lean path)
+            oh = frq_c[:, None, :] == jnp.arange(
+                n_f, dtype=frq_c.dtype)[None, :, None]
             rows = []
             for d in range(5):
                 rolled = jnp.roll(xc_single, 2 - d, axis=-1)
-                rows.append(jnp.take_along_axis(rolled, frq_idx,
-                                                axis=1)[:, 0, :])
+                rows.append(jnp.sum(jnp.where(oh, rolled, 0), axis=1))
             slab = jnp.stack(rows, axis=1)
-            return (jnp.sum(pow_c) + jnp.sum(slab)
-                    + jnp.sum(frq_c.astype(jnp.float32)))
+            out = (jnp.sum(pow_c) + jnp.sum(slab)
+                   + jnp.sum(frq_c.astype(jnp.float32)))
+            if upto == "slab":
+                return out
+            # + production fold-then-window sp_est (models/xcorr lean)
+            n_comb_sp = (n_cap - 136 - 137) // HALF_FRAME_LEN
+            p = re * re + im * im
+            q = jnp.zeros(HALF_FRAME_LEN + 273, jnp.float32)
+            for mm in range(n_comb_sp):
+                q = q + jax.lax.dynamic_slice_in_dim(
+                    p, mm * HALF_FRAME_LEN, HALF_FRAME_LEN + 273)
+            cq = jnp.concatenate([jnp.zeros(1, jnp.float32),
+                                  jnp.cumsum(q)])
+            sp_inc = (cq[274: 274 + HALF_FRAME_LEN]
+                      - cq[:HALF_FRAME_LEN]) / (274.0 * n_comb_sp)
+            return out + jnp.sum(sp_inc)
         return run
 
     def full(re, im):
@@ -161,7 +188,8 @@ def main():
                 + jnp.sum(frq_c.astype(jnp.float32)))
 
     fns = {"kern": prefix("kern"), "fold": prefix("fold"),
-           "ds": prefix("ds"), "slab": prefix("slab"), "full": full}
+           "ds": prefix("ds"), "gslab": prefix("gslab"),
+           "slab": prefix("slab"), "sp": prefix("sp"), "full": full}
 
     C = ARGS.carriers
     if C:
