@@ -113,15 +113,19 @@ def _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands):
 @partial(jax.jit, static_argnames=("mesh", "ds_comb_arm"))
 def _front_jit(mesh: Mesh, capbufs, templates, start_idx,
                ds_comb_arm: int, *bands):
-    shard = NamedSharding(mesh, P("c"))
-    capbufs = jax.lax.with_sharding_constraint(capbufs, shard)
-    templates = jax.lax.with_sharding_constraint(templates, shard)
-    start_idx = jax.lax.with_sharding_constraint(start_idx, shard)
-    # shared bands replicate across the carrier mesh
-    rep = NamedSharding(mesh, P())
-    bands = tuple(jax.lax.with_sharding_constraint(g, rep)
-                  for g in bands)
-    return _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands)
+    # shard_map (not sharding constraints): _vmap_front's back stages
+    # run under lax.map, and a lax.map over a GLOBALLY sharded carrier
+    # axis would serialize across devices -- inside shard_map each
+    # device maps over its LOCAL carriers only; shared bands replicate
+    def local_fn(c, t, s, *g):
+        return _vmap_front(c, t, s, ds_comb_arm, tuple(g))
+
+    f = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("c"), P("c"), P("c")) + (P(),) * len(bands),
+        out_specs=(P("c"),) * 4,
+        check_vma=False)
+    return f(capbufs, templates, start_idx, *bands)
 
 
 def _front_batch_impl(capbufs, templates, start_idx, ds_comb_arm: int,

@@ -123,15 +123,28 @@ def _front_global(mesh, cap_re, cap_im, tmpl_re, tmpl_im, starts,
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    key = (mesh, ds_comb_arm, bool(bands))
+    key = (mesh, ds_comb_arm, len(bands))
     if key not in _front_cache:
         shard = NamedSharding(mesh, P("c"))
+        n_bands = len(bands)
 
         def impl(cr, ci, tr, ti, s, *gs):
-            c = jax.lax.complex(cr, ci)
-            t = jax.lax.complex(tr, ti)
             from .carriers import _vmap_front
-            return _vmap_front(c, t, s, ds_comb_arm, tuple(gs))
+
+            # shard_map so the back stages' lax.map runs over each
+            # device's LOCAL carriers (a map over the global sharded
+            # axis would serialize across the mesh); shared bands
+            # replicate
+            def local_fn(cr, ci, tr, ti, s, *gs):
+                c = jax.lax.complex(cr, ci)
+                t = jax.lax.complex(tr, ti)
+                return _vmap_front(c, t, s, ds_comb_arm, tuple(gs))
+
+            return jax.shard_map(
+                local_fn, mesh=mesh,
+                in_specs=(P("c"),) * 5 + (P(),) * n_bands,
+                out_specs=(P("c"),) * 4,
+                check_vma=False)(cr, ci, tr, ti, s, *gs)
 
         _front_cache[key] = jax.jit(impl, out_shardings=(shard,) * 4)
     return _front_cache[key](cap_re, cap_im, tmpl_re, tmpl_im, starts,

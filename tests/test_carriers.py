@@ -218,3 +218,15 @@ def test_scan_band_pallas_backend_matches_xla_backend():
             assert cr.n_id_cell() == cp.n_id_cell()
             # detection powers at detection-grade (bf16) tolerance
             assert abs(cr.pss_pow - cp.pss_pow) < 2e-2 * cr.pss_pow
+
+    # same result on a 2-device "c" mesh: the back stages' lax.map must
+    # run over each device's LOCAL carriers (shard_map), never over the
+    # global sharded axis
+    import jax
+    if len(jax.devices()) >= 2:
+        pal2 = scan_band(caps, f_set, FS_LTE / 16,
+                         SearchConfig(decode=False,
+                                      corr_backend="pallas"),
+                         make_carrier_mesh(2))
+        assert [len(l) for l in pal2] == [len(l) for l in pal]
+        assert pal2[1][0].n_id_cell() == 277
