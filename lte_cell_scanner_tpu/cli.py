@@ -310,8 +310,11 @@ def cmd_track(args) -> int:
         except Exception as e:
             print(f"kalibrate found no cell ({e}); starting at 0 Hz")
 
+    from .models.search import SearchConfig
     runner = TrackerRunner(args.freq, args.freq, FS_WORK,
                            initial_fo=initial_fo,
+                           search_config=SearchConfig(
+                               corr_backend=args.corr_backend),
                            search_period=args.search_period,
                            search_mesh=mesh,
                            search_async=args.async_search,
@@ -554,6 +557,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "bootstrap search")
     pt.add_argument("-c", "--correction", type=float, default=1.0)
     pt.add_argument("-i", "--device-index", type=int, default=-1)
+    pt.add_argument("--corr-backend", default="auto",
+                    choices=("auto", "pallas", "xla"),
+                    help="correlation backend for the background "
+                         "searcher (same switch as search)")
     pt.add_argument("--kalibrate-tries", type=int, default=0,
                     help="max kalibrate search attempts (0 = retry "
                          "until a cell is found, the reference's loop; "

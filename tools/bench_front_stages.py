@@ -7,8 +7,9 @@ prefixes of _xcorr_core_impl's lean pipeline to locate the rest:
   kern        correlation kernel only (bf16 power map out)
   fold        + k_factor incoherent fold (fori_loop of dynamic slices)
   ds          + delay-spread combining + hypothesis collapse
-  slab        + refinement-slab gather (= the full lean front end
-                minus sp_est)
+  gslab       + the RETIRED take_along_axis refinement slab (gathers)
+  slab        + the production one-hot refinement slab
+  sp          + the production fold-then-window sp_est
   full        the production lean front end (_xcorr_core_impl)
 
 Same transfer-synced methodology as tools/bench_corr_v2.py (R inner
