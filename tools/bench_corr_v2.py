@@ -125,6 +125,21 @@ def main():
         res["mxu_peak_ms_per_matmul"] = round(dt * 1e3 / R, 4)
         res["mxu_peak_tflops"] = round(flops / dt / 1e12, 1)
 
+        # same probe with f32 accumulation/output -- the configuration
+        # the production correlation dot actually uses
+        @jax.jit
+        def mxu_peak32(re, im):
+            x = jnp.tile(re[: 4096 * 36].reshape(36, 4096),
+                         (114, 1))[:4096].astype(jnp.bfloat16)
+            w = jnp.asarray(w_np, jnp.bfloat16)
+            for _ in range(R):
+                y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+                x = (y * 0.015625).astype(jnp.bfloat16)
+            return jnp.sum(y)
+
+        dt32 = timed_throughput(mxu_peak32, bufs)
+        res["mxu_peak_f32acc_tflops"] = round(flops / dt32 / 1e12, 1)
+
     def add(name, fn, raw_flops_per_call):
         try:
             dt = timed_throughput(fn, bufs) / R
