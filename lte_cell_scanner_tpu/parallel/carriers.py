@@ -130,7 +130,16 @@ def _front_jit(mesh: Mesh, capbufs, templates, start_idx,
 
 def _front_batch_impl(capbufs, templates, start_idx, ds_comb_arm: int,
                       g_re=None, g_im=None):
-    bands = () if g_re is None else (g_re, g_im)
+    # g_re alone = the production v2 single-band format: it must reach
+    # _vmap_front as a 1-tuple so the lax.map back-stage branch engages
+    # (a (g, None) pair would silently fall back to the vmapped path
+    # and its fold gathers)
+    if g_re is None:
+        bands = ()
+    elif g_im is None:
+        bands = (g_re,)
+    else:
+        bands = (g_re, g_im)
     return _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands)
 
 

@@ -230,3 +230,31 @@ def test_scan_band_pallas_backend_matches_xla_backend():
                          make_carrier_mesh(2))
         assert [len(l) for l in pal2] == [len(l) for l in pal]
         assert pal2[1][0].n_id_cell() == 277
+
+
+def test_scan_band_float_boundary_pallas_path(monkeypatch):
+    """The single-accelerator float-boundary path (_front_batch, the
+    axon production route) with the v2 single-band format must reach
+    the lax.map back stages and match the plain path."""
+    import numpy as np
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.search import SearchConfig
+    from lte_cell_scanner_tpu.parallel.carriers import (make_carrier_mesh,
+                                                        scan_band)
+    from lte_cell_scanner_tpu.cell import CpType
+    from lte_cell_scanner_tpu.sim import awgn, create_dl_sig
+
+    rng = np.random.default_rng(13)
+    sig = awgn(create_dl_sig(CpType.NORMAL, 30, 0, 92, 1, 0.5, rng=rng,
+                             n_ports=2), 8.0, rng=rng)
+    caps = [(sig, 739e6, 739e6)]
+    f_set = np.array([-5e3, 0.0, 5e3])
+    cfg = SearchConfig(decode=False, corr_backend="pallas")
+    mesh = make_carrier_mesh(1)
+
+    plain = scan_band(caps, f_set, FS_LTE / 16, cfg, mesh)
+    monkeypatch.setenv("LTE_TPU_FLOAT_BOUNDARY", "always")
+    fb = scan_band(caps, f_set, FS_LTE / 16, cfg, mesh)
+    assert [c.n_id_cell() for c in fb[0]] == \
+        [c.n_id_cell() for c in plain[0]]
+    assert fb[0] and fb[0][0].n_id_cell() == 277
