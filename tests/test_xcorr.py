@@ -282,3 +282,34 @@ def test_xcorr_core_v2_production_backend_matches_xla():
     mask = np.broadcast_to(same[:, None, :], np.asarray(base[7]).shape)
     d = np.abs(np.asarray(pal[7]) - np.asarray(base[7]))
     assert np.max(d[mask]) < 2e-2 * scale
+
+
+def test_v2_kernel_long_capture_shapes():
+    """The production v2 kernel's row/chunk planning handles non-default
+    capture lengths (the --capture-ms long-integration axis): 160 ms
+    worth of lags through interpret mode matches the XLA path."""
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.xcorr import pss_templates
+    from lte_cell_scanner_tpu.ops.corr_pallas import (
+        bands_v2_for_templates, corr_pow_core_v2, plan_pallas_v2)
+    from lte_cell_scanner_tpu.ops.corr import correlate
+
+    fs = FS_LTE / 16
+    rng = np.random.default_rng(5)
+    n_cap = 3 * 9600 + 137 + 11        # deliberately awkward length
+    cap = (rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) \
+        .astype(np.complex64) * 0.1
+    f_set = np.array([0.0])
+    tmpl = pss_templates(f_set, 739e6, 739e6, fs,
+                         np.complex64).reshape(-1, 137)
+    n_lags = n_cap - 136
+    xc = np.asarray(correlate(jnp.asarray(cap), jnp.asarray(tmpl)))
+    ref = np.abs(xc) ** 2
+    g = bands_v2_for_templates(tmpl, precision="f32")
+    t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(tmpl.shape[0], n_lags)
+    got = np.asarray(corr_pow_core_v2(
+        jnp.real(cap), jnp.imag(cap), g, n_lags, tmpl.shape[0], t_pad,
+        n_tc, n_rows, n_rb, interpret=True, precision="f32"))
+    assert got.shape == (3, n_lags)
+    assert np.max(np.abs(got - ref[:, :n_lags])) / np.max(ref) < 1e-5
