@@ -128,9 +128,15 @@ def main():
     from lte_cell_scanner_tpu.models.xcorr import use_pallas_corr
     bands = ()
     if use_pallas_corr("auto"):
-        from lte_cell_scanner_tpu.ops.corr_pallas import \
-            prod_bands_for_templates
-        bands = (prod_bands_for_templates(templates.reshape(-1, 137)),)
+        from lte_cell_scanner_tpu.ops.corr_pallas import (
+            is_adc_grid, prod_bands_for_templates)
+        tf = templates.reshape(-1, 137)
+        if is_adc_grid(capbuf):
+            # 8-bit-ADC-grid capture: the exact int8 production dot
+            g, scale = prod_bands_for_templates(tf, int8=True)
+            bands = (g, jnp.full((1,), scale, jnp.float32))
+        else:
+            bands = (prod_bands_for_templates(tf),)
 
     # the production scan program: C carriers batched per dispatch
     # (parallel/carriers._vmap_front -- correlation vmapped, back

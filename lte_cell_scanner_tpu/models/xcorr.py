@@ -101,10 +101,11 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
     keep_xc=False (the kernels fuse |.|^2 and never materialize the
     complex correlation).
     """
-    xc2, xc = _corr_stage(capbuf, templates, keep_xc, g_re, g_im)
+    xc2, xc, pw_scale = _corr_stage(capbuf, templates, keep_xc, g_re,
+                                    g_im)
     (xc_single, xc_inc, pow_collapsed, frq_collapsed, sp, sp_incoherent,
      refine_slab) = _back_stage(xc2, capbuf, start_idx, ds_comb_arm,
-                                lean)
+                                lean, pw_scale)
     return (xc_single, xc_inc, pow_collapsed, frq_collapsed, sp,
             sp_incoherent, xc if keep_xc else None, refine_slab)
 
@@ -112,34 +113,45 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
 def _corr_stage(capbuf, templates, keep_xc: bool = False,
                 g_re=None, g_im=None):
     """Correlation-power part of the front end: -> (xc2 [3, n_f,
-    n_lags], xc-or-None).  Split from _back_stage so the batched scan
-    can vmap THIS stage over carriers while running the back stages
-    under lax.map (per-carrier fold starts under vmap batch dynamic
-    slices into TPU gathers -- measured ~1 ms/carrier,
-    tools/bench_front_stages.py)."""
+    n_lags], xc-or-None, power-scale-or-None).  Split from _back_stage
+    so the batched scan can vmap THIS stage over carriers while running
+    the back stages under lax.map (per-carrier fold starts under vmap
+    batch dynamic slices into TPU gathers -- measured ~1 ms/carrier,
+    tools/bench_front_stages.py).
+
+    Band formats: g_re alone (bf16/f32) = the v2 im2col kernel;
+    g_re of dtype int8 with g_im = the power scale scalar = the int8
+    ADC-exact v2 path (xc2 comes back UNSCALED; _back_stage applies the
+    scale on the folded map); (g_re, g_im) float pair = the v1 banded
+    kernel."""
     n_f = templates.shape[1]
     rdt = jnp.real(capbuf).dtype
     n_lags = capbuf.shape[0] - (PSS_TD_LEN - 1)
+    pw_scale = None
 
     if g_re is not None:
         if keep_xc:
             raise ValueError("pallas correlation backend cannot return "
                              "the complex correlation (keep_xc=True)")
         t_count = 3 * n_f
-        prec = "bf16" if g_re.dtype == jnp.bfloat16 else "f32"
+        is_int8 = g_re.dtype == jnp.int8
+        prec = "int8" if is_int8 \
+            else "bf16" if g_re.dtype == jnp.bfloat16 else "f32"
         # interpret mode off-TPU so CPU CI can execute this branch
         interp = jax.default_backend() != "tpu"
-        if g_im is None:
+        if g_im is None or is_int8:
             from ..ops.corr_pallas import (PROD_V2_OUT_DTYPE,
                                            PROD_V2_POST,
                                            corr_pow_core_v2,
                                            plan_pallas_v2)
             t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(t_count, n_lags)
-            odt = PROD_V2_OUT_DTYPE if prec == "bf16" else jnp.float32
+            odt = jnp.float32 if prec == "f32" else PROD_V2_OUT_DTYPE
             xc2 = corr_pow_core_v2(
                 jnp.real(capbuf), jnp.imag(capbuf), g_re, n_lags,
                 t_count, t_pad, n_tc, n_rows, n_rb, interpret=interp,
                 precision=prec, post=PROD_V2_POST, out_dtype=odt)
+            if is_int8:
+                pw_scale = g_im    # scalar restoring capture units
         else:
             from ..ops.corr_pallas import corr_pow_core, plan_pallas
             t_pad, n_tc, n_rows, n_rb = plan_pallas(t_count, n_lags)
@@ -165,14 +177,17 @@ def _corr_stage(capbuf, templates, keep_xc: bool = False,
         # into every fold-slice consumer and recomputes the correlation
         # ~n_comb times (measured 18x slowdown when xc is not an output)
         xc2 = jax.lax.optimization_barrier(xc2)
-    return xc2, xc
+    return xc2, xc, pw_scale
 
 
-def _back_stage(xc2, capbuf, start_idx, ds_comb_arm: int, lean: bool):
+def _back_stage(xc2, capbuf, start_idx, ds_comb_arm: int, lean: bool,
+                pw_scale=None):
     """Fold + delay-spread + collapse + sp_est (+ lean refinement slab)
     off a materialized power map -- the per-carrier back stages of the
     front end.  Returns (xc_single, xc_inc, pow, frq, sp, sp_inc, slab)
-    with the lean-mode Nones of _xcorr_core_impl."""
+    with the lean-mode Nones of _xcorr_core_impl.  pw_scale (int8
+    path): multiplied onto the FOLDED map, restoring capture-unit
+    powers ~30x cheaper than scaling the raw lag map."""
     n_f = xc2.shape[1]
     rdt = jnp.real(capbuf).dtype
     n_comb_xc = start_idx.shape[1]
@@ -187,6 +202,8 @@ def _back_stage(xc2, capbuf, start_idx, ds_comb_arm: int, lean: bool):
 
     xc_single = jax.vmap(fold_one_f, in_axes=(1, 0), out_axes=1)(xc2, start_idx)
     # xc_single: [3, n_f, 9600]
+    if pw_scale is not None:
+        xc_single = xc_single * pw_scale.astype(rdt)
 
     # --- xc_delay_spread: cyclic +-arm moving average ----------------------
     xc_inc = xc_single
@@ -287,6 +304,13 @@ def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
 
     corr_backend: "auto" (Pallas kernel on TPU, XLA dot otherwise),
     "pallas", or "xla"."""
+    # 8-bit-ADC-grid captures take the exact int8 dot (checked on host
+    # BEFORE the device transfer; non-grid/simulated floats use bf16)
+    use_int8 = isinstance(capbuf, np.ndarray) and not keep_xc \
+        and use_pallas_corr(corr_backend)
+    if use_int8:
+        from ..ops.corr_pallas import is_adc_grid
+        use_int8 = is_adc_grid(capbuf)
     capbuf = device_complex(capbuf)
     dtype = capbuf.dtype
     n_lags = capbuf.shape[0] - (PSS_TD_LEN - 1)
@@ -303,8 +327,12 @@ def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
     bands = ()
     if not keep_xc and use_pallas_corr(corr_backend):
         from ..ops.corr_pallas import prod_bands_for_templates
-        bands = (prod_bands_for_templates(
-            tmpl_host.astype(np.complex64).reshape(-1, PSS_TD_LEN)),)
+        tf = tmpl_host.astype(np.complex64).reshape(-1, PSS_TD_LEN)
+        if use_int8:
+            g, scale = prod_bands_for_templates(tf, int8=True)
+            bands = (g, jnp.full((1,), scale, jnp.float32))
+        else:
+            bands = (prod_bands_for_templates(tf),)
 
     (xc_single, xc_inc, pow_c, frq_c, sp, sp_inc, xc, slab) = _xcorr_core(
         capbuf, templates, start_idx, ds_comb_arm, keep_xc, lean, *bands)

@@ -252,18 +252,71 @@ KV_V2 = 256         # sample span per row (covers W-1 + 137 taps)
 
 # Production configuration of the v2/v3 kernel family, picked by the
 # on-chip A/B (tools/bench_corr_v2.py; see docs/SCALING.md):
-# post="kernel" = v3 (in-kernel transpose, no XLA transpose downstream),
-# bf16 output (halves output-side HBM traffic; storage rounding ~0.2%
-# on detection powers, folds still accumulate f32).
+# post="xla" (the in-kernel-transpose v3 measured slower), bf16 output
+# (halves output-side HBM traffic; storage rounding ~0.2% on detection
+# powers, folds still accumulate f32).  For captures on the 8-bit ADC
+# grid the dot itself runs int8 (0.92 vs 1.27 ms measured): the capture
+# is int8-EXACT there and template quantization is ~0.4%, the same
+# detection-grade tier as bf16.
 PROD_V2_POST = "xla"
 PROD_V2_OUT_DTYPE = jnp.bfloat16
 
 
-def prod_bands_for_templates(templates):
-    """The production band matrix for the v2/v3 kernel (single array;
-    layout matches PROD_V2_POST)."""
-    return bands_v2_for_templates(templates, precision="bf16",
-                                  tc_major=(PROD_V2_POST == "kernel"))
+def prod_bands_for_templates(templates, int8: bool = False):
+    """The production band matrix for the v2/v3 kernel.
+
+    int8=False -> a single bf16 array.  int8=True -> (g_int8, scale)
+    where scale is the float factor that restores capture-unit powers
+    when multiplied onto the kernel's UNSCALED int-power output
+    (applied downstream on the folded [3, n_f, 9600] map, where it is
+    ~30x cheaper than on the raw lag map)."""
+    if not int8:
+        return bands_v2_for_templates(templates, precision="bf16",
+                                      tc_major=(PROD_V2_POST == "kernel"))
+    return bands_v2_int8_for_templates(templates)
+
+
+_band_i8_cache = {}
+
+
+def bands_v2_int8_for_templates(templates, t_chunk: int = 16):
+    """(g_int8 [512, n_tc*2*W*t_chunk], power_scale) for the int8 dot:
+    g_int8 = round(g * 127/max|g|), and
+    power_scale = (max|g| / (127 * 128))^2 undoes both the band and the
+    (x-127)/128 -> int8 capture quantization in ONE multiply on powers.
+    Content-cached like the other band builders."""
+    templates = np.asarray(templates).reshape(-1, PSS_TD_LEN) \
+        .astype(np.complex64)
+    key = (templates.shape, templates.tobytes(), t_chunk)
+    hit = _band_i8_cache.get(key)
+    if hit is not None:
+        return hit
+    t_pad, n_tc, _, _ = plan_pallas_v2(templates.shape[0], 1,
+                                       t_chunk=t_chunk)
+    g = _im2col_bands(templates, t_pad, n_tc, t_chunk)
+    s_g = 127.0 / float(np.max(np.abs(g)))
+    g_i8 = jnp.asarray(np.clip(np.round(g * s_g), -127, 127)
+                       .astype(np.int8))
+    scale = np.float32((1.0 / (s_g * 128.0)) ** 2)
+    if len(_band_i8_cache) > 8:
+        _band_i8_cache.pop(next(iter(_band_i8_cache)))
+    _band_i8_cache[key] = (g_i8, scale)
+    return g_i8, scale
+
+
+def is_adc_grid(capbuf, tol: float = 1e-5) -> bool:
+    """True when every sample sits on the reference dongle's
+    (x - 127)/128 8-bit grid (capbuf.cpp:174) with |k| <= 128 -- the
+    precondition for the exact int8 correlation path.  Host-side numpy
+    check (the callers hold the capture on host for planning anyway)."""
+    c = np.asarray(capbuf)
+    for p in (c.real, c.imag):
+        k = p * 128.0
+        if np.max(np.abs(k)) > 128.0 + tol:
+            return False
+        if np.max(np.abs(k - np.round(k))) > tol:
+            return False
+    return True
 
 
 def plan_pallas_v2(t_count: int, n_lags: int, rows_per_block: int = 128,
@@ -346,6 +399,19 @@ def _corr_kernel_v2(x_ref, g_ref, out_ref):
     out_ref[:] = (xr * xr + xi * xi).astype(out_ref.dtype)
 
 
+def _corr_kernel_v2_int8(x_ref, g_ref, out_ref):
+    """int8 operands, int32 accumulation (the 8-bit-ADC exact path);
+    emits UNSCALED powers -- the caller multiplies the folded map by
+    the band scale (prod_bands_for_templates int8 docstring)."""
+    acc = jax.lax.dot_general(
+        x_ref[:], g_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)               # [M, 2*W*Tc]
+    h = acc.shape[1] // 2
+    xr = acc[:, :h].astype(jnp.float32)
+    xi = acc[:, h:].astype(jnp.float32)
+    out_ref[:] = (xr * xr + xi * xi).astype(out_ref.dtype)
+
+
 def _corr_kernel_v3(x_ref, g_ref, out_ref):
     """tc-major columns + IN-KERNEL transpose: emits a [Tc, M, W] block
     of the final [template, lag-row, W] layout, so the 59-118 MB XLA
@@ -386,12 +452,19 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
     tc-major columns + in-kernel transpose emit [template, lag]
     directly.  out_dtype=jnp.bfloat16 halves the output-side HBM
     traffic (storage rounding ~0.4% on powers; the fold still
-    accumulates in f32)."""
+    accumulates in f32).  precision="int8" (requires an int8 g from
+    bands_v2_int8_for_templates and an ADC-grid capture) quantizes the
+    capture to k = round(plane*128) int8 -- EXACT for dongle data --
+    and returns UNSCALED powers (see prod_bands_for_templates)."""
     if (W_V2 * t_chunk) % 128:
         raise ValueError("t_chunk must be a multiple of 16 so the "
                          "output block's lane dimension (120*t_chunk) "
                          "is 128-aligned")
-    xdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    if precision == "int8" and post == "kernel":
+        raise ValueError("int8 precision is implemented for the "
+                         "xla-post layout only")
+    xdt = jnp.int8 if precision == "int8" \
+        else jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     # X3[r, 0:120]   = cap[120r .. 120r+119]
     # X3[r, 120:240] = cap[120r+120 .. 120r+239]
@@ -403,6 +476,10 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
     planes = []
     for plane in (cap_re, cap_im):
         p = plane.astype(jnp.float32)
+        if precision == "int8":
+            # (x-127)/128 grid -> k = p*128 is integral; clip the one
+            # full-scale code (k=128, a saturated ADC sample) to 127
+            p = jnp.clip(jnp.round(p * 128.0), -127.0, 127.0)
         pad = n_ext - p.shape[0]
         if pad > 0:
             p = jnp.concatenate([p, jnp.zeros(pad, jnp.float32)])
@@ -445,7 +522,7 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
         return out.reshape(t_pad, n_rows * W_V2)[:t_count, :n_lags]
 
     out = pl.pallas_call(
-        _corr_kernel_v2,
+        _corr_kernel_v2_int8 if precision == "int8" else _corr_kernel_v2,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows_per_block, W_V2 * t_chunk),

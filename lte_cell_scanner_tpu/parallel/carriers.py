@@ -90,9 +90,11 @@ def _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands):
     (tools/bench_front_stages.py --carriers), while lax.map keeps them
     plain dynamic slices -- each carrier's back stages are large enough
     that the sequential map stays device-busy."""
-    if len(bands) == 1:
+    if len(bands) == 1 or (len(bands) == 2
+                           and bands[0].dtype == jnp.int8):
         from ..models.xcorr import _back_stage, _corr_stage
 
+        pw_scale = bands[1] if len(bands) == 2 else None
         xc2 = jax.vmap(
             lambda c, t: _corr_stage(c, t, False, *bands)[0])(
                 capbufs, templates)
@@ -100,7 +102,7 @@ def _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands):
         def back_one(args):
             xc2_c, cap_c, starts_c = args
             (_s, _i, pow_c, frq_c, _sp, sp_inc, slab) = _back_stage(
-                xc2_c, cap_c, starts_c, ds_comb_arm, True)
+                xc2_c, cap_c, starts_c, ds_comb_arm, True, pw_scale)
             return slab, pow_c, frq_c, sp_inc
 
         return jax.lax.map(back_one, (xc2, capbufs, start_idx))
@@ -252,10 +254,15 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
     # every carrier; fold starts stay exactly per-carrier
     bands = ()
     if use_pallas_corr(getattr(cfg, "corr_backend", "auto")):
-        from ..ops.corr_pallas import prod_bands_for_templates
+        from ..ops.corr_pallas import (is_adc_grid,
+                                       prod_bands_for_templates)
         mid = tmpl.shape[0] // 2
-        bands = (prod_bands_for_templates(
-            tmpl[mid].astype(np.complex64)),)
+        tmid = tmpl[mid].astype(np.complex64)
+        if all(is_adc_grid(c) for c in capbufs):
+            g, scale = prod_bands_for_templates(tmid, int8=True)
+            bands = (g, jnp.full((1,), scale, jnp.float32))
+        else:
+            bands = (prod_bands_for_templates(tmid),)
 
     slabs, pow_c, frq_c, sp_inc = _front_sharded(
         mesh, cap, tmpl, starts, cfg.ds_comb_arm, bands)

@@ -186,10 +186,15 @@ def _scan_chunk(chunk, chunk_real: int, mesh, n_local_dev: int,
     # them cross-host -- each device uses its process's replica).
     bands = ()
     if use_pallas_corr(cfg.corr_backend):
-        from ..ops.corr_pallas import prod_bands_for_templates
+        from ..ops.corr_pallas import (is_adc_grid,
+                                       prod_bands_for_templates)
         mid = tmpl.shape[0] // 2
-        bands = (np.asarray(prod_bands_for_templates(
-            tmpl[mid].astype(np.complex64))),)
+        tmid = tmpl[mid].astype(np.complex64)
+        if all(is_adc_grid(c) for c in capbufs):
+            g, scale = prod_bands_for_templates(tmid, int8=True)
+            bands = (np.asarray(g), np.ones((1,), np.float32) * scale)
+        else:
+            bands = (np.asarray(prod_bands_for_templates(tmid)),)
 
     shard = NamedSharding(mesh, P("c"))
 

@@ -313,3 +313,48 @@ def test_v2_kernel_long_capture_shapes():
         n_tc, n_rows, n_rb, interpret=True, precision="f32"))
     assert got.shape == (3, n_lags)
     assert np.max(np.abs(got - ref[:, :n_lags])) / np.max(ref) < 1e-5
+
+
+def test_is_adc_grid():
+    from lte_cell_scanner_tpu.ops.corr_pallas import is_adc_grid
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, 256, size=1000)
+    y = rng.integers(0, 256, size=1000)
+    grid = ((x - 127) + 1j * (y - 127)) / 128.0
+    assert is_adc_grid(grid)
+    assert not is_adc_grid(grid + 3e-4)          # off-grid
+    assert not is_adc_grid(grid * 1.5)           # out of range
+    assert not is_adc_grid(rng.normal(size=100)
+                           + 1j * rng.normal(size=100))
+
+
+def test_xcorr_pss_int8_path_matches_xla_on_grid_capture():
+    """An 8-bit-ADC-grid capture automatically takes the exact int8
+    production dot (interpret mode on CPU); detection outputs must
+    match the XLA path at the int8-template-quantization tolerance."""
+    from lte_cell_scanner_tpu.constants import FS_LTE
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    rng = np.random.default_rng(7)
+    n_cap = 2 * 9600 + 400
+    x = rng.integers(0, 256, size=n_cap)
+    y = rng.integers(0, 256, size=n_cap)
+    capbuf = (((x - 127) + 1j * (y - 127)) / 128.0).astype(np.complex64)
+    f_set = np.array([-5e3, 0.0, 5e3])
+
+    ref = xcorr_pss(capbuf, f_set, 2, fc, fc, fs, lean=True,
+                    corr_backend="xla")
+    i8 = xcorr_pss(capbuf, f_set, 2, fc, fc, fs, lean=True,
+                   corr_backend="pallas")
+    a = np.asarray(i8.xc_incoherent_collapsed_pow)
+    b = np.asarray(ref.xc_incoherent_collapsed_pow)
+    scale = b.max()
+    # int8 template quantization ~0.4% + bf16 power storage ~0.4%
+    assert np.max(np.abs(a - b)) < 2e-2 * scale
+    same = np.asarray(i8.xc_incoherent_collapsed_frq) == \
+        np.asarray(ref.xc_incoherent_collapsed_frq)
+    assert same.mean() > 0.99
+    # sp_incoherent is computed from the float capture: near-exact
+    np.testing.assert_allclose(np.asarray(i8.sp_incoherent),
+                               np.asarray(ref.sp_incoherent), rtol=1e-6)

@@ -85,11 +85,17 @@ def main():
         from lte_cell_scanner_tpu.models.xcorr import use_pallas_corr
         bands = ()
         if use_pallas_corr("auto"):
-            from lte_cell_scanner_tpu.ops.corr_pallas import \
-                prod_bands_for_templates
+            from lte_cell_scanner_tpu.ops.corr_pallas import (
+                is_adc_grid, prod_bands_for_templates)
             # ONE shared band set (carriers._vmap_front: ~4e-5 relative
-            # template spread per 10 MHz, far below bf16)
-            bands = (prod_bands_for_templates(tmpl[tmpl.shape[0] // 2]),)
+            # template spread per 10 MHz, far below bf16); ADC-grid
+            # captures ride the exact int8 dot like production scan_band
+            tmid = tmpl[tmpl.shape[0] // 2]
+            if is_adc_grid(base):
+                g, scale = prod_bands_for_templates(tmid, int8=True)
+                bands = (g, jnp.full((1,), scale, jnp.float32))
+            else:
+                bands = (prod_bands_for_templates(tmid),)
 
         @jax.jit
         def band(re, im, *g, tmpl=tmpl, starts=starts):

@@ -307,6 +307,80 @@ def main():
         add("v2s_bf16_128_16", v2s,
             2.0 * n_rows * 512 * 2 * 120 * tc * n_tc)
 
+    if "v2i" in variants:
+        # int8 probe: the 8-bit-ADC capture is int8-EXACT (k/128 grid,
+        # one LSB clamp at full scale) and template quantization to
+        # int8 is ~0.4% -- the same detection-grade tier as bf16 --
+        # while the v5e int8 MXU peak is 2x bf16.  Measures whether the
+        # production dot shape runs faster with int8 operands.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from lte_cell_scanner_tpu.ops.corr_pallas import (
+            KV_V2, W_V2, _im2col_bands)
+
+        tc = 16
+        t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(t_count, n_lags,
+                                                   rows_per_block=128,
+                                                   t_chunk=tc)
+        g_f32 = _im2col_bands(tmpl_flat.astype(np.complex64), t_pad,
+                              n_tc, tc)
+        s_g = 127.0 / np.max(np.abs(g_f32))
+        g_i8 = jnp.asarray(np.clip(np.round(g_f32 * s_g), -127, 127)
+                           .astype(np.int8))
+        inv = np.float32(1.0 / (128.0 * s_g)) ** 2
+        n_cols = 2 * W_V2 * tc
+
+        def _kern_i8(x_ref, g_ref, out_ref):
+            acc = jax.lax.dot_general(
+                x_ref[:], g_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            h = acc.shape[1] // 2
+            xr = acc[:, :h].astype(jnp.float32)
+            xi = acc[:, h:].astype(jnp.float32)
+            out_ref[:] = ((xr * xr + xi * xi) * inv).astype(
+                jnp.bfloat16)
+
+        def v2i_once(re, im, shift):
+            n_ext = W_V2 * (n_rows + 2)
+            planes = []
+            for plane in (jnp.roll(re, shift), jnp.roll(im, shift)):
+                # samples are (x-127)/128: k = p*128 is integral
+                k = jnp.clip(jnp.round(plane * 128.0), -127, 127)
+                p = jnp.concatenate(
+                    [k, jnp.zeros(n_ext - k.shape[0], k.dtype)])
+                a = p.reshape(n_rows + 2, W_V2)
+                planes.append(jnp.concatenate(
+                    [a[:-2], a[1:-1], a[2:, : KV_V2 - 2 * W_V2]],
+                    axis=1))
+            x3 = jnp.concatenate(planes, axis=1).astype(jnp.int8)
+            out = pl.pallas_call(
+                _kern_i8,
+                grid=(n_tc, n_rb),
+                in_specs=[
+                    pl.BlockSpec((128, 2 * KV_V2), lambda j, i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2 * KV_V2, n_cols), lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((128, W_V2 * tc),
+                                       lambda j, i: (i, j),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((n_rows, W_V2 * t_pad),
+                                               jnp.bfloat16),
+            )(x3, g_i8)
+            return jnp.sum(out.astype(jnp.float32))
+
+        @jax.jit
+        def v2i(re, im):
+            acc = jnp.float32(0)
+            for r in range(R):
+                acc = acc + v2i_once(re, im, 131 * r)
+            return acc
+
+        add("v2i_int8_128_16", v2i,
+            2.0 * n_rows * 512 * 2 * 120 * tc * n_tc)
+
     # v2_M_T: c-major cols + XLA transpose, f32 out
     # v2b_M_T: same with bf16 out; v3_M_T / v3b_M_T: tc-major cols +
     # in-kernel transpose ([template, lag] emitted directly)
