@@ -140,6 +140,26 @@ def main():
         dt32 = timed_throughput(mxu_peak32, bufs)
         res["mxu_peak_f32acc_tflops"] = round(flops / dt32 / 1e12, 1)
 
+        # int8 operands, int32 accumulation -- the ADC-exact tier
+        wi_np = np.clip(np.round(rngp.normal(size=(4096, 4096)) * 40),
+                        -127, 127).astype(np.int8)
+
+        @jax.jit
+        def mxu_peaki(re, im):
+            x = jnp.tile(re[: 4096 * 36].reshape(36, 4096),
+                         (114, 1))[:4096]
+            x = jnp.clip(jnp.round(x * 100.0), -127, 127).astype(jnp.int8)
+            w = jnp.asarray(wi_np)
+            for _ in range(R):
+                y = jax.lax.dot_general(
+                    x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                x = jnp.clip(y // 4096, -127, 127).astype(jnp.int8)
+            return jnp.sum(y.astype(jnp.float32))
+
+        dti = timed_throughput(mxu_peaki, bufs)
+        res["mxu_peak_int8_tops"] = round(flops / dti / 1e12, 1)
+
     def add(name, fn, raw_flops_per_call):
         try:
             dt = timed_throughput(fn, bufs) / R
