@@ -231,6 +231,23 @@ def test_scan_band_pallas_backend_matches_xla_backend():
         assert [len(l) for l in pal2] == [len(l) for l in pal]
         assert pal2[1][0].n_id_cell() == 277
 
+    # ADC-grid captures take the int8 exact dot ((g_int8, scale) band
+    # tuple through shard_map + lax.map): 8-bit-quantize the same
+    # signals -- what a real dongle would deliver -- and re-scan
+    def to_grid(x):
+        k = np.clip(np.round(np.real(x) * 128), -127, 127) \
+            + 1j * np.clip(np.round(np.imag(x) * 128), -127, 127)
+        return (k / 128.0).astype(np.complex64)
+
+    gcaps = [(to_grid(c), fc, fcp) for c, fc, fcp in caps]
+    if len(jax.devices()) >= 2:
+        pi8 = scan_band(gcaps, f_set, FS_LTE / 16,
+                        SearchConfig(decode=False,
+                                     corr_backend="pallas"),
+                        make_carrier_mesh(2))
+        assert pi8[1] and pi8[1][0].n_id_cell() == 277
+        assert not pi8[0]
+
 
 def test_scan_band_float_boundary_pallas_path(monkeypatch):
     """The single-accelerator float-boundary path (_front_batch, the
