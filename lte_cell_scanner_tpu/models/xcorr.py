@@ -94,12 +94,12 @@ def _xcorr_core_impl(capbuf, templates, start_idx, ds_comb_arm: int,
     g_re/g_im (optional): host-built template matrices routing the
     correlation through a Pallas kernel (ops/corr_pallas.py) instead of
     the XLA im2col dot -- the TPU production path (see docs/SCALING.md
-    "Pallas kernel").  Passing g_re ALONE selects the production v2/v3
-    im2col kernel (K=256 span, single merged dot, bf16 power output that
-    the fold accumulates in f32); passing the (g_re, g_im) pair selects
-    the original banded block-Toeplitz kernel (kept for A/B).  Requires
-    keep_xc=False (the kernels fuse |.|^2 and never materialize the
-    complex correlation).
+    "Pallas kernel").  Band formats (full list in _corr_stage): g_re
+    alone = the production v2 im2col kernel (bf16 power output that the
+    fold accumulates in f32); int8 g_re + scale g_im = the ADC-exact
+    int8 dot; a float (g_re, g_im) pair = the v1 banded block-Toeplitz
+    kernel (kept for A/B).  Requires keep_xc=False (the kernels fuse
+    |.|^2 and never materialize the complex correlation).
     """
     xc2, xc, pw_scale = _corr_stage(capbuf, templates, keep_xc, g_re,
                                     g_im)

@@ -71,8 +71,9 @@ def _front_one(capbuf, templates, start_idx, ds_comb_arm: int,
 
 
 def _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands):
-    """bands: () for the XLA backend, (g,) for the production v2/v3
-    Pallas kernel, or (g_re, g_im) for the banded v1 kernel.
+    """bands: () for the XLA backend, (g,) for the production bf16 v2
+    Pallas kernel, (g_int8, scale) for the ADC-exact int8 v2 path, or a
+    float (g_re, g_im) pair for the banded v1 kernel.
 
     Bands are SHARED across the carrier batch (in_axes=None): adjacent
     carriers' templates differ only through k_factor = 1 - f_off/fc,
