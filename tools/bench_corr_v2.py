@@ -327,7 +327,9 @@ def main():
         add("v2s_bf16_128_16", v2s,
             2.0 * n_rows * 512 * 2 * 120 * tc * n_tc)
 
-    if "v2i" in variants:
+    v2i_ms = [int(v.split("_")[1]) for v in variants
+              if v.startswith("v2i")]
+    for m_i8 in v2i_ms:
         # int8 probe: the 8-bit-ADC capture is int8-EXACT (k/128 grid,
         # one LSB clamp at full scale) and template quantization to
         # int8 is ~0.4% -- the same detection-grade tier as bf16 --
@@ -340,7 +342,7 @@ def main():
 
         tc = 16
         t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(t_count, n_lags,
-                                                   rows_per_block=128,
+                                                   rows_per_block=m_i8,
                                                    t_chunk=tc)
         g_f32 = _im2col_bands(tmpl_flat.astype(np.complex64), t_pad,
                               n_tc, tc)
@@ -361,7 +363,8 @@ def main():
             out_ref[:] = ((xr * xr + xi * xi) * inv).astype(
                 jnp.bfloat16)
 
-        def v2i_once(re, im, shift):
+        def v2i_once(re, im, shift, n_rows=n_rows, n_rb=n_rb,
+                     g_i8=g_i8, inv=inv, m_i8=m_i8):
             n_ext = W_V2 * (n_rows + 2)
             planes = []
             for plane in (jnp.roll(re, shift), jnp.roll(im, shift)):
@@ -378,12 +381,12 @@ def main():
                 _kern_i8,
                 grid=(n_tc, n_rb),
                 in_specs=[
-                    pl.BlockSpec((128, 2 * KV_V2), lambda j, i: (i, 0),
+                    pl.BlockSpec((m_i8, 2 * KV_V2), lambda j, i: (i, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((2 * KV_V2, n_cols), lambda j, i: (0, j),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((128, W_V2 * tc),
+                out_specs=pl.BlockSpec((m_i8, W_V2 * tc),
                                        lambda j, i: (i, j),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((n_rows, W_V2 * t_pad),
@@ -391,14 +394,16 @@ def main():
             )(x3, g_i8)
             return jnp.sum(out.astype(jnp.float32))
 
-        @jax.jit
-        def v2i(re, im):
-            acc = jnp.float32(0)
-            for r in range(R):
-                acc = acc + v2i_once(re, im, 131 * r)
-            return acc
+        def mk_v2i(v2i_once):
+            @jax.jit
+            def v2i(re, im):
+                acc = jnp.float32(0)
+                for r in range(R):
+                    acc = acc + v2i_once(re, im, 131 * r)
+                return acc
+            return v2i
 
-        add("v2i_int8_128_16", v2i,
+        add(f"v2i_int8_{m_i8}_16", mk_v2i(v2i_once),
             2.0 * n_rows * 512 * 2 * 120 * tc * n_tc)
 
     # v2_M_T: c-major cols + XLA transpose, f32 out
