@@ -138,6 +138,17 @@ def test_unequal_band_split_matches(worker_results):
     assert r0["merged_unequal"] == r0["merged"]
 
 
+def test_pallas_int8_bands_over_dcn(worker_results):
+    """Grid-quantized captures through the production Pallas path
+    (int8 (g, scale) band tuple, replicated over the global mesh,
+    shard_map + lax.map back stages) detect the same cells across
+    two real DCN processes."""
+    r0, r1 = sorted(worker_results, key=lambda r: r["process"])
+    assert r0["merged_pallas_ids"] == r1["merged_pallas_ids"]
+    assert 3 * 92 + 1 in r0["merged_pallas_ids"]
+    assert 3 * 167 + 2 in r0["merged_pallas_ids"]
+
+
 def test_record_round_trip():
     """Cell <-> flat-record serialization is lossless for every field."""
     from lte_cell_scanner_tpu.cell import (Cell, CpType, PhichDuration,

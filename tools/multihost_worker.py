@@ -106,6 +106,21 @@ def main():
     _, merged_uneq = multihost.scan_band_multihost(
         uneq, np.asarray(F_SEARCH), FS_LTE / 16, cfg)
 
+    # third pass: the production Pallas band plumbing over real DCN --
+    # grid-quantized captures (the dongle's 8-bit delivery) select the
+    # int8 (g, scale) replicated band tuple through the global
+    # shard_map (interpret mode on CPU); detection-only for speed
+    def to_grid(x):
+        k = np.clip(np.round(x.real * 128), -127, 127) \
+            + 1j * np.clip(np.round(x.imag * 128), -127, 127)
+        return (k / 128.0).astype(np.complex64)
+
+    gcaps = [(to_grid(c), fc, fcp) for c, fc, fcp in captures]
+    from lte_cell_scanner_tpu.models.search import SearchConfig as SC
+    _, merged_pallas = multihost.scan_band_multihost(
+        gcaps, np.asarray(F_SEARCH), FS_LTE / 16,
+        SC(decode=False, corr_backend="pallas"))
+
     out = {
         "process": args.process_id,
         "n_processes": jax.process_count(),
@@ -117,6 +132,7 @@ def main():
         "merged_unequal": [cell_summary(c) for c in
                            sorted(merged_uneq,
                                   key=lambda c: c.fc_requested)],
+        "merged_pallas_ids": sorted(c.n_id_cell() for c in merged_pallas),
     }
     with open(args.out, "w") as f:
         json.dump(out, f)
