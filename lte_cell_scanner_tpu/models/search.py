@@ -64,9 +64,10 @@ class SearchConfig:
     # program per stage (False = the reference's peak-at-a-time order;
     # same math, kept for A/B and per-peak debugging)
     batch_peaks: bool = True
-    # correlation backend: "auto" = the Pallas block-Toeplitz kernel on
-    # TPU (measured 1.7x the XLA front end, docs/SCALING.md), the XLA
-    # im2col dot elsewhere; "pallas"/"xla" force either
+    # correlation backend: "auto" = the production Pallas v2 im2col
+    # kernel on TPU (int8 on ADC-grid captures, bf16 otherwise --
+    # docs/SCALING.md "Utilization"), the XLA im2col dot elsewhere;
+    # "pallas"/"xla" force either
     corr_backend: str = "auto"
 
 

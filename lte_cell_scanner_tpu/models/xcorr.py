@@ -280,10 +280,11 @@ class XcorrResult:
 
 
 def use_pallas_corr(corr_backend: str = "auto") -> bool:
-    """Resolve the correlation backend: the Pallas block-Toeplitz kernel
-    on TPU (measured 2.6x the XLA dot path under transfer-synced timing,
-    docs/SCALING.md), the XLA dot everywhere else (Pallas needs the TPU
-    ISA; the CPU/golden paths keep exact f64 semantics)."""
+    """Resolve the correlation backend: the production Pallas v2 im2col
+    kernel on TPU (int8 on ADC-grid captures, bf16 otherwise; ~2.8x the
+    XLA dot under transfer-synced timing, docs/SCALING.md
+    "Utilization"), the XLA dot everywhere else (the CPU/golden paths
+    keep exact f64 semantics)."""
     if corr_backend == "pallas":
         return True
     if corr_backend == "auto":
