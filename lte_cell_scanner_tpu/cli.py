@@ -153,12 +153,18 @@ def cmd_search(args) -> int:
         # this process's slice of the band, all-gather + dedup globally
         # (parallel/multihost.py)
         from .parallel.multihost import initialize, scan_band_multihost
+        # globally-computable guard BEFORE joining the distributed
+        # runtime: every process evaluates the same condition on the
+        # same band definition, so all of them exit uniformly -- a
+        # per-process empty-slice check after initialize() would leave
+        # the peers hanging in the first collective
+        if len(fc_search_set) < args.num_processes:
+            print(f"Error: band has fewer carriers "
+                  f"({len(fc_search_set)}) than processes "
+                  f"({args.num_processes}); some process would own none")
+            return 1
         initialize(args.coordinator, args.num_processes, args.process_id)
         import jax
-        if not len(fc_search_set[args.process_id::args.num_processes]):
-            print(f"Error: band has fewer carriers than processes "
-                  f"(process {args.process_id} owns none)")
-            return 1
         session = CaptureSession(args.data_dir)
         captures = []
         # capture only this process's REAL carriers, each numbered by

@@ -307,8 +307,22 @@ def bands_v2_int8_for_templates(templates, t_chunk: int = 16):
 def is_adc_grid(capbuf, tol: float = 1e-5) -> bool:
     """True when every sample sits on the reference dongle's
     (x - 127)/128 8-bit grid (capbuf.cpp:174) with |k| <= 128 -- the
-    precondition for the exact int8 correlation path.  Host-side numpy
-    check (the callers hold the capture on host for planning anyway)."""
+    precondition for the int8 correlation path.
+
+    Exactness caveat: the positive full-scale code k = +128 (raw byte
+    255, a saturated ADC sample) is not int8-representable and the
+    kernel clips it to 127 -- a 1-LSB (1/128 amplitude) error on
+    exactly the saturated samples.  Real dongle captures saturate
+    rarely (the reference two-cell capture: 8 of 307200 sample planes),
+    so the clip perturbs 137-tap correlation powers far below the int8
+    TEMPLATE quantization (~0.4%) that already bounds this path's
+    accuracy tier; routing saturated captures to bf16 would forfeit the
+    int8 speed win on precisely the strong-signal captures that benefit
+    most.  The int8 path is therefore "exact" only for captures with no
+    +128 code; with saturation it is exact-after-clip (pinned by
+    tests/test_xcorr.py::test_int8_forced_on_saturated_capture...).
+    Host-side numpy check (the callers hold the capture on host for
+    planning anyway)."""
     c = np.asarray(capbuf)
     for p in (c.real, c.imag):
         k = p * 128.0
@@ -453,8 +467,10 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
     directly.  out_dtype=jnp.bfloat16 halves the output-side HBM
     traffic (storage rounding ~0.4% on powers; the fold still
     accumulates in f32).  precision="int8" (requires an int8 g from
-    bands_v2_int8_for_templates and an ADC-grid capture) quantizes the
-    capture to k = round(plane*128) int8 -- EXACT for dongle data --
+    bands_v2_int8_for_templates and an is_adc_grid capture) quantizes
+    the capture to k = round(plane*128) int8 -- exact for dongle data
+    EXCEPT the saturated +128 code, which clips to 127 (1 LSB on
+    saturated samples only; see is_adc_grid for the accounting) --
     and returns UNSCALED powers (see prod_bands_for_templates)."""
     if (W_V2 * t_chunk) % 128:
         raise ValueError("t_chunk must be a multiple of 16 so the "
@@ -477,8 +493,11 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
     for plane in (cap_re, cap_im):
         p = plane.astype(jnp.float32)
         if precision == "int8":
-            # (x-127)/128 grid -> k = p*128 is integral; clip the one
-            # full-scale code (k=128, a saturated ADC sample) to 127
+            # (x-127)/128 grid -> k = p*128 is integral; the one
+            # non-int8 code, +128 (a saturated ADC sample), clips to
+            # 127 -- a 1-LSB error on saturated samples only, well
+            # below the ~0.4% template quantization of this path (see
+            # the is_adc_grid docstring for the full accounting)
             p = jnp.clip(jnp.round(p * 128.0), -127.0, 127.0)
         pad = n_ext - p.shape[0]
         if pad > 0:

@@ -186,11 +186,21 @@ def _scan_chunk(chunk, chunk_real: int, mesh, n_local_dev: int,
     # them cross-host -- each device uses its process's replica).
     bands = ()
     if use_pallas_corr(cfg.corr_backend):
+        from jax.experimental import multihost_utils
         from ..ops.corr_pallas import (is_adc_grid,
                                        prod_bands_for_templates)
         mid = tmpl.shape[0] // 2
         tmid = tmpl[mid].astype(np.complex64)
-        if all(is_adc_grid(c) for c in capbufs):
+        # the int8-vs-bf16 choice changes the global program's STRUCTURE
+        # (arg count + dtypes), so it must be identical on every
+        # process: all-gather each process's local ADC-grid verdict and
+        # take the global AND (a process with one off-grid capture
+        # forces the whole step to bf16; divergent formats would be
+        # undefined behavior for multi-controller JAX)
+        local_grid = all(is_adc_grid(c) for c in capbufs)
+        grid_flags = multihost_utils.process_allgather(
+            np.array([1 if local_grid else 0], np.int32))
+        if bool(np.all(grid_flags)):
             g, scale = prod_bands_for_templates(tmid, int8=True)
             bands = (np.asarray(g), np.ones((1,), np.float32) * scale)
         else:

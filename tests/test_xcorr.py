@@ -326,6 +326,81 @@ def test_is_adc_grid():
     assert not is_adc_grid(grid * 1.5)           # out of range
     assert not is_adc_grid(rng.normal(size=100)
                            + 1j * rng.normal(size=100))
+    # the saturated full-scale code (raw byte 255 -> k = +128) IS
+    # admitted: real dongle captures saturate occasionally and the
+    # kernel's 1-LSB clip on those samples is documented + pinned by
+    # test_int8_forced_on_saturated_capture_clips_one_lsb below
+    sat = grid.copy()
+    sat[3] = (128 + 1j * (y[3] - 127)) / 128.0
+    assert is_adc_grid(sat)
+
+
+def test_int8_forced_on_saturated_capture_clips_one_lsb():
+    """The int8 kernel on a capture containing the +128 code: the
+    kernel clips k=+128 -> 127, so its output equals the exact integer
+    correlation of the CLIPPED capture (rebuilt in numpy from the same
+    quantized operands) and deviates -- by a bounded, tiny amount --
+    from the unclipped golden powers.  Pins the documented clip
+    semantics of the production path on saturated dongle data."""
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.xcorr import pss_templates
+    from lte_cell_scanner_tpu.ops.corr import correlate
+    from lte_cell_scanner_tpu.ops.corr_pallas import (
+        bands_v2_int8_for_templates, corr_pow_core_v2, is_adc_grid,
+        plan_pallas_v2)
+
+    fs = FS_LTE / 16
+    rng = np.random.default_rng(11)
+    n_cap = 9600 + 400
+    x = rng.integers(0, 255, size=n_cap)
+    y = rng.integers(0, 255, size=n_cap)
+    x[::37] = 255                                # saturated: k = +128
+    capbuf = (((x - 127) + 1j * (y - 127)) / 128.0).astype(np.complex64)
+
+    f_set = np.array([0.0])
+    tmpl = pss_templates(f_set, 739e6, 739e6, fs,
+                         np.complex64).reshape(-1, 137)
+    n_lags = n_cap - 136
+    g_i8, scale = bands_v2_int8_for_templates(tmpl)
+    t_pad, n_tc, n_rows, n_rb = plan_pallas_v2(tmpl.shape[0], n_lags)
+    got = np.asarray(corr_pow_core_v2(
+        jnp.real(capbuf), jnp.imag(capbuf), g_i8, n_lags, tmpl.shape[0],
+        t_pad, n_tc, n_rows, n_rb, interpret=True, precision="int8"
+    )).astype(np.float64) * float(scale)
+
+    # exact integer correlation of the CLIPPED capture against the
+    # band builder's quantized templates (all integers < 2^53: exact)
+    kx = np.clip(np.round(capbuf.real * 128), -127, 127).astype(np.int64)
+    ky = np.clip(np.round(capbuf.imag * 128), -127, 127).astype(np.int64)
+    s_g = 127.0 / float(np.max(np.abs(
+        np.concatenate([tmpl.real.ravel(), tmpl.imag.ravel()]))))
+    tre = np.clip(np.round(tmpl.real * s_g), -127, 127).astype(np.int64)
+    tim = np.clip(np.round(tmpl.imag * s_g), -127, 127).astype(np.int64)
+    win_r = np.lib.stride_tricks.sliding_window_view(kx, 137)[:n_lags]
+    win_i = np.lib.stride_tricks.sliding_window_view(ky, 137)[:n_lags]
+    exact = np.empty((tmpl.shape[0], n_lags))
+    for t in range(tmpl.shape[0]):
+        re_part = win_r @ tre[t] - win_i @ tim[t]
+        im_part = win_r @ tim[t] + win_i @ tre[t]
+        exact[t] = (re_part.astype(np.float64) ** 2
+                    + im_part.astype(np.float64) ** 2) \
+            * (1.0 / (s_g * 128.0)) ** 2
+    np.testing.assert_allclose(got, exact, rtol=1e-5)
+
+    # the clip IS a real deviation from the unclipped golden powers,
+    # but bounded well below the path's ~0.4% template-quantization
+    # tier even with 1-in-37 samples saturated (real captures: ~1e-5
+    # of samples) -- the documented trade for keeping int8 on
+    # saturated strong-signal captures
+    ref_unclipped = np.abs(np.asarray(correlate(
+        jnp.asarray(capbuf.astype(np.complex128)),
+        jnp.asarray(tmpl.astype(np.complex128))))[:, :n_lags]) ** 2
+    dev = np.abs(got - ref_unclipped) / ref_unclipped.max()
+    assert dev.max() > 0
+    assert dev.max() < 2e-2
+    # auto-routing keeps int8 for saturated dongle captures
+    assert is_adc_grid(capbuf)
 
 
 def test_xcorr_pss_int8_path_matches_xla_on_grid_capture():
