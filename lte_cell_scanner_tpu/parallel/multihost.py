@@ -175,36 +175,34 @@ def _scan_chunk(chunk, chunk_real: int, mesh, n_local_dev: int,
         capbufs, fc_list, f_search_set, fcp_list, fs_programmed,
         n_local_dev, dtype)
 
-    # per-carrier Pallas band matrices (the TPU production correlation
-    # backend), same routing as the single-process scan_band
-    # ONE shared band matrix for every carrier (numerically exact at
-    # bf16 precision -- parallel/carriers._vmap_front), replicated over
-    # the global mesh.  NOTE: every process derives bands from its OWN
-    # middle carrier; the ~4e-5-per-10-MHz relative template spread is
-    # far below the bf16 quantization, so the replicated arrays agree to
-    # working precision on every host (and no collective ever reads
-    # them cross-host -- each device uses its process's replica).
+    # Pallas band matrices (the TPU production correlation backend),
+    # same routing as the single-process scan_band: ONE shared band
+    # set for every carrier, replicated over the global mesh.  NOTE:
+    # every process derives bands from its OWN middle carrier; the
+    # ~4e-5-per-10-MHz relative template spread is far below the bf16
+    # quantization (and the v4 delta tables can differ by at most one
+    # sample near rounding edges -- each device only ever uses its own
+    # process's replica on its own process's carriers, so no collective
+    # reads them cross-host).  The FORMAT choices (int8 vs bf16, v4
+    # fused-fold vs v2+XLA-fold) change the global program's STRUCTURE
+    # (arg shapes/dtypes), so they must be identical on every process:
+    # all-gather each process's local verdicts and take the global AND
+    # -- divergent program structures in one collective step would be
+    # undefined behavior for multi-controller JAX.
     bands = ()
     if use_pallas_corr(cfg.corr_backend):
         from jax.experimental import multihost_utils
-        from ..ops.corr_pallas import (is_adc_grid,
-                                       prod_bands_for_templates)
-        mid = tmpl.shape[0] // 2
-        tmid = tmpl[mid].astype(np.complex64)
-        # the int8-vs-bf16 choice changes the global program's STRUCTURE
-        # (arg count + dtypes), so it must be identical on every
-        # process: all-gather each process's local ADC-grid verdict and
-        # take the global AND (a process with one off-grid capture
-        # forces the whole step to bf16; divergent formats would be
-        # undefined behavior for multi-controller JAX)
+        from ..ops.corr_pallas import is_adc_grid, v4_applicable
+        from .carriers import _plan_scan_bands
         local_grid = all(is_adc_grid(c) for c in capbufs)
-        grid_flags = multihost_utils.process_allgather(
-            np.array([1 if local_grid else 0], np.int32))
-        if bool(np.all(grid_flags)):
-            g, scale = prod_bands_for_templates(tmid, int8=True)
-            bands = (np.asarray(g), np.ones((1,), np.float32) * scale)
-        else:
-            bands = (np.asarray(prod_bands_for_templates(tmid)),)
+        local_v4 = v4_applicable(starts[tmpl.shape[0] // 2])
+        flags = multihost_utils.process_allgather(np.array(
+            [1 if local_grid else 0, 1 if local_v4 else 0], np.int32))
+        flags = np.asarray(flags).reshape(-1, 2)
+        bands = tuple(np.asarray(g) for g in _plan_scan_bands(
+            tmpl, starts, capbufs, cfg,
+            force_int8=bool(np.all(flags[:, 0])),
+            force_v4=bool(np.all(flags[:, 1]))))
 
     shard = NamedSharding(mesh, P("c"))
 

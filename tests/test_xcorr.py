@@ -433,3 +433,159 @@ def test_xcorr_pss_int8_path_matches_xla_on_grid_capture():
     # sp_incoherent is computed from the float capture: near-exact
     np.testing.assert_allclose(np.asarray(i8.sp_incoherent),
                                np.asarray(ref.sp_incoherent), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# v4 fused-fold kernel (correlation + k_factor fold in one Pallas program)
+# ---------------------------------------------------------------------------
+
+def test_v4_fused_fold_matches_xla_fold():
+    """Interpret-mode parity of the v4 kernel against the reference
+    formulation: full |corr|^2 lag map folded with the exact per-period
+    start indices (searcher.cpp:263-308 semantics).  Single carrier, so
+    the baked delta table IS the carrier's own -- exact parity at f32
+    band precision."""
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.models.xcorr import combine_start_indices
+    from lte_cell_scanner_tpu.ops.corr import correlate
+    from lte_cell_scanner_tpu.ops.corr_pallas import (
+        bands_v4_for_templates, corr_fold_core_v4, delta_table,
+        plan_pallas_v4, v4_applicable)
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    rng = np.random.default_rng(0)
+    n_cap = 3 * 9600 + 400
+    cap = (rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) \
+        .astype(np.complex64) * 0.1
+    f_set = np.arange(-75e3, 75e3 + 1, 25e3)
+    n_lags = n_cap - 136
+    n_comb = (n_lags - 100) // 9600
+    tmpl = pss_templates(f_set, fc, fc, fs, np.complex64)
+    starts = combine_start_indices(f_set, fc, fc, fs, n_comb)
+    assert v4_applicable(starts)
+    d = delta_table(starts)
+    assert d.min() < 0 < d.max()       # the test exercises real shifts
+
+    T = tmpl.reshape(-1, 137)
+    xc = np.asarray(correlate(jnp.asarray(cap.astype(np.complex128)),
+                              jnp.asarray(T.astype(np.complex128))))
+    xc2 = np.abs(xc) ** 2
+    ref = np.zeros((T.shape[0], 9600))
+    n_f = len(f_set)
+    for t in range(T.shape[0]):
+        for m in range(n_comb):
+            s = starts[t % n_f, m]
+            ref[t] += xc2[t, s: s + 9600]
+
+    g = bands_v4_for_templates(T, starts, precision="f32")
+    t_pad, n_tc = plan_pallas_v4(T.shape[0])
+    got = np.asarray(corr_fold_core_v4(
+        jnp.asarray(cap.real), jnp.asarray(cap.imag), g, n_comb,
+        T.shape[0], t_pad, n_tc, interpret=True, precision="f32"))[0]
+    assert np.max(np.abs(got - ref)) / ref.max() < 1e-5
+
+
+def test_v4_int8_batched_matches_integer_reference():
+    """Batched v4 int8 (5 carriers, c_blk=4 -> one padded block) equals
+    the exact integer correlation fold rebuilt in numpy from the same
+    quantized operands."""
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.models.xcorr import combine_start_indices
+    from lte_cell_scanner_tpu.ops.corr_pallas import (
+        bands_v4_for_templates, corr_fold_core_v4, plan_pallas_v4)
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    rng = np.random.default_rng(1)
+    n_cap = 2 * 9600 + 400
+    n_c = 5
+    x = rng.integers(0, 255, size=(n_c, n_cap))
+    y = rng.integers(0, 255, size=(n_c, n_cap))
+    caps = (((x - 127) + 1j * (y - 127)) / 128.0).astype(np.complex64)
+    f_set = np.arange(-10e3, 10e3 + 1, 5e3)
+    n_lags = n_cap - 136
+    n_comb = (n_lags - 100) // 9600
+    tmpl = pss_templates(f_set, fc, fc, fs, np.complex64).reshape(-1, 137)
+    starts = combine_start_indices(f_set, fc, fc, fs, n_comb)
+    n_f = len(f_set)
+
+    s_g = 127.0 / float(np.max(np.abs(np.concatenate(
+        [tmpl.real.ravel(), tmpl.imag.ravel()]))))
+    tre = np.clip(np.round(tmpl.real * s_g), -127, 127).astype(np.int64)
+    tim = np.clip(np.round(tmpl.imag * s_g), -127, 127).astype(np.int64)
+    ref = np.zeros((n_c, tmpl.shape[0], 9600))
+    for ci in range(n_c):
+        kx = np.clip(np.round(caps[ci].real * 128), -127, 127) \
+            .astype(np.int64)
+        ky = np.clip(np.round(caps[ci].imag * 128), -127, 127) \
+            .astype(np.int64)
+        wr = np.lib.stride_tricks.sliding_window_view(kx, 137)[:n_lags]
+        wi = np.lib.stride_tricks.sliding_window_view(ky, 137)[:n_lags]
+        for t in range(tmpl.shape[0]):
+            re = wr @ tre[t] - wi @ tim[t]
+            im = wr @ tim[t] + wi @ tre[t]
+            p = (re.astype(np.float64) ** 2
+                 + im.astype(np.float64) ** 2) * (1.0 / (s_g * 128)) ** 2
+            for m in range(n_comb):
+                s = starts[t % n_f, m]
+                ref[ci, t] += p[s: s + 9600]
+
+    g_i8, scale = bands_v4_for_templates(tmpl, starts, precision="int8")
+    t_pad, n_tc = plan_pallas_v4(tmpl.shape[0])
+    got = np.asarray(corr_fold_core_v4(
+        jnp.asarray(caps.real), jnp.asarray(caps.imag), g_i8, n_comb,
+        tmpl.shape[0], t_pad, n_tc, c_blk=4, interpret=True,
+        precision="int8")).astype(np.float64) * float(scale)
+    assert np.max(np.abs(got - ref)) / ref.max() < 1e-6
+
+
+def test_v4_gate_and_mid_delta_deviation():
+    """The v4 gate: the default 80 ms / 100 ppm grid fits the kernel
+    window and picks the v4 band format; a 160 ms / 200 ppm grid does
+    not and falls back to v2.  And the shared-mid-carrier delta
+    approximation of a 10 MHz band deviates by at most 1 sample from
+    any carrier's exact fold starts."""
+    from lte_cell_scanner_tpu.models.search import (SearchConfig,
+                                                    default_f_search_set)
+    from lte_cell_scanner_tpu.models.xcorr import combine_start_indices
+    from lte_cell_scanner_tpu.ops.corr_pallas import v4_applicable
+    from lte_cell_scanner_tpu.parallel.carriers import _plan_scan_bands
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    f100 = default_f_search_set(fc, 100.0)
+    n_comb_80 = (153600 - 136 - 100) // 9600
+    s100 = combine_start_indices(f100, fc, fc, fs, n_comb_80)
+    assert v4_applicable(s100)
+
+    f200 = default_f_search_set(fc, 200.0)
+    n_comb_160 = (2 * 153600 - 136 - 100) // 9600
+    s200 = combine_start_indices(f200, fc, fc, fs, n_comb_160)
+    assert not v4_applicable(s200)
+
+    # format routing through the production band planner
+    cfg = SearchConfig(corr_backend="pallas")
+    cap = np.zeros(153600, np.complex64)
+    tmpl = np.stack([pss_templates(f100, f, f, fs, np.complex64)
+                     for f in (fc, fc + 1e5)])
+    starts = np.stack([combine_start_indices(f100, f, f, fs, n_comb_80)
+                       for f in (fc, fc + 1e5)])
+    bands = _plan_scan_bands(tmpl, starts, [cap, cap], cfg)
+    assert bands[0].shape[0] == n_comb_80 * 512      # v4 format
+
+    tmpl2 = np.stack([pss_templates(f200, f, f, fs, np.complex64)
+                      for f in (fc, fc + 1e5)])
+    starts2 = np.stack([combine_start_indices(f200, f, f, fs,
+                                              n_comb_160)
+                        for f in (fc, fc + 1e5)])
+    cap2 = np.zeros(2 * 153600, np.complex64)
+    bands2 = _plan_scan_bands(tmpl2, starts2, [cap2, cap2], cfg)
+    assert bands2[0].shape[0] == 512                 # v2 fallback
+
+    # shared-mid delta deviation across a 10 MHz band
+    fcs = np.arange(739e6, 749e6 + 1, 1e6)
+    tables = np.stack([combine_start_indices(f100, f, f, fs, n_comb_80)
+                       for f in fcs])
+    mid = tables[len(fcs) // 2]
+    assert np.max(np.abs(tables - mid[None])) <= 1

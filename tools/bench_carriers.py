@@ -26,11 +26,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax  # noqa: E402
 
 ap = argparse.ArgumentParser()
-ap.add_argument("--batches", default="1,2,4,8,16")
+ap.add_argument("--batches", default="1,2,4,8,16,32")
 ap.add_argument("--ppm", type=float, default=100.0)
 ap.add_argument("--repeats", type=int, default=5)
 ap.add_argument("--json", action="store_true")
 ap.add_argument("--platform", default="tpu")
+ap.add_argument("--kernel", default="auto", choices=["auto", "v4", "v2"],
+                help="correlation band format: v4 = fused-fold kernel, "
+                     "v2 = lag-map kernel + XLA fold, auto = production "
+                     "gate (v4 when the grid fits its delta window)")
 ARGS = ap.parse_args()
 
 from _bench_common import enable_compile_cache, setup_platform  # noqa: E402
@@ -82,20 +86,13 @@ def main():
         # would be pulled back through the broken transfer path); the
         # per-carrier Pallas bands (production TPU backend) ride as
         # arguments
-        from lte_cell_scanner_tpu.models.xcorr import use_pallas_corr
-        bands = ()
-        if use_pallas_corr("auto"):
-            from lte_cell_scanner_tpu.ops.corr_pallas import (
-                is_adc_grid, prod_bands_for_templates)
-            # ONE shared band set (carriers._vmap_front: ~4e-5 relative
-            # template spread per 10 MHz, far below bf16); ADC-grid
-            # captures ride the exact int8 dot like production scan_band
-            tmid = tmpl[tmpl.shape[0] // 2]
-            if is_adc_grid(base):
-                g, scale = prod_bands_for_templates(tmid, int8=True)
-                bands = (g, jnp.full((1,), scale, jnp.float32))
-            else:
-                bands = (prod_bands_for_templates(tmid),)
+        # production band planning (v4 fused-fold on the default grid,
+        # int8 for ADC-grid captures), with a --kernel A/B override
+        from lte_cell_scanner_tpu.models.search import SearchConfig
+        from lte_cell_scanner_tpu.parallel.carriers import _plan_scan_bands
+        force_v4 = {"auto": None, "v4": True, "v2": False}[ARGS.kernel]
+        bands = _plan_scan_bands(tmpl, starts, [base], SearchConfig(),
+                                 force_v4=force_v4)
 
         @jax.jit
         def band(re, im, *g, tmpl=tmpl, starts=starts):
