@@ -172,7 +172,10 @@ def main():
     # stages under lax.map, one shared band set), per-carrier fold
     # starts exactly as scan_band plans them
     from lte_cell_scanner_tpu.parallel.carriers import _vmap_front
-    C = 16
+    C = 32      # carriers per dispatch = scan_band's
+                # max_carriers_per_program (the batch knee is 32-64:
+                # 2143-2533 carriers/s vs 1565-1783 at 16, measured
+                # tools/bench_carriers.py r4 -- docs/SCALING.md)
     starts_c = np.stack([combine_start_indices(
         f_set, fc + 1e5 * c, fc + 1e5 * c, fs, n_comb_xc)
         for c in range(C)]).astype(np.int32)

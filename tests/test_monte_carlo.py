@@ -45,3 +45,15 @@ def test_trial_with_full_decode():
     r = run_trial(rng, snr_db=5.0, fading=False, decode=True)
     assert r.outcome == "success"
     assert abs(r.timing_err) < 1.0
+
+
+def test_production_backend_matches_golden_decision():
+    """The production quantized path (pallas kernels + the 8-bit ADC
+    source model) must make the same detection decision as the golden
+    f64 path on identical channel draws -- the CI-sized version of the
+    SENSITIVITY.md knee comparison (VERDICT r3 item 4)."""
+    for backend, adc in (("xla", False), ("pallas", True)):
+        out = run_config(trials=2, snr_db=-10.0, fading=False, seed=14,
+                         corr_backend=backend, adc_grid=adc)
+        assert out["success"] == 1.0, (backend, adc, out)
+        assert out["false_alarm"] == 0.0

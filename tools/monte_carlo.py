@@ -45,7 +45,9 @@ class TrialResult:
 
 def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
               f_off_max: float = 7.5e3, n_subframes: int = 80,
-              decode: bool = False, coupled: bool = False) -> TrialResult:
+              decode: bool = False, coupled: bool = False,
+              corr_backend: str = "auto",
+              adc_grid: bool = False) -> TrialResult:
     from lte_cell_scanner_tpu.cell import CpType
     from lte_cell_scanner_tpu.constants import FS_LTE
     from lte_cell_scanner_tpu.models.peaks import peak_search
@@ -80,12 +82,24 @@ def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
     else:
         sig = apply_freq_offset(sig, f_off, fs)
     sig = awgn(sig, snr_db, rng=rng)
+    if adc_grid:
+        # the dongle source model (capbuf.cpp:174): scale the analog
+        # signal so its per-plane RMS sits at ~1/4 full scale (a sane
+        # AGC operating point), then quantize onto the 8-bit
+        # (x - 127)/128 grid.  With --corr-backend pallas this routes
+        # the trial through the EXACT int8 production dot.
+        rms = float(np.sqrt(np.mean(sig.real ** 2 + sig.imag ** 2) / 2))
+        s = 0.25 / max(rms, 1e-30)
+        k_re = np.clip(np.round(sig.real * s * 128), -127, 128)
+        k_im = np.clip(np.round(sig.imag * s * 128), -127, 128)
+        sig = ((k_re + 1j * k_im) / 128.0).astype(np.complex64)
 
     f_search_set = np.arange(-10e3, 10e3 + 1, 5e3)
-    cfg = SearchConfig(decode=decode)
+    cfg = SearchConfig(decode=decode, corr_backend=corr_backend)
     # one front-end pass; classify from its stage outputs
     # (pss_search_final.m:341-363 semantics)
-    res = xcorr_pss(sig, f_search_set, cfg.ds_comb_arm, fc, fc, fs)
+    res = xcorr_pss(sig, f_search_set, cfg.ds_comb_arm, fc, fc, fs,
+                    corr_backend=corr_backend)
     z = compute_z_th1(res.sp_incoherent, res.n_comb_xc,
                       cfg.ds_comb_arm, cfg.thresh1_n_nines)
     peaks = peak_search(res.xc_incoherent_collapsed_pow,
@@ -118,13 +132,15 @@ def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
 
 def run_config(trials: int, snr_db: float, fading: bool, seed: int,
                verbose: bool = False, decode: bool = False,
-               coupled: bool = False) -> dict:
+               coupled: bool = False, corr_backend: str = "auto",
+               adc_grid: bool = False) -> dict:
     rng = np.random.default_rng(seed)
     counts = {"success": 0, "thresh1_fail": 0, "thresh2_fail": 0,
               "false_alarm": 0}
     terrs, ferrs = [], []
     for t in range(trials):
-        r = run_trial(rng, snr_db, fading, decode=decode, coupled=coupled)
+        r = run_trial(rng, snr_db, fading, decode=decode, coupled=coupled,
+                      corr_backend=corr_backend, adc_grid=adc_grid)
         counts[r.outcome] += 1
         if r.outcome == "success":
             terrs.append(r.timing_err)
@@ -137,6 +153,7 @@ def run_config(trials: int, snr_db: float, fading: bool, seed: int,
                               if np.isfinite(r.timing_err) else None}),
                   file=sys.stderr)
     out = {"snr_db": snr_db, "fading": fading, "coupled": coupled,
+           "corr_backend": corr_backend, "adc_grid": adc_grid,
            "trials": trials,
            **{k: v / trials for k, v in counts.items()}}
     if terrs:
@@ -157,6 +174,16 @@ def main(argv=None) -> int:
                          "coupled-crystal channel (clock offset too)")
     ap.add_argument("--decode", action="store_true",
                     help="run the full chain incl. MIB decode")
+    ap.add_argument("--corr-backend", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="correlation backend for the trials: 'pallas' "
+                         "runs the PRODUCTION kernel path (bf16 bands; "
+                         "the exact int8 dot when --adc-grid is on) via "
+                         "the interpreter off-TPU -- the sensitivity "
+                         "knees of the shipping quantized path")
+    ap.add_argument("--adc-grid", action="store_true",
+                    help="quantize each trial's signal onto the dongle's "
+                         "8-bit (x-127)/128 ADC grid before detection")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--platform", choices=["tpu", "cpu", "default"],
@@ -175,7 +202,8 @@ def main(argv=None) -> int:
     for snr in snrs:
         print(json.dumps(run_config(args.trials, float(snr), args.fading,
                                     args.seed, args.verbose, args.decode,
-                                    args.coupled)))
+                                    args.coupled, args.corr_backend,
+                                    args.adc_grid)))
     return 0
 
 
