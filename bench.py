@@ -62,12 +62,13 @@ def full_chain(capbuf, fc):
     def run():
         st = {}
         t0 = time.perf_counter()
-        cap_dev = device_complex(capbuf)        # the ONE upload
-        for leaf in ((cap_dev.re, cap_dev.im)
-                     if hasattr(cap_dev, "re") else (cap_dev,)):
-            leaf.block_until_ready()
+        cap_dev = device_complex(capbuf)        # the ONE upload, ASYNC
+        # no completion barrier here: the transfer overlaps the front
+        # program's dispatch (a sync would add a pure-latency round
+        # trip); upload_issue_ms is the host-side issue cost only, the
+        # wire time lands in front_ms
         t1 = time.perf_counter()
-        st["upload_ms"] = (t1 - t0) * 1e3
+        st["upload_issue_ms"] = (t1 - t0) * 1e3
         res = xcorr_pss(capbuf, fss, DS_COMB_ARM, fc, fc, fs, lean=True,
                         cap_dev=cap_dev)
         t2 = time.perf_counter()

@@ -359,15 +359,44 @@ _chan_est_hex_core = jax.jit(_chan_est_hex_impl)
 def _hex_device_args(cell: Cell, rs_dl: RsDl, n_ofdm: int, port: int):
     """Host plans for _chan_est_hex_impl (everything but tfg), as numpy
     arrays: (rows, cols, rs_conj, wl, wr, idx6, w6)."""
+    (rows, cols, rs_conj, wl, wr), key = _hex_device_args_split(
+        cell, rs_dl, n_ofdm, port)
+    idx, w = _hex_interp_plan(*key)
+    return (rows, cols, rs_conj, wl, wr,
+            idx.reshape(-1, 6), w.reshape(-1, 6))
+
+
+def _hex_device_args_split(cell: Cell, rs_dl: RsDl, n_ofdm: int,
+                           port: int):
+    """(small per-cell args (rows, cols, rs_conj, wl, wr), plan_key).
+
+    The 6-tap interpolation plan -- the ~12 MB [n_ofdm*72, 6] idx/w
+    pair -- depends ONLY on plan_key = (n_ofdm, n_symb_dl, shift0,
+    shift1, port_class): both ports of a class share it, and so does
+    every cell with the same v-shift (n_id_cell mod 6).  Callers dedup
+    by key and ship ONE device copy per distinct plan instead of one
+    per (cell, port) -- the decode batch's upload drops from ~24 MB per
+    cell to ~3 MB per distinct shift pattern (hex_plan_compact)."""
     n_symb_dl = rs_dl.n_symb_dl
     rows, cols, rs_vals, rs_set, shifts = _raw_ce_plan(
         cell, rs_dl, n_ofdm, port)
-    idx, w = _hex_interp_plan(n_ofdm, n_symb_dl, int(shifts[0]),
-                              int(shifts[1]), 1 if port >= 2 else 0)
     wl, wr = _hex_window_weights(len(rs_set), int(shifts[0]),
                                  int(shifts[1]))
-    return (rows, cols, np.conj(rs_vals), wl, wr,
-            idx.reshape(-1, 6), w.reshape(-1, 6))
+    key = (n_ofdm, n_symb_dl, int(shifts[0]), int(shifts[1]),
+           1 if port >= 2 else 0)
+    return (rows, cols, np.conj(rs_vals), wl, wr), key
+
+
+@lru_cache(maxsize=16)
+def hex_plan_compact(key):
+    """The interpolation plan of a _hex_device_args_split key in its
+    device wire format: (idx int32 [n_ofdm*72, 6], w float32).  int32/
+    f32 halve the transfer; the device impl computes in f32 anyway
+    (w.astype(tfg.real.dtype)) and the flat ce_filt index fits int32
+    with 5 orders of margin."""
+    idx, w = _hex_interp_plan(*key)
+    return (np.ascontiguousarray(idx.reshape(-1, 6).astype(np.int32)),
+            np.ascontiguousarray(w.reshape(-1, 6).astype(np.float32)))
 
 
 def chan_est(cell: Cell, rs_dl: RsDl, tfg, port: int,

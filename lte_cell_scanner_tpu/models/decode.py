@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..cell import Cell
 from ..ops.boundary import device_complex, safe_jit
-from .chan_est import _chan_est_hex_impl, _hex_device_args
+from .chan_est import (_chan_est_hex_impl, _hex_device_args_split,
+                       hex_plan_compact)
 from .coding import crc_matrix
 from .mib import _mib_device_args, _mib_impl, _scan_mib_results
 from .rs import RsDl
@@ -34,7 +35,7 @@ from .tfg import _tfg_impl, _tfg_plan, _tfoec_impl, _tfoec_plan
 
 # argument-tuple arities of the flattened _decode_impl signature
 _N_TFOEC = 12
-_N_CE = 7
+_N_CE = 6          # 5 small per-cell arrays + 1 plan-table id
 
 
 def _decode_impl(capbuf, locs_i, late, freq_fine, fs_true, ts,
@@ -42,25 +43,37 @@ def _decode_impl(capbuf, locs_i, late, freq_fine, fs_true, ts,
     """One traced program for the whole decode chain of one peak.
 
     rest = 12 tfoec plan arrays, fc_requested, fc_programmed,
-    7 port-{0,1}-stacked chan_est arrays, 7 port-{2,3}-stacked ones,
-    mib rows, mib cols, scr_sign, crc_m.
+    port-{0,1}-stacked chan_est args (rows, cols, rs_conj, wl, wr) +
+    the pair's interpolation-plan id, the port-{2,3} equivalents,
+    mib rows, mib cols, scr_sign, then the SHARED (vmap in_axes=None)
+    plan tables idx_t [U, n_ofdm*72, 6] / w_t and crc_m -- the big
+    6-tap interpolation plans ride as a deduplicated table indexed by
+    the tiny per-cell ids (see chan_est._hex_device_args_split).
     Returns (residual_f, c_est [3,4,40], crc_calc [3,4,16]).
     """
     tf = rest[:_N_TFOEC]
     fc_requested, fc_programmed = rest[_N_TFOEC:_N_TFOEC + 2]
     o = _N_TFOEC + 2
-    ce01 = rest[o:o + _N_CE]
-    ce23 = rest[o + _N_CE:o + 2 * _N_CE]
-    rows, cols, scr_sign, crc_m = rest[o + 2 * _N_CE:]
+    ce01 = rest[o:o + _N_CE - 1]
+    pid01 = rest[o + _N_CE - 1]
+    ce23 = rest[o + _N_CE:o + 2 * _N_CE - 1]
+    pid23 = rest[o + 2 * _N_CE - 1]
+    rows, cols, scr_sign, idx_t, w_t, crc_m = rest[o + 2 * _N_CE:]
 
     tfg = _tfg_impl(capbuf, locs_i, late, freq_fine, fs_true)
     residual_f, tfg_comp, _ts2 = _tfoec_impl(tfg, ts, *tf, fc_requested,
                                              fc_programmed)
 
-    ce_port = jax.vmap(_chan_est_hex_impl,
-                       in_axes=(None, 0, 0, 0, 0, 0, 0, 0))
-    ce01_v, np01 = ce_port(tfg_comp, *ce01)
-    ce23_v, np23 = ce_port(tfg_comp, *ce23)
+    def ce_pair(pid, *small):
+        # pid: [2] plan-table ids (ports of a pair swap shift0/shift1,
+        # so each port carries its own id)
+        return jax.vmap(
+            lambda p_, r, c, rc, wl, wr: _chan_est_hex_impl(
+                tfg_comp, r, c, rc, wl, wr, idx_t[p_], w_t[p_]),
+            in_axes=(0, 0, 0, 0, 0, 0))(pid, *small)
+
+    ce01_v, np01 = ce_pair(pid01, *ce01)
+    ce23_v, np23 = ce_pair(pid23, *ce23)
     ce4 = jnp.concatenate([ce01_v, ce23_v], axis=0)      # [4, n_ofdm, 72]
     np_v = jnp.concatenate([np01, np23])
 
@@ -80,31 +93,71 @@ def _decode_impl_multi(capbufs, ci, *args):
 
 _decode_single = safe_jit(_decode_impl)
 _N_ARGS = 5 + _N_TFOEC + 2 + 2 * _N_CE + 3   # batched args after capbuf
+# trailing (None,)*3: the shared plan tables + the CRC matrix
 _decode_batch = safe_jit(jax.vmap(
-    _decode_impl, in_axes=(None,) + (0,) * _N_ARGS + (None,)))
+    _decode_impl, in_axes=(None,) + (0,) * _N_ARGS + (None,) * 3))
 _decode_batch_multi = safe_jit(jax.vmap(
-    _decode_impl_multi, in_axes=(None, 0) + (0,) * _N_ARGS + (None,)))
+    _decode_impl_multi, in_axes=(None, 0) + (0,) * _N_ARGS + (None,) * 3))
 
 
 def _decode_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
                           fc_programmed: float, fs_programmed: float):
-    """Per-peak device inputs for _decode_impl (everything but capbuf
-    and the shared CRC matrix)."""
+    """Per-peak device inputs for _decode_impl: (args, (key01, key23))
+    where args holds everything but capbuf, the plan ids/tables, and
+    the CRC matrix, with _PID_SLOTS marking where the two plan ids go,
+    and the keys identify the port pairs' shared interpolation plans
+    (deduplicated + device-cached by the callers via _plan_tables)."""
     rs_dl = RsDl(cell.n_id_cell(), 6, cell.cp_type)
     locs_i, late, locs, fs_true = _tfg_plan(cell, n_cap, fc_requested,
                                             fc_programmed, fs_programmed)
     n_ofdm = int(locs_i.shape[0])
     tf = _tfoec_plan(cell, rs_dl, n_ofdm)
-    ce01 = tuple(np.stack(pair) for pair in zip(
-        _hex_device_args(cell, rs_dl, n_ofdm, 0),
-        _hex_device_args(cell, rs_dl, n_ofdm, 1)))
-    ce23 = tuple(np.stack(pair) for pair in zip(
-        _hex_device_args(cell, rs_dl, n_ofdm, 2),
-        _hex_device_args(cell, rs_dl, n_ofdm, 3)))
+    s01 = [_hex_device_args_split(cell, rs_dl, n_ofdm, p)
+           for p in (0, 1)]
+    s23 = [_hex_device_args_split(cell, rs_dl, n_ofdm, p)
+           for p in (2, 3)]
+    ce01 = tuple(np.stack(pair) for pair in zip(s01[0][0], s01[1][0]))
+    ce23 = tuple(np.stack(pair) for pair in zip(s23[0][0], s23[1][0]))
+    args = ((locs_i, late, cell.freq_fine, fs_true, locs) + tf
+            + (fc_requested, fc_programmed) + ce01 + ce23)
     rows, cols, scr_sign, _crc_m, _fl = _mib_device_args(cell)
-    return ((locs_i, late, cell.freq_fine, fs_true, locs) + tf
-            + (fc_requested, fc_programmed) + ce01 + ce23
-            + (rows, cols, scr_sign))
+    return args + (rows, cols, scr_sign), \
+        (s01[0][1], s01[1][1], s23[0][1], s23[1][1])
+
+
+# positions (within the per-cell args tuple above) AFTER which the
+# ce01 / ce23 plan ids must be spliced to match _decode_impl's layout:
+# head(5) + tfoec(12) + fc(2) + ce01(5) | pid01 | ce23(5) | pid23 | 3
+_PID_SLOTS = (5 + _N_TFOEC + 2 + 5, 5 + _N_TFOEC + 2 + 10)
+
+
+def _splice_pids(args, pid01, pid23):
+    a, b = _PID_SLOTS
+    return (args[:a] + (pid01,) + args[a:b] + (pid23,) + args[b:])
+
+
+_plan_dev_cache = {}
+
+
+def _plan_tables(keys):
+    """Stacked device plan tables for a batch's (deduplicated) plan
+    keys: (idx_t, w_t, id_of_key).  Each distinct plan's int32/f32
+    arrays are device-cached (the upload happens once per shift
+    pattern per process, not once per decode call)."""
+    uniq = sorted(set(keys))
+    cols_i, cols_w, ids = [], [], {}
+    for u in uniq:
+        hit = _plan_dev_cache.get(u)
+        if hit is None:
+            i32, w32 = hex_plan_compact(u)
+            hit = (jnp.asarray(i32), jnp.asarray(w32))
+            if len(_plan_dev_cache) > 24:
+                _plan_dev_cache.pop(next(iter(_plan_dev_cache)))
+            _plan_dev_cache[u] = hit
+        ids[u] = len(cols_i)
+        cols_i.append(hit[0])
+        cols_w.append(hit[1])
+    return jnp.stack(cols_i), jnp.stack(cols_w), ids
 
 
 @lru_cache(maxsize=1)
@@ -127,10 +180,16 @@ def decode_back_half_fused(cell: Cell, capbuf, fc_requested: float,
     when one of the 12 blind candidates passes its CRC.
     """
     capbuf = device_complex(capbuf)
-    args = _decode_device_inputs(cell, int(capbuf.shape[0]), fc_requested,
-                                 fc_programmed, fs_programmed)
+    args, keys = _decode_device_inputs(cell, int(capbuf.shape[0]),
+                                       fc_requested, fc_programmed,
+                                       fs_programmed)
+    idx_t, w_t, ids = _plan_tables(keys)
+    args = _splice_pids(
+        args, np.array([ids[keys[0]], ids[keys[1]]], np.int32),
+        np.array([ids[keys[2]], ids[keys[3]]], np.int32))
     out = _decode_single(capbuf, *(device_complex(np.asarray(a))
-                                   for a in args), _crc_arg())
+                                   for a in args), idx_t, w_t,
+                         _crc_arg())
     return _finish(cell, *out)
 
 
@@ -148,12 +207,18 @@ def _run_decode_batch(batch_fn, capbuf_args, cells_fc, fs_programmed: float
     n_cap = int(capbuf_args[0].shape[-1])
     preps = [_decode_device_inputs(c, n_cap, fcr, fcp, fs_programmed)
              for c, fcr, fcp in cells_fc]
+    idx_t, w_t, ids = _plan_tables(
+        [k for _, ks in preps for k in ks])
+    preps = [_splice_pids(
+        a, np.array([ids[ks[0]], ids[ks[1]]], np.int32),
+        np.array([ids[ks[2]], ids[ks[3]]], np.int32))
+             for a, ks in preps]
     n = len(preps)
     preps_b = preps + [preps[0]] * (_bucket(n) - n)
     stacked = [np.stack([p[i] for p in preps_b])
                for i in range(len(preps_b[0]))]
     out = batch_fn(*capbuf_args, *(device_complex(s) for s in stacked),
-                   _crc_arg())
+                   idx_t, w_t, _crc_arg())
     residual_f = np.asarray(out[0])
     c_all = np.asarray(out[1])
     crc_all = np.asarray(out[2])
