@@ -38,14 +38,15 @@ def full_chain(capbuf, fc):
     then best-of-3 with per-call completion.
 
     Transfer/RTT budget (VERDICT r3 item 2): the capture is uploaded
-    ONCE per carrier (device_complex; xcorr_pss and all three back-half
-    programs reuse it), and the chain makes exactly FOUR blocking
-    device round trips -- the front end's batched device_get, then one
-    per back-half program (SSS batch, FOE batch, fused decode).  Each
-    stage's wall time is reported so tunnel variance is a measurement,
-    not a shrug: on a healthy tunnel the whole chain is a few hundred
-    ms; a slow session shows up as upload_ms/front_ms inflation at an
-    unchanged stage structure."""
+    ONCE per carrier (device_complex; xcorr_pss and both back-half
+    programs reuse it), and the chain makes exactly THREE blocking
+    device round trips -- the front end's batched device_get, the
+    FUSED SSS-detect + fine-FOE program, and the fused
+    tfg/tfoec/chan_est/MIB decode.  Each stage's wall time is reported
+    so tunnel variance is a measurement, not a shrug: on a healthy
+    tunnel the whole chain is a few hundred ms; a slow session shows
+    up as front_ms/refine_ms inflation at an unchanged stage
+    structure."""
     from lte_cell_scanner_tpu.constants import DS_COMB_ARM, FS_LTE
     from lte_cell_scanner_tpu.models.peaks import peak_search
     from lte_cell_scanner_tpu.models.search import (SearchConfig,
@@ -101,7 +102,7 @@ def full_chain(capbuf, fc):
             "valid": ids == [271, 277],
             "uploads_per_carrier": 1,
             "bytes_uploaded": int(np.asarray(capbuf).nbytes),
-            "blocking_round_trips": 4,
+            "blocking_round_trips": 3,
             "stages_ms": {k: round(v, 1) for k, v in stages.items()}}
 
 

@@ -106,12 +106,14 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_void_p]
     lib.sync_snr.argtypes = [ctypes.c_void_p] * 6
-    lib.cell_frame_symbols.restype = ctypes.c_int64
-    lib.cell_frame_symbols.argtypes = [
+    # "2": + out_start (per-symbol block index for the remote-device
+    # gather path); the rename makes a stale .so fail _bind -> rebuild
+    lib.cell_frame_symbols2.restype = ctypes.c_int64
+    lib.cell_frame_symbols2.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -22,8 +22,7 @@ from .decode import decode_back_half_batch, decode_back_half_fused
 from .mib import decode_mib
 from .peaks import peak_search
 from .rs import RsDl
-from .sss_detect import (pss_sss_foe, pss_sss_foe_batch, sss_detect,
-                         sss_detect_batch)
+from .sss_detect import pss_sss_foe, sss_detect
 from .tfg import extract_tfg, tfoec
 from .xcorr import xcorr_pss
 
@@ -78,28 +77,29 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
     demod, superfine TOE/FOE, channel estimation, and blind MIB decode
     (reference CellSearch.cpp:514-570).
 
-    The SSS-detection and fine-FOE stages of all peaks run as one
-    vmapped device program each (sss_detect_batch / pss_sss_foe_batch)
-    -- peaks are independent, and per-peak dispatch round-trips dominate
-    these tiny stages on an accelerator.
+    The SSS-detection and fine-FOE stages of all peaks run as ONE
+    fused vmapped device program (sss_detect.sss_foe_batch_fused) --
+    peaks are independent, and per-peak (and per-stage) dispatch
+    round-trips dominate these tiny stages on an accelerator.
 
     cap_dev: device-resident capture to reuse (cell_search passes the
     one it already uploaded for the front end -- the capture crosses
     the link once per carrier, not once per stage)."""
     if cfg.batch_peaks:
         from ..ops.boundary import device_complex
+        from .sss_detect import sss_foe_batch_fused
         if cap_dev is None:
             cap_dev = device_complex(capbuf)  # split+transfer ONCE
-        with stage("sss_detect"):
-            cells = sss_detect_batch(peaks, cap_dev, cfg.thresh2_n_sigma,
-                                     fc_requested, fc_programmed,
-                                     fs_programmed, compat=cfg.compat)
+        # SSS detection + fine FOE fused into ONE device dispatch (the
+        # staged pair cost two blocking round trips; host still makes
+        # the authoritative float64 accept decision -- sss_detect.py)
+        with stage("sss_foe_fused"):
+            cells = sss_foe_batch_fused(peaks, cap_dev,
+                                        cfg.thresh2_n_sigma,
+                                        fs_programmed, compat=cfg.compat,
+                                        skip_ids=cfg.skip_ids)
         cells = [c for c in cells
                  if c.n_id_1 >= 0 and c.n_id_cell() not in cfg.skip_ids]
-        with stage("pss_sss_foe"):
-            cells = pss_sss_foe_batch(cells, cap_dev, fc_requested,
-                                      fc_programmed, fs_programmed,
-                                      compat=cfg.compat)
         if not cfg.decode:
             return cells
         if cfg.interp == "hex" and cells:

@@ -715,3 +715,215 @@ _foe_batch = safe_jit(jax.vmap(
 _foe_batch_multi = safe_jit(jax.vmap(
     _foe_impl_multi,
     in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)))
+
+
+# ---------------------------------------------------------------------------
+# Fused SSS-detect + fine-FOE (round 4): ONE device program for both
+# stages.  The serial chain's structure was sss_detect -> host decision
+# -> pss_sss_foe, costing two blocking round trips on a remote device;
+# on the tunnel each round trip is tens of ms against sub-ms of compute.
+# The fusion re-derives the decision half of _decide_sss AND the whole
+# _foe_prepare plan in traced form (CP/order/n_id_1 selection, frame
+# timing, SSS DFT location grid, slot-number sequence) so the FOE runs
+# in the same dispatch; shapes stay peak-independent because both
+# stages' location lists already use the capture-length-only padding of
+# _pad_locs.  The host still makes the AUTHORITATIVE accept/reject +
+# cp/n_id_1/frame_start decision in float64 from the returned
+# log-likelihood tables (exactly _decide_sss); the device's fused FOE
+# result is used when its traced decision agrees (the normal case --
+# both argmax the same tables), with a per-peak fallback to the staged
+# pss_sss_foe otherwise (f32 ties on TPU).
+# ---------------------------------------------------------------------------
+
+
+def _round_half_away(x):
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+
+
+def _detect_foe_impl(capbuf, locs, mask, freq, fs_mix, n_id_2,
+                     ind, k_factor, s_scale, fs_out,
+                     pss_conj_all, try12_all, try21_all, sss_all,
+                     golden: bool = False):
+    """Fused sss_detect + pss_sss_foe for one peak (traced; vmaps over
+    a batch).  Scalar per-peak inputs: ind (coarse peak location),
+    k_factor, s_scale (the searcher.cpp:735 timescale factor), fs_out.
+    Returns (lln, lle, M, n_id_1_dev, use_norm_dev, late_dev)."""
+    n_cap = capbuf.shape[0]
+    ests = _detect_impl(capbuf, locs, mask, freq, fs_mix, n_id_2,
+                        pss_conj_all, try12_all, try21_all)
+    lln, lle = ests[6], ests[7]
+
+    # --- traced _decide_sss core (searcher.cpp:695-761) ----------------
+    use_norm = jnp.max(lln) > jnp.max(lle)
+    ll = jnp.where(use_norm, lln, lle)                       # [168, 2]
+    late = jnp.max(ll[:, 0]) <= jnp.max(ll[:, 1])
+    ll_col = jnp.where(late, ll[:, 1], ll[:, 0])
+    n_id_1 = jnp.argmax(ll_col)
+
+    half_step = 9600.0 * k_factor * (1.0 if golden else s_scale)
+    frame_start = ind + (128 + 9 - 960 - 2) * s_scale \
+        + jnp.where(late, half_step, 0.0)
+    wrap_len = 2 * 9600.0 if golden else (2 * 9600.0 - 0.5) * s_scale + 0.5
+    frame_start = (frame_start + 0.5) % wrap_len - 0.5
+
+    # --- traced _foe_prepare (searcher.cpp:767-814) --------------------
+    ks = k_factor if golden else s_scale
+    dist_n = _round_half_away((128 + 9) * ks)
+    dist_e = _round_half_away((128 + 32) * k_factor)  # raw k: :783
+    dist = jnp.where(use_norm, dist_n, dist_e)
+    first = frame_start + jnp.where(
+        use_norm, (960 - 128 - 9 - 128) * ks,
+        (960 - 128 - 32 - 128) * ks)
+    first = (first + 0.5) % (9600.0 * 2) - 0.5
+    shift_back = first - 9600.0 * k_factor > -0.5
+    first = jnp.where(shift_back, first - 9600.0 * k_factor, first)
+    sn0_half = jnp.where(shift_back, 1, 0)               # sn0 // 10
+
+    stride = 9600.0 * ks
+    stop = n_cap - 127 - dist - 100 - (1 if golden else 0)
+    cap_n = locs.shape[0]                                 # _pad_locs cap
+    j = jnp.arange(cap_n)
+    loc_set = first + j * stride
+    foe_mask = loc_set <= stop                            # matlab_range
+    foe_locs = jnp.where(
+        foe_mask, _round_half_away(loc_set), 200.0).astype(locs.dtype)
+    sn = (sn0_half + j) % 2
+
+    phase = jnp.pi * -freq / (FS_LTE / 16 / 2) * -dist
+    seg_phase = jax.lax.complex(jnp.cos(phase), jnp.sin(phase)) \
+        .astype(capbuf.dtype)
+    dist_i = dist.astype(locs.dtype)
+    M = _foe_impl(capbuf, foe_locs, foe_mask, dist_i, freq, fs_mix,
+                  seg_phase, sn, n_id_1, n_id_2,
+                  pss_conj_all, sss_all)
+    return lln, lle, M, n_id_1, use_norm, late
+
+
+def _detect_foe_impl_multi(capbufs, ci, *args, **kw):
+    return _detect_foe_impl(capbufs[ci], *args, **kw)
+
+
+_detect_foe_cache: Dict[Tuple[bool, bool], object] = {}
+
+
+def _detect_foe_fn(multi: bool, golden: bool):
+    """Jitted fused batch program, one per (multi, golden) variant (the
+    golden flag changes traced constants, so it is baked per closure
+    rather than threaded as a static kwarg through vmap)."""
+    key = (multi, golden)
+    hit = _detect_foe_cache.get(key)
+    if hit is None:
+        if multi:
+            def fn(capbufs, ci, *args):
+                return _detect_foe_impl_multi(capbufs, ci, *args,
+                                              golden=golden)
+            in_axes = (None, 0) + (0,) * 9 + (None,) * 4
+        else:
+            def fn(capbuf, *args):
+                return _detect_foe_impl(capbuf, *args, golden=golden)
+            in_axes = (None,) + (0,) * 9 + (None,) * 4
+        hit = safe_jit(jax.vmap(fn, in_axes=in_axes))
+        _detect_foe_cache[key] = hit
+    return hit
+
+
+def _sss_foe_scalars(cell: Cell, fc_requested: float, fc_programmed: float,
+                     fs_programmed: float, compat: str):
+    k_factor = (fc_requested - cell.freq) / fc_programmed
+    s = 16 / FS_LTE * fs_programmed * k_factor
+    fs_out = FS_LTE / 16 if compat == "golden" \
+        else fs_programmed * k_factor
+    return k_factor, s, fs_out
+
+
+def sss_foe_batch_fused(cells: Sequence[Cell], capbuf,
+                        thresh2_n_sigma: float, fs_programmed: float,
+                        compat: str = "production",
+                        skip_ids: frozenset = frozenset(),
+                        capbuf_stack=None, carrier_idx=None
+                        ) -> List[Cell]:
+    """SSS detection AND fine FOE for a whole peak list in ONE device
+    dispatch (the former sss_detect_batch + pss_sss_foe_batch pair,
+    halving the back half's blocking round trips).  Peaks the SSS gate
+    rejects come back with n_id_1 = -1 exactly as sss_detect_batch;
+    accepted peaks carry freq_fine.  skip_ids cells are returned
+    accepted-but-undecoded like refine_peaks' filter expects.
+
+    capbuf_stack/carrier_idx: band-scan variant (same convention as
+    sss_detect_batch_multi); capbuf is then unused."""
+    if not cells:
+        return []
+    n = len(cells)
+    multi = capbuf_stack is not None
+    # peak_search fills every peak's fc_requested/fc_programmed
+    cells_fc = [(c, c.fc_requested, c.fc_programmed) for c in cells]
+    n_cap = int((capbuf_stack if multi else capbuf).shape[-1])
+    preps = [(_getce_prepare(c, n_cap, fcr, fcp, fs_programmed, compat),
+              c.n_id_2) for c, fcr, fcp in cells_fc]
+    rows = max(len(p[0][0]) for p in preps)
+    preps_b = preps + [preps[0]] * (_bucket(n) - n)
+    cells_b = list(cells) + [cells[0]] * (_bucket(n) - n)
+    fc_b = cells_fc + [cells_fc[0]] * (_bucket(n) - n)
+    padded = [_extend_pad(locs, mask, rows)
+              for (locs, mask, _f, _m), _ in preps_b]
+    locs_b = np.stack([pl for pl, _ in padded]).astype(np.int32)
+    mask_b = np.stack([pm for _, pm in padded])
+    freq = np.array([p[0][2] for p in preps_b], dtype=np.float64)
+    fs_mix = np.array([p[0][3] for p in preps_b], dtype=np.float64)
+    n_id_2 = np.array([p[1] for p in preps_b], dtype=np.int64)
+    sc = [_sss_foe_scalars(c, fcr, fcp, fs_programmed, compat)
+          for c, fcr, fcp in fc_b]
+    ind = np.array([float(c.ind) for c in cells_b])
+    kf = np.array([x[0] for x in sc])
+    ss = np.array([x[1] for x in sc])
+    fso = np.array([x[2] for x in sc])
+
+    args = (jnp.asarray(locs_b), jnp.asarray(mask_b), jnp.asarray(freq),
+            jnp.asarray(fs_mix), jnp.asarray(n_id_2), jnp.asarray(ind),
+            jnp.asarray(kf), jnp.asarray(ss), jnp.asarray(fso))
+    roms = _detect_rom_args() + _foe_rom_args()[1:]
+    golden = compat == "golden"
+    if multi:
+        ci = np.asarray(list(carrier_idx)
+                        + [carrier_idx[0]] * (_bucket(n) - n),
+                        dtype=np.int64)
+        out = _detect_foe_fn(True, golden)(
+            device_complex(capbuf_stack), jnp.asarray(ci), *args, *roms)
+    else:
+        out = _detect_foe_fn(False, golden)(
+            device_complex(capbuf), *args, *roms)
+    lln_b, lle_b, M_b, nid1_d, usenorm_d, late_d = \
+        (np.asarray(o) for o in out)
+
+    result: List[Cell] = []
+    for i, (c, fcr, fcp) in enumerate(cells_fc):
+        lln = np.asarray(lln_b[i], np.float64)
+        lle = np.asarray(lle_b[i], np.float64)
+        cell = _decide_sss(c, lln, lle, thresh2_n_sigma, fcr, fcp,
+                           fs_programmed, compat)
+        if cell.n_id_1 < 0 or cell.n_id_cell() in skip_ids:
+            result.append(cell)
+            continue
+        # host re-derivation of the decision the device FOE'd against
+        host_norm = cell.cp_type is CpType.NORMAL
+        host_late = bool(
+            (lln if host_norm else lle)[:, 0].max()
+            <= (lln if host_norm else lle)[:, 1].max())
+        if (int(nid1_d[i]) == cell.n_id_1
+                and bool(usenorm_d[i]) == host_norm
+                and bool(late_d[i]) == host_late):
+            k_factor, s, fs_out = sc[i]
+            golden_k = k_factor if golden else s
+            if host_norm:
+                dist = int(round_i((128 + 9) * golden_k))
+            else:
+                dist = int(round_i((128 + 32) * k_factor))
+            freq_fine = cell.freq + np.angle(complex(M_b[i])) \
+                / (2 * np.pi) * fs_out / dist
+            result.append(cell.evolve(freq_fine=float(freq_fine)))
+        else:
+            # f32 tie on device: redo this peak's FOE staged (exact)
+            cap_i = capbuf_stack[carrier_idx[i]] if multi else capbuf
+            result.append(pss_sss_foe(cell, cap_i, fcr, fcp,
+                                      fs_programmed, compat=compat))
+    return result

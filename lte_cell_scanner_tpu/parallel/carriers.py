@@ -35,8 +35,6 @@ from ..models.decode import decode_back_half_batch_multi
 from ..models.search import (SearchConfig, _decode_back_half, compute_z_th1,
                              refine_peaks)
 from ..models.peaks import peak_search
-from ..models.sss_detect import (pss_sss_foe_batch_multi,
-                                 sss_detect_batch_multi)
 from ..models.xcorr import (_xcorr_core, combine_start_indices,
                             pss_templates, use_pallas_corr)
 from ..ops.boundary import needs_float_boundary, safe_jit
@@ -388,20 +386,21 @@ def refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list, fcp_list,
                                       cfg)
         return results
 
-    # Batched back half across the WHOLE band: the SSS/FOE stages of
-    # every carrier's peaks run as one vmapped program each, with the
-    # per-peak carrier index selecting rows of the full-precision
-    # capture stack (sss_detect_batch_multi) -- O(1) device programs
-    # for the band instead of O(carriers).
+    # Batched back half across the WHOLE band: the SSS + fine-FOE
+    # stages of every carrier's peaks run as ONE fused vmapped program
+    # (sss_detect.sss_foe_batch_fused), with the per-peak carrier index
+    # selecting rows of the full-precision capture stack -- O(1) device
+    # programs for the band instead of O(carriers).
     cap_full = np.stack([np.asarray(c) for c in capbufs])
-    cells = sss_detect_batch_multi(all_peaks, cap_full, carrier_of,
-                                   cfg.thresh2_n_sigma, fs_programmed,
-                                   compat=cfg.compat)
+    from ..models.sss_detect import sss_foe_batch_fused
+    cells = sss_foe_batch_fused(all_peaks, None, cfg.thresh2_n_sigma,
+                                fs_programmed, compat=cfg.compat,
+                                skip_ids=cfg.skip_ids,
+                                capbuf_stack=cap_full,
+                                carrier_idx=carrier_of)
     kept = [(c, ci) for c, ci in zip(cells, carrier_of)
             if c.n_id_1 >= 0 and c.n_id_cell() not in cfg.skip_ids]
-    cells = pss_sss_foe_batch_multi([c for c, _ in kept], cap_full,
-                                    [ci for _, ci in kept], fs_programmed,
-                                    compat=cfg.compat)
+    cells = [c for c, _ in kept]
     results = [[] for _ in range(c_real)]
     if cfg.decode and cfg.interp == "hex" and cells:
         # fused whole-chain decode, one vmapped program per CP type for

@@ -80,6 +80,28 @@ from ..ops.boundary import safe_jit  # noqa: E402
 _get_fd_core = safe_jit(_get_fd_core_impl)
 
 
+def _get_fd_block_core_impl(block, starts, fo, late, n_samp_elapsed,
+                            valid, init_phase, fc_requested,
+                            fc_programmed, fs_programmed):
+    """_get_fd_core_impl with the [B,S,128] symbol windows gathered ON
+    DEVICE from one shared raw block (+ appendix rows for symbols that
+    straddled producer blocks).  Through a remote tunnel this is the
+    difference between uploading the stream once (~1.6 MB per 200 k-
+    sample tick) and uploading every cell's window copies (~6 MB/cell)
+    -- the tracker's measured binding constraint is tunnel transfer
+    bandwidth, not device compute (docs/SCALING.md round 4)."""
+    import jax.numpy as jnp
+
+    win = jnp.arange(128, dtype=starts.dtype)
+    data = block[starts[..., None] + win]                    # [B,S,128]
+    return _get_fd_core_impl(data, fo, late, n_samp_elapsed, valid,
+                             init_phase, fc_requested, fc_programmed,
+                             fs_programmed)
+
+
+_get_fd_block_core = safe_jit(_get_fd_block_core_impl)
+
+
 def n_samp_elapsed_of(sym_num: int, extended_cp: bool) -> int:
     """Samples consumed by this symbol (reference tracker_thread.cpp
     :121-131): extended CP 160, else 138 for symbol 0, 137 otherwise."""
@@ -167,7 +189,8 @@ def _native_lib():
 
 
 def batched_get_fd(cell_pdus: Sequence[Tuple[object, object]], state,
-                   dtype=np.complex128, backend: str = "auto"
+                   dtype=np.complex128, backend: str = "auto",
+                   raw_block: np.ndarray = None, block_seq: int = -1
                    ) -> List[np.ndarray]:
     """Run get_fd for every (processor, PduChunk) pair in one batch call.
 
@@ -177,6 +200,14 @@ def batched_get_fd(cell_pdus: Sequence[Tuple[object, object]], state,
     (vectorized host), or 'auto' (host path when the default JAX backend
     is the host CPU -- native C when the library is available, numpy
     otherwise).
+
+    raw_block/block_seq (device backend only): the producer block the
+    chunks were framed from.  When given, the device program receives
+    the block ONCE plus per-symbol start indices and gathers the
+    128-sample windows on device; symbols framed from older blocks (or
+    by chunk builders that carry no starts) ride in a small appendix of
+    host-extracted windows.  Cuts the per-tick upload ~(1 + 6.7 per
+    cell) -> ~1.7x of the raw stream bytes.
     """
     if backend == "auto":
         backend = _auto_backend()
@@ -192,28 +223,66 @@ def batched_get_fd(cell_pdus: Sequence[Tuple[object, object]], state,
     s_max = max(len(c) for _, c in cell_pdus)
     S = -(-s_max // _BUCKET) * _BUCKET
 
-    data = np.zeros((B, S, 128), dtype=dtype)
     fo = np.zeros((B, S))
     late = np.zeros((B, S))
     nse = np.zeros((B, S))
     valid = np.zeros((B, S), dtype=bool)
     init_phase = np.zeros(B)
+    use_block = raw_block is not None
+    data = None if use_block else np.zeros((B, S, 128), dtype=dtype)
+    starts = np.zeros((B, S), dtype=np.int32) if use_block else None
+    appendix = [] if use_block else None
+    n_app = 0
+    L = len(raw_block) if use_block else 0
     for b, (proc, chunk) in enumerate(cell_pdus):
         m = len(chunk)
-        data[b, :m] = chunk.data
+        if use_block:
+            cs = chunk.start if (chunk.start is not None
+                                 and chunk.block_seq == block_seq)                 else np.full(m, -1, np.int64)
+            ok = (cs >= 0) & (cs <= L - 128)
+            row = np.empty(m, np.int32)
+            row[ok] = cs[ok].astype(np.int32)
+            n_bad = int(m - ok.sum())
+            if n_bad:                      # straddlers / stale blocks
+                row[~ok] = L + 128 * (n_app + np.arange(n_bad))
+                appendix.append(np.ascontiguousarray(
+                    chunk.data[~ok]).ravel())
+                n_app += n_bad
+            starts[b, :m] = row
+        else:
+            data[b, :m] = chunk.data
         fo[b, :m] = chunk.fo
         late[b, :m] = chunk.late
         nse[b, :m] = _nse_of_chunk(chunk, proc.cell.n_symb_dl())
         valid[b, :m] = True
         init_phase[b] = proc.bulk_phase_offset
+    if use_block:
+        # padding rows gather zeros from one trailing guard window;
+        # ext is zero-padded to a 16 Ki-sample bucket so the program
+        # compiles once per (B, S, bucket) shape, not per tick
+        pad_at = L + 128 * n_app
+        starts[~valid] = pad_at
+        ext_len = -(-(pad_at + 128) // 16384) * 16384
+        ext = np.zeros(ext_len, dtype)
+        ext[:L] = np.asarray(raw_block, dtype)
+        if n_app:
+            ext[L: pad_at] = np.concatenate(appendix)
 
     # host numpy in: safe_jit splits complex data into float planes at
     # the transfer point when the boundary is active (plain jit stages
     # the same arrays otherwise)
-    syms, final = _get_fd_core(
-        data, fo, late, nse, valid, init_phase,
-        np.float64(state.fc_requested), np.float64(state.fc_programmed),
-        np.float64(state.fs_programmed))
+    if use_block:
+        syms, final = _get_fd_block_core(
+            ext, starts, fo, late, nse, valid, init_phase,
+            np.float64(state.fc_requested),
+            np.float64(state.fc_programmed),
+            np.float64(state.fs_programmed))
+    else:
+        syms, final = _get_fd_core(
+            data, fo, late, nse, valid, init_phase,
+            np.float64(state.fc_requested),
+            np.float64(state.fc_programmed),
+            np.float64(state.fs_programmed))
     syms = np.asarray(syms)
     final = np.asarray(final)
 

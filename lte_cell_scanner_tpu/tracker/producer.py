@@ -56,6 +56,15 @@ class PduChunk:
     fo: np.ndarray              # [n] float64 (frequency_offset stamps)
     ft: np.ndarray              # [n] float64 (frame_timing stamps)
     sym0: int                   # slot_num*n_symb + sym_num of first symbol
+    # remote-device gather metadata (tracker/batched.py "block" path):
+    # start[i] = index of symbol i's first sample within producer block
+    # block_seq, or -1 for symbols assembled across block boundaries --
+    # consumers holding that block can then upload it ONCE and gather
+    # every cell's 128-sample windows on device instead of shipping
+    # per-cell window copies (~8x the bytes).  None on paths that never
+    # feed a device (tests building chunks by hand).
+    start: np.ndarray = None    # [n] int64 or None
+    block_seq: int = -1
 
     def __len__(self) -> int:
         return len(self.late)
@@ -97,20 +106,35 @@ class CellFifo:
                 need -= m
             else:
                 parts.append(PduChunk(c.data[:need], c.late[:need],
-                                      c.fo[:need], c.ft[:need], c.sym0))
+                                      c.fo[:need], c.ft[:need], c.sym0,
+                                      None if c.start is None
+                                      else c.start[:need], c.block_seq))
                 self.chunks[0] = PduChunk(
                     c.data[need:], c.late[need:], c.fo[need:], c.ft[need:],
-                    c.sym0 + need)
+                    c.sym0 + need,
+                    None if c.start is None else c.start[need:],
+                    c.block_seq)
                 need = 0
         self.n -= k
         if len(parts) == 1:
             out = parts[0]
         else:
+            # merged runs may span producer blocks: keep the LATEST
+            # block's starts valid and mark the rest -1 (their data
+            # rides in .data as always)
+            seq = max(p.block_seq for p in parts)
+            starts = []
+            for p in parts:
+                if p.start is None or p.block_seq != seq:
+                    starts.append(np.full(len(p), -1, np.int64))
+                else:
+                    starts.append(p.start)
             out = PduChunk(
                 np.concatenate([p.data for p in parts]),
                 np.concatenate([p.late for p in parts]),
                 np.concatenate([p.fo for p in parts]),
-                np.concatenate([p.ft for p in parts]), parts[0].sym0)
+                np.concatenate([p.ft for p in parts]), parts[0].sym0,
+                np.concatenate(starts), seq)
         return out
 
     def drop_front(self, k: int) -> None:
@@ -173,6 +197,10 @@ class Producer:
     def __init__(self, state: GlobalState, capbuf_len: int = 19200 * 8):
         self.state = state
         self.sample_time = -1.0
+        # monotonically increasing per process() call; stamps every
+        # chunk so tracker/batched.py can tell which symbols' windows
+        # live in the CURRENT raw block (the device gather path)
+        self.block_seq = 0
         # searcher capture handshake (reference capbuf_sync_t)
         self.capbuf_len = capbuf_len
         self.capture_requested = False
@@ -206,16 +234,18 @@ class Producer:
         out_fo = np.empty(max_out)
         out_ft = np.empty(max_out)
         out_sym = np.empty(max_out, np.int64)
-        n_out = self._native.cell_frame_symbols(
+        out_start = np.empty(max_out, np.int64)
+        n_out = self._native.cell_frame_symbols2(
             samples.ctypes.data, n, ts0, step, cell.frame_timing,
             self.state.frequency_offset, n_symb, cl.state.ctypes.data,
             cl.partial.ctypes.data, out_data.ctypes.data,
             out_late.ctypes.data, out_fo.ctypes.data, out_ft.ctypes.data,
-            out_sym.ctypes.data)
+            out_sym.ctypes.data, out_start.ctypes.data)
         if n_out:
             fifo.append(PduChunk(out_data[:n_out], out_late[:n_out],
                                  out_fo[:n_out], out_ft[:n_out],
-                                 int(out_sym[0])))
+                                 int(out_sym[0]), out_start[:n_out].copy(),
+                                 self.block_seq))
 
     def _frame_cell_python(self, samples, n, ts, step, cell, cl, fifo
                            ) -> None:
@@ -226,6 +256,8 @@ class Producer:
         fo = self.state.frequency_offset
         n_symb = cell.n_symb_dl()
         rows, lates, fos, fts, sym0 = [], [], [], [], None
+        starts = []
+        start_cur = -1 if st[1] != 0.0 else 0
         t = 0
         while t < n:
             if st[1] == 0.0:                     # not filling
@@ -233,6 +265,7 @@ class Producer:
                 if hit is None:
                     break
                 t = hit
+                start_cur = t
                 st[1] = 1.0
                 st[5] = float(_wrap_half_frame(ts[t] - (frame_timing
                                                         + st[0])))
@@ -251,6 +284,7 @@ class Producer:
                 lates.append(st[5])
                 fos.append(st[6])
                 fts.append(st[7])
+                starts.append(start_cur)
                 st[1] = 0.0
                 if n_symb == 6:
                     st[0] += 32 + 128
@@ -263,7 +297,9 @@ class Producer:
                     st[4] = (st[4] + 1) % 20
         if rows:
             fifo.append(PduChunk(np.stack(rows), np.asarray(lates),
-                                 np.asarray(fos), np.asarray(fts), sym0))
+                                 np.asarray(fos), np.asarray(fts), sym0,
+                                 np.asarray(starts, np.int64),
+                                 self.block_seq))
 
     # ------------------------------------------------------------------
     def process(self, samples: np.ndarray, cells: List[TrackedCell]) -> None:
@@ -271,6 +307,7 @@ class Producer:
         n = len(samples)
         if n == 0:
             return
+        self.block_seq += 1
         k_factor = self.state.k_factor()
         step = (FS_LTE / 16) / (self.state.fs_programmed * k_factor)
         ts0 = self.sample_time

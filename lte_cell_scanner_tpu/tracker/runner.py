@@ -210,7 +210,14 @@ class TrackerRunner:
                 from .batched import batched_get_fd
                 batch = [(self.processors[tc.n_id_cell], ch)
                          for tc, ch in active]
-                outs = batched_get_fd(batch, self.state)
+                # raw-block staging: the device receives THIS tick's
+                # stream once + per-symbol start indices and gathers
+                # every cell's windows on device (the remote-tunnel
+                # transfer budget is the tracker's measured binding
+                # constraint -- docs/SCALING.md round 4)
+                outs = batched_get_fd(
+                    batch, self.state, raw_block=samples,
+                    block_seq=self.producer.block_seq)
                 fd_map = {id(p): o for (p, _), o in zip(batch, outs)}
             for tc, ch in active:
                 proc = self.processors[tc.n_id_cell]

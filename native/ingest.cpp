@@ -139,15 +139,21 @@ static inline double pymod(double x, double m) {
     return r < 0 ? r + m : r;
 }
 
-int64_t cell_frame_symbols(const double* samples, int64_t n, double ts0,
+int64_t cell_frame_symbols2(const double* samples, int64_t n, double ts0,
                            double step, double frame_timing, double fo,
                            int64_t n_symb, double* state, double* partial,
                            double* out_data, double* out_late,
                            double* out_fo, double* out_ft,
-                           int64_t* out_sym) {
+                           int64_t* out_sym, int64_t* out_start) {
+    // out_start[i]: index of symbol i's first sample within THIS block,
+    // or -1 when the symbol started in an earlier block (its data then
+    // lives only in out_data) -- lets a remote-accelerator consumer
+    // gather the 128-sample windows from ONE uploaded copy of the raw
+    // block instead of shipping per-cell window copies.
     double target = state[0];
     bool filling = state[1] != 0.0;
     int64_t off = (int64_t)state[2];
+    int64_t start_cur = filling ? -1 : 0;
     int64_t sym_num = (int64_t)state[3];
     int64_t slot_num = (int64_t)state[4];
     double pdu_late = state[5], pdu_fo = state[6], pdu_ft = state[7];
@@ -201,6 +207,7 @@ int64_t cell_frame_symbols(const double* samples, int64_t n, double ts0,
             if (!found) break;
             filling = true;
             off = 0;
+            start_cur = t;
             pdu_fo = fo;
             pdu_ft = frame_timing;
         }
@@ -215,6 +222,7 @@ int64_t cell_frame_symbols(const double* samples, int64_t n, double ts0,
             out_fo[n_out] = pdu_fo;
             out_ft[n_out] = pdu_ft;
             out_sym[n_out] = slot_num * n_symb + sym_num;
+            out_start[n_out] = start_cur;
             n_out++;
             filling = false;
             if (n_symb == 6) {

@@ -111,3 +111,46 @@ def test_batch_handles_ragged_pad_capacity():
     for cb, cs in zip(fb, fs_):
         np.testing.assert_allclose(cb.freq_fine, cs.freq_fine,
                                    rtol=1e-9, atol=1e-6)
+
+
+def test_sss_foe_fused_matches_staged_pair():
+    """The fused SSS-detect + fine-FOE program (one device dispatch,
+    sss_detect.sss_foe_batch_fused) must reproduce the staged
+    sss_detect_batch -> pss_sss_foe_batch pair exactly on the real
+    two-cell capture (x64 CPU: the traced decision/plan re-derivation
+    is bit-compatible with the float64 host planning)."""
+    import numpy as np
+    from lte_cell_scanner_tpu.constants import DS_COMB_ARM, FS_LTE
+    from lte_cell_scanner_tpu.models.peaks import peak_search
+    from lte_cell_scanner_tpu.models.search import (compute_z_th1,
+                                                    default_f_search_set)
+    from lte_cell_scanner_tpu.models.sss_detect import (
+        pss_sss_foe_batch, sss_detect_batch, sss_foe_batch_fused)
+    from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
+    from lte_cell_scanner_tpu.utils import read_itfile
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    cap = np.asarray(
+        read_itfile("/root/reference/test/capbuf_0000.it")["capbuf"])
+    fss = default_f_search_set(fc, 100.0)
+    res = xcorr_pss(cap, fss, DS_COMB_ARM, fc, fc, fs, lean=True,
+                    corr_backend="xla")
+    z = compute_z_th1(res.sp_incoherent, res.n_comb_xc)
+    peaks = peak_search(res.xc_incoherent_collapsed_pow,
+                        res.xc_incoherent_collapsed_frq, z, fss, fc, fc,
+                        res.xc_incoherent_single, DS_COMB_ARM,
+                        refine_slab=res.refine_slab)
+    assert len(peaks) == 2
+
+    staged = sss_detect_batch(peaks, cap, 3.0, fc, fc, fs)
+    staged = pss_sss_foe_batch([c for c in staged if c.n_id_1 >= 0],
+                               cap, fc, fc, fs)
+    fused = [c for c in sss_foe_batch_fused(peaks, cap, 3.0, fs)
+             if c.n_id_1 >= 0]
+    assert sorted(c.n_id_cell() for c in fused) == [271, 277]
+    for a, b in zip(staged, fused):
+        assert a.n_id_cell() == b.n_id_cell()
+        assert a.cp_type is b.cp_type
+        assert abs(a.frame_start - b.frame_start) < 1e-9
+        assert abs(a.freq_fine - b.freq_fine) < 1e-9

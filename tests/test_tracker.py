@@ -812,3 +812,57 @@ def test_native_cell_tick_matches_numpy_process():
             assert fa.n == fb.n
         assert proc_a.data_fifo.n == proc_b.data_fifo.n
         assert cell_a.mib_decode_failures == cell_b.mib_decode_failures
+
+
+def test_batched_get_fd_block_path_matches_data_path():
+    """The raw-block device staging (upload the producer block once +
+    gather windows on device) must reproduce the per-cell window-copy
+    path exactly, including appendix routing for symbols whose starts
+    are unknown (straddlers / stale blocks)."""
+    from lte_cell_scanner_tpu.tracker.batched import batched_get_fd
+    from lte_cell_scanner_tpu.tracker.cell_tracker import \
+        TrackedCellProcessor
+    from lte_cell_scanner_tpu.tracker.producer import PduChunk
+    from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
+
+    rng = np.random.default_rng(8)
+    state = GlobalState(fc_requested=FC, fc_programmed=FC,
+                        fs_programmed=FS, frequency_offset=250.0)
+    block = (rng.normal(size=4096) + 1j * rng.normal(size=4096))
+
+    def make(n_id_cell, first_offset):
+        cell = TrackedCell(n_id_cell=n_id_cell, n_id_1=n_id_cell // 3,
+                           n_id_2=n_id_cell % 3, cp_type=CpType.NORMAL,
+                           n_ports=2, n_rb_dl=6, frame_timing=0.0)
+        a = TrackedCellProcessor(cell, state)
+        b = TrackedCellProcessor(cell, state)
+        a.bulk_phase_offset = b.bulk_phase_offset = 0.1 * n_id_cell % 1.0
+        starts = first_offset + 137 * np.arange(8)
+        data = np.stack([block[s: s + 128] for s in starts])
+        starts = starts.astype(np.int64)
+        starts[3] = -1                      # a straddler: appendix route
+        chunk = PduChunk(data=data,
+                         late=rng.uniform(-0.5, 2.0, size=8),
+                         fo=250.0 + np.arange(8, dtype=float),
+                         ft=np.zeros(8), sym0=0, start=starts,
+                         block_seq=7)
+        return a, b, chunk
+
+    a1, b1, c1 = make(277, 5)
+    a2, b2, c2 = make(100, 61)
+    ref = batched_get_fd([(b1, c1), (b2, c2)], state, backend="device")
+    got = batched_get_fd([(a1, c1), (a2, c2)], state, backend="device",
+                         raw_block=block, block_seq=7)
+    for r, g in zip(ref, got):
+        assert np.allclose(g, r, atol=1e-10), np.abs(g - r).max()
+    assert np.isclose(a1.bulk_phase_offset, b1.bulk_phase_offset)
+
+    # stale block_seq: every symbol must fall back to the appendix and
+    # still match (reset the accumulated bulk phases first)
+    a1.bulk_phase_offset = b1.bulk_phase_offset = 0.7
+    a2.bulk_phase_offset = b2.bulk_phase_offset = 0.2
+    ref2 = batched_get_fd([(b1, c1), (b2, c2)], state, backend="device")
+    got2 = batched_get_fd([(a1, c1), (a2, c2)], state, backend="device",
+                          raw_block=block, block_seq=99)
+    for r, g in zip(ref2, got2):
+        assert np.allclose(g, r, atol=1e-10)
