@@ -13,12 +13,13 @@ Primary metric: the full per-carrier front end on the real capture
 correlation over the default +-100 ppm hypothesis grid, incoherent fold,
 delay-spread combining, hypothesis collapse, and signal-power estimation,
 on one TPU chip in complex64, measured through the PRODUCTION batched
-scan program (16 carriers per dispatch, the parallel/carriers layout),
+scan program (the v4 fused-fold kernel, 32 carriers per dispatch --
+scan_band's max_carriers_per_program -- the parallel/carriers layout),
 dispatch-pipelined (steady-state throughput), reported per carrier.
 
 Second headline (BASELINE config 2, VERDICT round-1 item 1): the whole
 detect+decode chain on the same chip -- front end + chi-squared
-threshold + greedy peak search + SSS/FOE batches + fused
+threshold + greedy peak search + the fused SSS+FOE dispatch + fused
 tfg/tfoec/chan_est/MIB decode -- reported as seconds/carrier vs the
 reference's 6 s, with per-call blocking (true latency, no pipelining).
 The two 739 MHz cells must decode or the field is marked invalid.

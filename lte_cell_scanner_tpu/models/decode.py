@@ -5,10 +5,10 @@ The reference runs these as four separate stages per detected peak
 (CellSearch.cpp:542-570); each is already a single jitted core here
 (models/tfg.py, chan_est.py, mib.py), and chaining the impls inside one
 trace removes the remaining per-stage dispatch round-trips AND lets the
-whole chain vmap over peaks: together with sss_detect_batch /
-pss_sss_foe_batch, the complete back half of a capture -- or of an
-entire band scan (the *_multi variants) -- is three device programs,
-independent of the peak/carrier count.
+whole chain vmap over peaks: together with the fused SSS+FOE
+dispatch (sss_detect.sss_foe_batch_fused), the complete back half of a
+capture -- or of an entire band scan (the *_multi variants) -- is TWO
+device programs, independent of the peak/carrier count.
 
 Only the hex interpolator (the reference's default chan_est path) is
 fused; SearchConfig(interp="freq_time"/"2stage") falls back to the

@@ -104,9 +104,9 @@ def refine_peaks(peaks: List[Cell], capbuf: np.ndarray, fc_requested: float,
             return cells
         if cfg.interp == "hex" and cells:
             # whole-chain fused decode, one vmapped program per CP type
-            # (models/decode.py) -- with the two batches above, the
-            # complete back half is three device programs regardless of
-            # the peak count
+            # (models/decode.py) -- with the fused SSS+FOE dispatch
+            # above, the complete back half is TWO device programs
+            # regardless of the peak count
             with stage("decode_fused"):
                 decoded = decode_back_half_batch(
                     cells, cap_dev, fc_requested, fc_programmed,
