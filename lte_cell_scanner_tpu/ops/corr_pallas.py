@@ -607,7 +607,12 @@ W_V4 = 80                       # lags per row; 80 | 9600 makes the
 B_V4 = 16                       # X row base back-shift: row r spans
                                 # samples [80r - 16, 80r + 240)
 RHO_V4 = 9600 // W_V4           # 120 rows per half-frame period
-C_BLK_V4 = 4                    # carriers per grid step (VMEM-bounded)
+C_BLK_V4 = 4                    # carriers per grid step: measured
+                                # on-chip A/B 2: 9.9 ms, 4: 7.9 ms per
+                                # 16-carrier dispatch; 8 exceeds VMEM
+                                # (the f32 dot accumulator alone is
+                                # ~9.8 MB at M=960) and fails to
+                                # compile -- 4 is the knee
 
 
 def delta_table(start_idx: np.ndarray) -> np.ndarray:

@@ -301,11 +301,15 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
     (reference CellSearch.cpp:497-570 semantics per carrier).
 
     Very wide bands are processed in chunks of
-    ``max_carriers_per_program`` carriers PER DEVICE: each carrier's
-    front end materializes a ~57 MB |xc|^2 intermediate at the default
-    grid, so an unbounded batch would exceed HBM near ~250
-    carriers/chip.  Chunking keeps one compiled program shape and
-    bounded memory; results concatenate in carrier order.
+    ``max_carriers_per_program`` carriers PER DEVICE.  The bound is
+    set by the v2 FALLBACK kernel's ~30 MB/carrier lag-map
+    intermediate (an unbounded batch would exceed HBM near ~250
+    carriers/chip); the default v4 fused-fold route never materializes
+    the map and measures throughput still climbing at 128
+    carriers/dispatch (docs/SCALING.md knee table), so HBM-rich
+    deployments can raise the default 32 toward 128 for the last
+    ~30%.  Chunking keeps one compiled program shape and bounded
+    memory; results concatenate in carrier order.
     """
     cfg = config or SearchConfig()
     mesh = mesh or make_carrier_mesh()
