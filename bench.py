@@ -13,7 +13,7 @@ Primary metric: the full per-carrier front end on the real capture
 correlation over the default +-100 ppm hypothesis grid, incoherent fold,
 delay-spread combining, hypothesis collapse, and signal-power estimation,
 on one TPU chip in complex64, measured through the PRODUCTION batched
-scan program (the v4 fused-fold kernel, 32 carriers per dispatch --
+scan program (the v4 fused-fold kernel, 64 carriers per dispatch --
 scan_band's max_carriers_per_program -- the parallel/carriers layout),
 dispatch-pipelined (steady-state throughput), reported per carrier.
 
@@ -175,10 +175,12 @@ def main():
     # stages under lax.map, one shared band set), per-carrier fold
     # starts exactly as scan_band plans them
     from lte_cell_scanner_tpu.parallel.carriers import _vmap_front
-    C = 32      # carriers per dispatch = scan_band's
-                # max_carriers_per_program (the batch knee is 32-64:
-                # 2143-2533 carriers/s vs 1565-1783 at 16, measured
-                # tools/bench_carriers.py r4 -- docs/SCALING.md)
+    C = 64      # carriers per dispatch = scan_band's
+                # max_carriers_per_program (the measured knee: 2143 /
+                # 2533 / 2857 carriers/s at 32 / 64 / 128 vs 1565-1783
+                # at 16 -- tools/bench_carriers.py r4, docs/SCALING.md;
+                # 64 balances throughput against the v2 FALLBACK
+                # path's ~30 MB/carrier lag-map HBM footprint)
     starts_c = np.stack([combine_start_indices(
         f_set, fc + 1e5 * c, fc + 1e5 * c, fs, n_comb_xc)
         for c in range(C)]).astype(np.int32)

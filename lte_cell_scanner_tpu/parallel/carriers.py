@@ -291,7 +291,7 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
               config: Optional[SearchConfig] = None,
               mesh: Optional[Mesh] = None,
               dtype=np.complex64,
-              max_carriers_per_program: int = 32) -> List[List[Cell]]:
+              max_carriers_per_program: int = 64) -> List[List[Cell]]:
     """Scan many carriers at once, carriers sharded across the mesh.
 
     captures: sequence of (capbuf, fc_requested, fc_programmed).

@@ -233,7 +233,7 @@ def scan_band_multihost(
         f_search_set: np.ndarray, fs_programmed: float,
         config: Optional[SearchConfig] = None, dtype=np.complex64,
         max_cells_per_host: int = 128,
-        max_carriers_per_program: int = 32,
+        max_carriers_per_program: int = 64,
 ) -> Tuple[List[List[Cell]], List[Cell]]:
     """Scan a band whose carriers are distributed across processes.
 

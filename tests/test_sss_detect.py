@@ -154,3 +154,52 @@ def test_sss_foe_fused_matches_staged_pair():
         assert a.cp_type is b.cp_type
         assert abs(a.frame_start - b.frame_start) < 1e-9
         assert abs(a.freq_fine - b.freq_fine) < 1e-9
+
+
+def test_sss_foe_fused_golden_compat_matches_staged():
+    """The fused program's golden-compat branch (MATLAB-semantics
+    constants: nominal-rate mixers, 9600*k half-frame step, 19200-wide
+    wrap) must match the staged pair too -- exercised on a simulated
+    extended-CP cell so both the golden constants AND the extended-CP
+    FOE geometry run through the traced plan."""
+    import numpy as np
+    from lte_cell_scanner_tpu.cell import CpType
+    from lte_cell_scanner_tpu.constants import DS_COMB_ARM, FS_LTE
+    from lte_cell_scanner_tpu.models.peaks import peak_search
+    from lte_cell_scanner_tpu.models.search import compute_z_th1
+    from lte_cell_scanner_tpu.models.sss_detect import (
+        pss_sss_foe_batch, sss_detect_batch, sss_foe_batch_fused)
+    from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
+    from lte_cell_scanner_tpu.sim import awgn, apply_freq_offset, \
+        create_dl_sig
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    rng = np.random.default_rng(21)
+    sig = awgn(create_dl_sig(CpType.EXTENDED, 40, 3, 92, 1, 0.5,
+                             rng=rng, n_ports=2), 10.0, rng=rng)
+    sig = apply_freq_offset(sig, 3200.0, fs)
+    f_set = np.array([-5e3, 0.0, 5e3])
+    for compat in ("production", "golden"):
+        res = xcorr_pss(sig, f_set, DS_COMB_ARM, fc, fc, fs, lean=True,
+                        corr_backend="xla")
+        z = compute_z_th1(res.sp_incoherent, res.n_comb_xc)
+        peaks = peak_search(res.xc_incoherent_collapsed_pow,
+                            res.xc_incoherent_collapsed_frq, z, f_set,
+                            fc, fc, res.xc_incoherent_single,
+                            DS_COMB_ARM, refine_slab=res.refine_slab)
+        assert peaks
+        staged = sss_detect_batch(peaks, sig, 3.0, fc, fc, fs,
+                                  compat=compat)
+        staged = pss_sss_foe_batch(
+            [c for c in staged if c.n_id_1 >= 0], sig, fc, fc, fs,
+            compat=compat)
+        fused = [c for c in sss_foe_batch_fused(peaks, sig, 3.0, fs,
+                                                compat=compat)
+                 if c.n_id_1 >= 0]
+        assert staged and len(staged) == len(fused)
+        for a, b in zip(staged, fused):
+            assert a.n_id_cell() == b.n_id_cell() == 277
+            assert a.cp_type is b.cp_type is CpType.EXTENDED
+            assert abs(a.frame_start - b.frame_start) < 1e-9
+            assert abs(a.freq_fine - b.freq_fine) < 1e-9
