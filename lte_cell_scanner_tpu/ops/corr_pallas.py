@@ -604,8 +604,14 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
 
 W_V4 = 80                       # lags per row; 80 | 9600 makes the
                                 # fold a pure row fold
-B_V4 = 16                       # X row base back-shift: row r spans
-                                # samples [80r - 16, 80r + 240)
+B_V4 = 20                       # X row base back-shift: row r spans
+                                # samples [80r - 20, 80r + 236).  The
+                                # representable delta window is
+                                # [-B, 40 - B]; B = 20 centers it on
+                                # the symmetric LTE offset grids, so
+                                # every default-capture grid up to
+                                # +-150 ppm rides v4 (the gate check
+                                # below is parametric in B)
 RHO_V4 = 9600 // W_V4           # 120 rows per half-frame period
 C_BLK_V4 = 4                    # carriers per grid step: measured
                                 # on-chip A/B 2: 9.9 ms, 4: 7.9 ms per
@@ -625,13 +631,14 @@ def delta_table(start_idx: np.ndarray) -> np.ndarray:
 
 def v4_applicable(start_idx, margin: int = 0) -> bool:
     """True when every fold deviation fits the v4 kernel's
-    representable window delta in [-16, +24] (see module notes).
-    margin > 0 shrinks the window symmetrically -- multihost callers
-    use margin=1 so that processes gating on slightly different
-    mid-carrier tables cannot disagree near the edge (they additionally
-    all-gather the verdict)."""
+    representable window delta in [-B_V4, 40 - B_V4] (see module
+    notes).  margin > 0 shrinks the window symmetrically -- multihost
+    callers use margin=1 so that processes gating on slightly
+    different mid-carrier tables cannot disagree near the edge (they
+    additionally all-gather the verdict)."""
     d = delta_table(start_idx)
-    return bool(d.min() >= -B_V4 + margin and d.max() <= 24 - margin)
+    return bool(d.min() >= -B_V4 + margin
+                and d.max() <= 40 - B_V4 - margin)
 
 
 def plan_pallas_v4(t_count: int, t_chunk: int = 16):
