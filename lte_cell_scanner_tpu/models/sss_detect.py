@@ -796,7 +796,14 @@ def _detect_foe_impl(capbuf, locs, mask, freq, fs_mix, n_id_2,
     M = _foe_impl(capbuf, foe_locs, foe_mask, dist_i, freq, fs_mix,
                   seg_phase, sn, n_id_1, n_id_2,
                   pss_conj_all, sss_all)
-    return lln, lle, M, n_id_1, use_norm, late
+    # dist_i + masked-location count let the host verify the device's
+    # TIMING plan, not just the discrete decision: with x64 off the
+    # traced scalars are f32, and a .5-boundary round could shift the
+    # PSS-SSS distance or drop/add an SSS location without changing
+    # (n_id_1, cp, late) -- the caller falls back to the staged f64
+    # path when either deviates from the host plan (ADVICE r4)
+    return (lln, lle, M, n_id_1, use_norm, late, dist_i,
+            jnp.sum(foe_mask.astype(jnp.int32)))
 
 
 def _detect_foe_impl_multi(capbufs, ci, *args, **kw):
@@ -892,7 +899,7 @@ def sss_foe_batch_fused(cells: Sequence[Cell], capbuf,
     else:
         out = _detect_foe_fn(False, golden)(
             device_complex(capbuf), *args, *roms)
-    lln_b, lle_b, M_b, nid1_d, usenorm_d, late_d = \
+    lln_b, lle_b, M_b, nid1_d, usenorm_d, late_d, dist_d, nloc_d = \
         (np.asarray(o) for o in out)
 
     result: List[Cell] = []
@@ -904,22 +911,25 @@ def sss_foe_batch_fused(cells: Sequence[Cell], capbuf,
         if cell.n_id_1 < 0 or cell.n_id_cell() in skip_ids:
             result.append(cell)
             continue
-        # host re-derivation of the decision the device FOE'd against
+        # host re-derivation of the decision AND the f64 timing plan
+        # the device FOE'd against: discrete choice, PSS-SSS distance
+        # and masked SSS-location count must all match before the
+        # device M is trusted (the f32 traced scalars can round .5
+        # boundaries differently from the host plan)
         host_norm = cell.cp_type is CpType.NORMAL
         host_late = bool(
             (lln if host_norm else lle)[:, 0].max()
             <= (lln if host_norm else lle)[:, 1].max())
+        _hl, h_mask, _sn, h_dist, _ph, _fq, _fm, _fo = _foe_prepare(
+            cell, n_cap, fcr, fcp, fs_programmed, compat)
         if (int(nid1_d[i]) == cell.n_id_1
                 and bool(usenorm_d[i]) == host_norm
-                and bool(late_d[i]) == host_late):
-            k_factor, s, fs_out = sc[i]
-            golden_k = k_factor if golden else s
-            if host_norm:
-                dist = int(round_i((128 + 9) * golden_k))
-            else:
-                dist = int(round_i((128 + 32) * k_factor))
+                and bool(late_d[i]) == host_late
+                and int(dist_d[i]) == h_dist
+                and int(nloc_d[i]) == int(np.sum(h_mask))):
+            _k_factor, _s, fs_out = sc[i]
             freq_fine = cell.freq + np.angle(complex(M_b[i])) \
-                / (2 * np.pi) * fs_out / dist
+                / (2 * np.pi) * fs_out / h_dist
             result.append(cell.evolve(freq_fine=float(freq_fine)))
         else:
             # f32 tie on device: redo this peak's FOE staged (exact)

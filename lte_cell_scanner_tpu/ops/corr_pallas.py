@@ -580,11 +580,11 @@ def corr_pow_core_v2(cap_re, cap_im, g, n_lags: int, t_count: int,
 #   block of grid step m is rows [120 m, 120 m + 120) of an X view with
 #   rows at stride 80;
 # - the per-(template, period) delta is a COLUMN SHIFT of the template
-#   inside the im2col band: G_m[k, (c, t)] = tmpl[t, k - c - 16 -
+#   inside the im2col band: G_m[k, (c, t)] = tmpl[t, k - c - B_V4 -
 #   delta(t, m)], still within the K=256 span per plane because
-#   79 + 16 + 24 + 136 <= 255 (X rows span [80r - 16, 80r + 240), so
-#   delta in [-16, +24] is representable -- the default 80 ms / 100 ppm
-#   grid needs +-14; v4_applicable gates exactly, v2 is the fallback);
+#   79 + 20 + 20 + 136 <= 255 (X rows span [80r - 20, 80r + 236), so
+#   delta in [-20, +20] is representable -- the default 80 ms grid up
+#   to +-150 ppm fits; v4_applicable gates exactly, v2 is the fallback);
 # - the fold over m is output-block accumulation: grid
 #   (C/c_blk, n_tc, n_comb) with m INNERMOST, out block constant in m,
 #   `out_ref += pw` with a zero-init at m == 0.
@@ -633,8 +633,9 @@ def v4_applicable(start_idx, margin: int = 0) -> bool:
     """True when every fold deviation fits the v4 kernel's
     representable window delta in [-B_V4, 40 - B_V4] (see module
     notes).  margin > 0 shrinks the window symmetrically -- multihost
-    callers use margin=1 so that processes gating on slightly
-    different mid-carrier tables cannot disagree near the edge (they
+    band scans gate through parallel.carriers.v4_band_applicable with
+    margin=1 so that processes gating on slightly different
+    mid-carrier tables cannot disagree near the edge (they
     additionally all-gather the verdict)."""
     d = delta_table(start_idx)
     return bool(d.min() >= -B_V4 + margin

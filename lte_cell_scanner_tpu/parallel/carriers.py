@@ -245,6 +245,28 @@ def plan_carrier_inputs(capbufs: Sequence[np.ndarray],
     return cap, tmpl, starts, n_comb_xc, c_real
 
 
+def v4_band_applicable(starts, margin: int = 0) -> bool:
+    """v4 gate for a whole band chunk, not just its mid carrier.
+
+    The fused-fold kernel bakes the MID carrier's fold-start deltas
+    into G, so two conditions must hold: (a) the mid table fits the
+    kernel's representable delta window (``v4_applicable``), and
+    (b) every carrier's exact fold starts stay within 1 sample of the
+    mid table -- edge carriers drift by ~9600*m*df/fc samples per
+    period, so a chunk spanning tens of MHz can push late periods
+    beyond the +-ds_comb_arm=2 combining arm and silently degrade
+    edge-carrier sensitivity.  When (b) fails the scan falls back to
+    v2 + the exact per-carrier XLA fold."""
+    starts = np.asarray(starts)
+    from ..ops.corr_pallas import v4_applicable
+    smid = starts[starts.shape[0] // 2]
+    if not v4_applicable(smid, margin=margin):
+        return False
+    dev = np.max(np.abs(starts.astype(np.int64)
+                        - smid[None].astype(np.int64)))
+    return int(dev) <= 1
+
+
 def _plan_scan_bands(tmpl, starts, capbufs, cfg,
                      force_int8=None, force_v4=None):
     """The shared Pallas band set for a batched band scan.
@@ -259,21 +281,22 @@ def _plan_scan_bands(tmpl, starts, capbufs, cfg,
     deviations fit the kernel's window (v4_applicable; the default
     80 ms / +-100 ppm grid does); v2 single-band (+ the XLA fold off
     exact per-carrier starts) is the fallback for wide-ppm or
-    long-capture grids.  int8 when every capture sits on the 8-bit ADC
+    long-capture or very-wide-band grids (v4_band_applicable also
+    bounds the chunk's per-carrier start deviation from the baked mid
+    table to 1 sample).  int8 when every capture sits on the 8-bit ADC
     grid, bf16 otherwise.  force_int8/force_v4 override the data-
     derived choices -- the multihost scan passes globally all-gathered
     verdicts so every process compiles the same program structure."""
     if not use_pallas_corr(getattr(cfg, "corr_backend", "auto")):
         return ()
     from ..ops.corr_pallas import (bands_v4_for_templates, is_adc_grid,
-                                   prod_bands_for_templates,
-                                   v4_applicable)
+                                   prod_bands_for_templates)
     mid = tmpl.shape[0] // 2
     tmid = tmpl[mid].astype(np.complex64)
     smid = np.asarray(starts[mid])
     use_int8 = all(is_adc_grid(c) for c in capbufs) \
         if force_int8 is None else force_int8
-    use_v4 = v4_applicable(smid) if force_v4 is None else force_v4
+    use_v4 = v4_band_applicable(starts) if force_v4 is None else force_v4
     if use_v4:
         tf = tmid.reshape(-1, PSS_TD_LEN)
         if use_int8:
@@ -307,8 +330,8 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
     carriers/chip); the default v4 fused-fold route never materializes
     the map and measures throughput still climbing at 128
     carriers/dispatch (docs/SCALING.md knee table), so HBM-rich
-    deployments can raise the default 32 toward 128 for the last
-    ~30%.  Chunking keeps one compiled program shape and bounded
+    deployments can raise the default 64 toward 128 for the last
+    ~10%.  Chunking keeps one compiled program shape and bounded
     memory; results concatenate in carrier order.
     """
     cfg = config or SearchConfig()

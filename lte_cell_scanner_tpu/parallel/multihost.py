@@ -192,10 +192,13 @@ def _scan_chunk(chunk, chunk_real: int, mesh, n_local_dev: int,
     bands = ()
     if use_pallas_corr(cfg.corr_backend):
         from jax.experimental import multihost_utils
-        from ..ops.corr_pallas import is_adc_grid, v4_applicable
-        from .carriers import _plan_scan_bands
+        from ..ops.corr_pallas import is_adc_grid
+        from .carriers import _plan_scan_bands, v4_band_applicable
         local_grid = all(is_adc_grid(c) for c in capbufs)
-        local_v4 = v4_applicable(starts[tmpl.shape[0] // 2])
+        # margin=1 so processes gating on slightly different mid-carrier
+        # tables cannot disagree near the window edge (the verdict is
+        # additionally all-gathered and ANDed below)
+        local_v4 = v4_band_applicable(starts, margin=1)
         flags = multihost_utils.process_allgather(np.array(
             [1 if local_grid else 0, 1 if local_v4 else 0], np.int32))
         flags = np.asarray(flags).reshape(-1, 2)
