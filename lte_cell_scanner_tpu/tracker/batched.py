@@ -188,6 +188,68 @@ def _native_lib():
     return get_lib()
 
 
+def _stage_block_inputs(cell_pdus: Sequence[Tuple[object, object]],
+                        raw_block, block_seq: int, dtype):
+    """Host staging shared by the batched device paths: per-cell symbol
+    metadata padded to the (B, S) bucket, plus either the [B, S, 128]
+    window copies (raw_block=None) or the extended raw block + per-
+    symbol start indices for the on-device window gather.
+
+    Returns (ext, data, starts, fo, late, nse, valid, init_phase);
+    exactly one of ext/data is not None."""
+    B = len(cell_pdus)
+    s_max = max(len(c) for _, c in cell_pdus)
+    S = -(-s_max // _BUCKET) * _BUCKET
+
+    fo = np.zeros((B, S))
+    late = np.zeros((B, S))
+    nse = np.zeros((B, S))
+    valid = np.zeros((B, S), dtype=bool)
+    init_phase = np.zeros(B)
+    use_block = raw_block is not None
+    data = None if use_block else np.zeros((B, S, 128), dtype=dtype)
+    starts = np.zeros((B, S), dtype=np.int32) if use_block else None
+    appendix = [] if use_block else None
+    n_app = 0
+    L = len(raw_block) if use_block else 0
+    for b, (proc, chunk) in enumerate(cell_pdus):
+        m = len(chunk)
+        if use_block:
+            cs = chunk.start if (chunk.start is not None
+                                 and chunk.block_seq == block_seq) \
+                else np.full(m, -1, np.int64)
+            ok = (cs >= 0) & (cs <= L - 128)
+            row = np.empty(m, np.int32)
+            row[ok] = cs[ok].astype(np.int32)
+            n_bad = int(m - ok.sum())
+            if n_bad:                      # straddlers / stale blocks
+                row[~ok] = L + 128 * (n_app + np.arange(n_bad))
+                appendix.append(np.ascontiguousarray(
+                    chunk.data[~ok]).ravel())
+                n_app += n_bad
+            starts[b, :m] = row
+        else:
+            data[b, :m] = chunk.data
+        fo[b, :m] = chunk.fo
+        late[b, :m] = chunk.late
+        nse[b, :m] = _nse_of_chunk(chunk, proc.cell.n_symb_dl())
+        valid[b, :m] = True
+        init_phase[b] = proc.bulk_phase_offset
+    ext = None
+    if use_block:
+        # padding rows gather zeros from one trailing guard window;
+        # ext is zero-padded to a 16 Ki-sample bucket so the program
+        # compiles once per (B, S, bucket) shape, not per tick
+        pad_at = L + 128 * n_app
+        starts[~valid] = pad_at
+        ext_len = -(-(pad_at + 128) // 16384) * 16384
+        ext = np.zeros(ext_len, dtype)
+        ext[:L] = np.asarray(raw_block, dtype)
+        if n_app:
+            ext[L: pad_at] = np.concatenate(appendix)
+    return ext, data, starts, fo, late, nse, valid, init_phase
+
+
 def batched_get_fd(cell_pdus: Sequence[Tuple[object, object]], state,
                    dtype=np.complex128, backend: str = "auto",
                    raw_block: np.ndarray = None, block_seq: int = -1
@@ -219,54 +281,9 @@ def batched_get_fd(cell_pdus: Sequence[Tuple[object, object]], state,
     if backend == "numpy":
         return _get_fd_numpy(cell_pdus, state)
 
-    B = len(cell_pdus)
-    s_max = max(len(c) for _, c in cell_pdus)
-    S = -(-s_max // _BUCKET) * _BUCKET
-
-    fo = np.zeros((B, S))
-    late = np.zeros((B, S))
-    nse = np.zeros((B, S))
-    valid = np.zeros((B, S), dtype=bool)
-    init_phase = np.zeros(B)
     use_block = raw_block is not None
-    data = None if use_block else np.zeros((B, S, 128), dtype=dtype)
-    starts = np.zeros((B, S), dtype=np.int32) if use_block else None
-    appendix = [] if use_block else None
-    n_app = 0
-    L = len(raw_block) if use_block else 0
-    for b, (proc, chunk) in enumerate(cell_pdus):
-        m = len(chunk)
-        if use_block:
-            cs = chunk.start if (chunk.start is not None
-                                 and chunk.block_seq == block_seq)                 else np.full(m, -1, np.int64)
-            ok = (cs >= 0) & (cs <= L - 128)
-            row = np.empty(m, np.int32)
-            row[ok] = cs[ok].astype(np.int32)
-            n_bad = int(m - ok.sum())
-            if n_bad:                      # straddlers / stale blocks
-                row[~ok] = L + 128 * (n_app + np.arange(n_bad))
-                appendix.append(np.ascontiguousarray(
-                    chunk.data[~ok]).ravel())
-                n_app += n_bad
-            starts[b, :m] = row
-        else:
-            data[b, :m] = chunk.data
-        fo[b, :m] = chunk.fo
-        late[b, :m] = chunk.late
-        nse[b, :m] = _nse_of_chunk(chunk, proc.cell.n_symb_dl())
-        valid[b, :m] = True
-        init_phase[b] = proc.bulk_phase_offset
-    if use_block:
-        # padding rows gather zeros from one trailing guard window;
-        # ext is zero-padded to a 16 Ki-sample bucket so the program
-        # compiles once per (B, S, bucket) shape, not per tick
-        pad_at = L + 128 * n_app
-        starts[~valid] = pad_at
-        ext_len = -(-(pad_at + 128) // 16384) * 16384
-        ext = np.zeros(ext_len, dtype)
-        ext[:L] = np.asarray(raw_block, dtype)
-        if n_app:
-            ext[L: pad_at] = np.concatenate(appendix)
+    (ext, data, starts, fo, late, nse, valid, init_phase) = \
+        _stage_block_inputs(cell_pdus, raw_block, block_seq, dtype)
 
     # host numpy in: safe_jit splits complex data into float planes at
     # the transfer point when the boundary is active (plain jit stages

@@ -146,6 +146,12 @@ class TrackedCellProcessor:
         self.mib_fifo: Deque = deque()
         self.mib_fifo_synchronized = False
         self._pbch_keep = None
+        # device-loop mode (tracker/device_loop.py): special-symbol rows
+        # keyed by ABSOLUTE symbol index, plus the ingest/emit counters
+        # that replace the dense data_fifo alignment
+        self._spec_map = {}
+        self._sym_base = 0
+        self._emitted_base = 0
         self.sss_sym: Optional[np.ndarray] = None
         # cached sync-channel tables: (sss_fd slot0 f64, slot10 f64,
         # conj pss_fd)
@@ -897,6 +903,15 @@ class TrackedCellProcessor:
         if n_ready <= 0 or c.kill_me:
             return
         slots, symsn, S_rdy = self.data_fifo.pop_n(n_ready)
+        self._phase_c(n_ready, slots, symsn, lambda i: S_rdy[i])
+
+    def _phase_c(self, n_ready: int, slots, symsn, row_of) -> None:
+        """Dashboard measurements, sync SNR and MIB appends over
+        n_ready emitted symbols.  row_of(i) returns symbol i's
+        frequency-domain row -- dense callers index the popped
+        data-fifo slab; the device-loop caller looks up the sparse
+        special-row map (only sync/PBCH indices are ever requested)."""
+        c = self.cell
         per_port = [f.pop_n(n_ready) for f in self.ce_interp_fifo]
         ce_p = [pp[0] for pp in per_port]                  # each [n, 72]
         # per-port scalar tracks stay as lists of [n] arrays; full
@@ -935,7 +950,7 @@ class TrackedCellProcessor:
         pbch = (slots == 1) & (symsn <= 3)
         for i in np.nonzero(sync | pbch)[0]:
             sl, sy = int(slots[i]), int(symsn[i])
-            dsyms = S_rdy[i]
+            dsyms = row_of(i)
             if sync[i]:
                 self._do_pss_sss_sigpower_ce(dsyms, sl, sy)
             if pbch[i]:
@@ -944,3 +959,73 @@ class TrackedCellProcessor:
                      col(sp_p, i), col(np_p, i)))
                 if len(self.mib_fifo) == 16 and not self._mib_try_decode():
                     return
+
+    # ------------------------------------------------------------------
+    def process_device(self, chunk: Optional[PduChunk], slots_a, syms_a,
+                       sh_all, rs_sel, ce_rows, spec_sel, spec_rows,
+                       final_phase: float) -> None:
+        """Device-loop tick (tracker/device_loop.py): the demod + CRS
+        extraction already ran on device -- consume the downloaded
+        [n_rs, 12] raw-CE rows per port and the sparse special-symbol
+        rows, then run the UNCHANGED host f64 control loops (window
+        statistics, sequential FOE/frame-timing feedback, CE
+        interpolation) and the sparse Phase C.
+
+        slots_a/syms_a/sh_all/rs_sel/spec_sel are the planner's
+        structural arrays for this tick (label arithmetic identical to
+        process(); the planner read the counters, this advances them).
+        """
+        c = self.cell
+        n_new = 0 if chunk is None else len(chunk)
+        if n_new and not c.kill_me:
+            self.bulk_phase_offset = float(final_phase)
+            n_symb = c.n_symb_dl()
+            end = self.slot_num * n_symb + self.sym_num + n_new
+            self.slot_num = (end // n_symb) % 20
+            self.sym_num = end % n_symb
+            for j, i in enumerate(spec_sel):
+                self._spec_map[self._sym_base + int(i)] = spec_rows[j]
+            self._sym_base += n_new
+            for port in range(c.n_ports):
+                sel = rs_sel[port]
+                if len(sel) == 0:
+                    pend = self.rs_pending[port]
+                else:
+                    new = (np.ascontiguousarray(ce_rows[port],
+                                                np.complex128),
+                           sh_all[sel, port].astype(np.int64),
+                           slots_a[sel], syms_a[sel],
+                           chunk.fo[sel], chunk.ft[sel])
+                    pend = self.rs_pending[port]
+                    pend = new if pend is None else tuple(
+                        np.concatenate([a, b])
+                        for a, b in zip(pend, new))
+                if pend is not None and pend[0].shape[0] >= 3:
+                    m = pend[0].shape[0]
+                    if self._native is not None:
+                        self._port_tick(port, *pend)
+                    else:
+                        ce72, tp, sp, spr, npv = self._rs_windows(
+                            port, *pend)
+                        self._interp_pairs(port, ce72, tp, sp, spr, npv,
+                                           pend[2][1: m - 1],
+                                           pend[3][1: m - 1])
+                    pend = tuple(np.ascontiguousarray(a[m - 2:])
+                                 for a in pend)
+                self.rs_pending[port] = pend
+
+        # sparse Phase C: labels recomputed from the absolute emitted-
+        # row counter (emitted row j corresponds to absolute symbol j,
+        # the _emit_rows bootstrap invariant); symbol rows exist only at
+        # the special indices, exactly the ones _phase_c reads
+        n_ready = min((f.n for f in self.ce_interp_fifo), default=0)
+        if n_ready <= 0 or c.kill_me:
+            return
+        base = self._emitted_base
+        n_symb = c.n_symb_dl()
+        k = base + np.arange(n_ready)
+        slots = (k // n_symb) % 20
+        symsn = k % n_symb
+        self._emitted_base = base + n_ready
+        self._phase_c(n_ready, slots, symsn,
+                      lambda i: self._spec_map.pop(base + i))

@@ -72,7 +72,7 @@ class TrackerRunner:
                  device_fd: bool = True, search_period: float = 0.0,
                  search_mesh=None, search_async: bool = False,
                  search_duty: float = 0.5, parallel_cells: int = 0,
-                 debug_knobs: tuple = ()):
+                 debug_knobs: tuple = (), device_loop: Optional[bool] = None):
         g = tuple(debug_knobs) + (0.0,) * (9 - len(debug_knobs))
         self.state = GlobalState(fc_requested=fc_requested,
                                  fc_programmed=fc_programmed,
@@ -129,6 +129,20 @@ class TrackerRunner:
         # happen is we lose one of many updates").
         self.parallel_cells = int(parallel_cells)
         self._cell_pool = None
+        # Device-loop mode (tracker/device_loop.py): demod + CRS/special
+        # extraction on device, only the [n_rs, 12] raw-CE rows and ~6%
+        # special symbol rows download -- the remote-tunnel wire design
+        # (docs/SCALING.md round 5).  None = auto: on whenever an
+        # accelerator is the default backend; host/CPU paths unchanged.
+        self.device_loop = device_loop
+
+    def _use_device_loop(self) -> bool:
+        if not self.device_fd:
+            return False
+        if self.device_loop is not None:
+            return bool(self.device_loop)
+        from .batched import _auto_backend
+        return _auto_backend() == "device"
 
     # ------------------------------------------------------------------
     def warmup(self) -> None:
@@ -204,6 +218,15 @@ class TrackerRunner:
             futs = [pool.submit(_cell_job, tc, ch) for tc, ch in active]
             for f in futs:
                 f.result()
+        elif active and self._use_device_loop():
+            # device-loop mode: demod + CRS extraction on device, the
+            # processors' host f64 control loops run on the downloaded
+            # raw-CE rows (tracker/device_loop.py; one dispatch/tick)
+            from .device_loop import batched_tick_extract
+            batch = [(self.processors[tc.n_id_cell], ch)
+                     for tc, ch in active]
+            batched_tick_extract(batch, self.state, raw_block=samples,
+                                 block_seq=self.producer.block_seq)
         else:
             fd_map = {}
             if self.device_fd and active:

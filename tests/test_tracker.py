@@ -866,3 +866,94 @@ def test_batched_get_fd_block_path_matches_data_path():
                           raw_block=block, block_seq=99)
     for r, g in zip(ref2, got2):
         assert np.allclose(g, r, atol=1e-10)
+
+
+def test_device_loop_tracks_cell():
+    """Device-loop mode (demod + CRS extraction on device, host f64
+    control loops on the downloaded rows, tracker/device_loop.py) must
+    acquire and hold a cell end-to-end: MIB sync, full health,
+    converged FO -- the same assertions as the default-path fixture."""
+    rng = np.random.default_rng(11)
+    sig = create_dl_sig(CpType.NORMAL, 400, 0, 92, 1, 0.4, rng=rng,
+                        n_ports=2, sfn=4)
+    sig = awgn(apply_freq_offset(sig, F_OFF), 5.0, rng=rng)
+
+    runner = TrackerRunner(FC, FC, FS, device_loop=True)
+    for i in range(0, len(sig), 10000):
+        runner.process_block(sig[i: i + 10000])
+
+    assert len(runner.cells) == 1
+    tc = runner.cells[0]
+    assert tc.n_id_cell == 277
+    proc = runner.processors[tc.n_id_cell]
+    assert proc.mib_fifo_synchronized
+    assert tc.health_pct() > 99.0
+    assert abs(runner.state.frequency_offset - F_OFF) < 50.0
+
+
+def test_device_loop_matches_fd_path():
+    """The device-loop tick (on-device CRS/special extraction + sparse
+    Phase C) must reproduce the device-fd path's trajectory (full [S,72]
+    download + host-native extraction): same demod program, same host
+    f64 control loops, so registers and measurements agree tightly."""
+    from lte_cell_scanner_tpu.tracker import batched
+
+    rng = np.random.default_rng(31)
+    sig = create_dl_sig(CpType.NORMAL, 300, 0, 92, 1, 0.4, rng=rng,
+                        n_ports=2, sfn=4)
+    sig = awgn(apply_freq_offset(sig, F_OFF), 8.0, rng=rng)
+
+    saved = batched._AUTO_BACKEND
+    batched._AUTO_BACKEND = "device"   # both runners demod via the jit
+    try:
+        runs = []
+        for dev_loop in (False, True):
+            runner = TrackerRunner(FC, FC, FS, device_loop=dev_loop)
+            for i in range(0, len(sig), 10000):
+                runner.process_block(sig[i: i + 10000])
+            runs.append(runner)
+    finally:
+        batched._AUTO_BACKEND = saved
+
+    ref, got = runs
+    assert len(ref.cells) == len(got.cells) == 1
+    tr, tg = ref.cells[0], got.cells[0]
+    assert tg.n_id_cell == tr.n_id_cell
+    assert np.isclose(tg.frame_timing, tr.frame_timing, atol=1e-6)
+    assert np.isclose(got.state.frequency_offset,
+                      ref.state.frequency_offset, rtol=1e-9, atol=1e-6)
+    assert tg.mib_decode_failures == tr.mib_decode_failures
+    assert np.isclose(tg.sync_sp_av, tr.sync_sp_av, rtol=1e-7)
+    assert np.isclose(tg.sync_np_av, tr.sync_np_av, rtol=1e-7)
+    assert np.allclose(tg.crs_sp_raw_av, tr.crs_sp_raw_av, rtol=1e-7)
+    assert np.allclose(tg.crs_np_av, tr.crs_np_av, rtol=1e-7)
+    assert np.allclose(tg.ac_fd, tr.ac_fd, rtol=1e-6, atol=1e-9)
+    assert np.allclose(tg.ce, tr.ce, rtol=1e-6, atol=1e-9)
+
+
+def test_device_loop_four_port_and_extended_cp():
+    """Device-loop mode with the two structurally different cell
+    shapes: a 4-port cell (CRS on ports 2/3 only in symbol 1; the
+    rs_pack plan has four port rows) and an extended-CP cell (6-symbol
+    slots, 160-sample framing, different conj-table layout) -- both
+    must hold full health with a synced MIB."""
+    for cp, n_ports, n_id_1, want_id in (
+            (CpType.NORMAL, 4, 100, 301),
+            (CpType.EXTENDED, 2, 92, 277)):
+        rng = np.random.default_rng(31)
+        sig = create_dl_sig(cp, 400, 0, n_id_1, 1, 0.4, rng=rng,
+                            n_ports=n_ports, sfn=12)
+        sig = awgn(apply_freq_offset(sig, F_OFF), 10.0, rng=rng)
+
+        runner = TrackerRunner(FC, FC, FS, device_loop=True)
+        for i in range(0, len(sig), 10000):
+            runner.process_block(sig[i: i + 10000])
+
+        assert len(runner.cells) == 1, (cp, n_ports)
+        tc = runner.cells[0]
+        assert tc.n_id_cell == want_id
+        assert tc.n_ports == n_ports
+        assert tc.cp_type is cp
+        proc = runner.processors[tc.n_id_cell]
+        assert proc.mib_fifo_synchronized
+        assert tc.health_pct() > 99.0, (cp, tc.health_pct())

@@ -93,7 +93,16 @@ class MultiCellStream:
         t = self.pos + np.arange(n)
         acc *= np.exp(1j * 2 * np.pi * self.f_off * t / FS)
         self.pos += n
-        return awgn(acc, self.snr_db, rng=self.rng).astype(np.complex64)
+        sig = awgn(acc, self.snr_db, rng=self.rng)
+        # the dongle source model (capbuf.cpp:174): per-plane RMS at
+        # ~1/4 full scale, quantized onto the 8-bit (x-127)/128 grid --
+        # the stream a real RTL2832 delivers, and what lets the
+        # device-loop upload ride exact float16 planes
+        rms = float(np.sqrt(np.mean(sig.real ** 2 + sig.imag ** 2) / 2))
+        s = 0.25 / max(rms, 1e-30)
+        k_re = np.clip(np.round(sig.real * s * 128), -127, 128)
+        k_im = np.clip(np.round(sig.imag * s * 128), -127, 128)
+        return ((k_re + 1j * k_im) / 128.0).astype(np.complex64)
 
     def take(self, n: int) -> np.ndarray:
         """Pregenerate n samples (for the TIMED segments: generation is
@@ -111,11 +120,12 @@ class MultiCellStream:
 
 
 def bench_one(n_cells, runs, seconds, snr_db, verbose=True, profile=False,
-              parallel=0, acq_seconds=30.0):
+              parallel=0, acq_seconds=30.0, device_loop=None):
     from lte_cell_scanner_tpu.tracker import TrackerRunner
 
     stream = MultiCellStream(n_cells, snr_db)
-    runner = TrackerRunner(FC, FC, FS, parallel_cells=parallel)
+    runner = TrackerRunner(FC, FC, FS, parallel_cells=parallel,
+                           device_loop=device_loop)
     runner.warmup()
 
     # ---- acquisition (untimed): all N cells tracked ----
@@ -198,6 +208,12 @@ def main():
     ap.add_argument("--parallel", type=int, default=0,
                     help=">1: per-cell tracker ticks on a worker pool "
                          "(the reference's thread-per-cell layout)")
+    ap.add_argument("--device-loop", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="tracker/device_loop.py mode (demod + CRS "
+                         "extraction on device, ~6x less download "
+                         "through a remote tunnel); auto = on whenever "
+                         "an accelerator is the default backend")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -207,10 +223,12 @@ def main():
     out = {}
     for n in counts:
         print(f"[{n} cell(s)]", file=sys.stderr)
+        dl = {"auto": None, "on": True, "off": False}[args.device_loop]
         factor, healthy = bench_one(n, args.runs, args.seconds, args.snr,
                                     profile=args.profile,
                                     parallel=args.parallel,
-                                    acq_seconds=args.acq_seconds)
+                                    acq_seconds=args.acq_seconds,
+                                    device_loop=dl)
         out[n] = factor
         if args.json:
             print(json.dumps({"metric": "tracker_realtime_factor",
