@@ -612,6 +612,22 @@ B_V4 = 20                       # X row base back-shift: row r spans
                                 # every default-capture grid up to
                                 # +-150 ppm rides v4 (the gate check
                                 # below is parametric in B)
+KV_V4_WIDE = 384                # the WIDE K variant for long captures
+                                # (VERDICT r4 item 4): a 384-sample row
+                                # window costs 1.5x the K=256 G traffic
+                                # and dot FLOPs but admits delta in
+                                # [-84, +84] -- 160/320 ms captures at
+                                # +-150 ppm ride the fused fold instead
+                                # of falling back to v2 + XLA fold at
+                                # ~2.9x.  Window: 79 + B + |delta| +
+                                # 136 <= K - 1 with B centering it.
+
+
+def v4_back_shift(kv: int = KV_V2) -> int:
+    """Centered base back-shift for a K-sample row window: the delta
+    window is [-B, (K - 216) - B]; B = (K - 216) // 2 centers it on
+    the symmetric LTE offset grids (216 = 79 lag + 137 template)."""
+    return (kv - (W_V4 - 1) - PSS_TD_LEN) // 2
 RHO_V4 = 9600 // W_V4           # 120 rows per half-frame period
 C_BLK_V4 = 4                    # carriers per grid step: measured
                                 # on-chip A/B 2: 9.9 ms, 4: 7.9 ms per
@@ -629,17 +645,31 @@ def delta_table(start_idx: np.ndarray) -> np.ndarray:
     return start_idx.astype(np.int64) - 9600 * m[None, :]
 
 
-def v4_applicable(start_idx, margin: int = 0) -> bool:
+def v4_applicable(start_idx, margin: int = 0, kv: int = KV_V2) -> bool:
     """True when every fold deviation fits the v4 kernel's
-    representable window delta in [-B_V4, 40 - B_V4] (see module
+    representable window for a K=kv row span: delta in
+    [-B, (kv - 216) - B] with B = v4_back_shift(kv) (see module
     notes).  margin > 0 shrinks the window symmetrically -- multihost
     band scans gate through parallel.carriers.v4_band_applicable with
     margin=1 so that processes gating on slightly different
     mid-carrier tables cannot disagree near the edge (they
     additionally all-gather the verdict)."""
+    b = v4_back_shift(kv)
     d = delta_table(start_idx)
-    return bool(d.min() >= -B_V4 + margin
-                and d.max() <= 40 - B_V4 - margin)
+    return bool(d.min() >= -b + margin
+                and d.max() <= (kv - (W_V4 - 1) - PSS_TD_LEN) - b - margin)
+
+
+def v4_kv_for(start_idx, margin: int = 0):
+    """The cheapest v4 row-window width whose delta window admits this
+    fold-start table: KV_V2 (256) for the default 80 ms grids,
+    KV_V4_WIDE (384, 1.5x the G traffic/FLOPs) for long captures, None
+    when even the wide window cannot represent the deviations (the v2
+    + XLA-fold fallback)."""
+    for kv in (KV_V2, KV_V4_WIDE):
+        if v4_applicable(start_idx, margin=margin, kv=kv):
+            return kv
+    return None
 
 
 def plan_pallas_v4(t_count: int, t_chunk: int = 16):
@@ -649,52 +679,60 @@ def plan_pallas_v4(t_count: int, t_chunk: int = 16):
 
 
 def _im2col_bands_v4(templates: np.ndarray, delta: np.ndarray,
-                     t_pad: int, n_tc: int, t_chunk: int) -> np.ndarray:
-    """[n_comb * 512, n_tc * 2 * W_V4 * t_chunk] float32 per-period
+                     t_pad: int, n_tc: int, t_chunk: int,
+                     kv: int = KV_V2) -> np.ndarray:
+    """[n_comb * 2*kv, n_tc * 2 * W_V4 * t_chunk] float32 per-period
     coefficient matrices.  Per period m and chunk j the column block is
     [(half, c, tc)] exactly like the v2 layout, with the template
-    placed at row k = c + B_V4 + delta(t, m) + tau."""
+    placed at row k = c + B + delta(t, m) + tau (B = the kv window's
+    centered back-shift)."""
     n_comb = delta.shape[1]
+    b = v4_back_shift(kv)
     tmpl = np.zeros((t_pad, PSS_TD_LEN), dtype=np.complex64)
     tmpl[: templates.shape[0]] = templates
     d_pad = np.zeros((t_pad, n_comb), dtype=np.int64)
     d_pad[: delta.shape[0]] = delta
 
-    out = np.empty((n_comb, 2 * KV_V2, n_tc * 2 * W_V4 * t_chunk),
+    out = np.empty((n_comb, 2 * kv, n_tc * 2 * W_V4 * t_chunk),
                    dtype=np.float32)
-    k, c, t = np.meshgrid(np.arange(KV_V2), np.arange(W_V4),
+    k, c, t = np.meshgrid(np.arange(kv), np.arange(W_V4),
                           np.arange(t_pad), indexing="ij")
     for m in range(n_comb):
-        tau = k - c - B_V4 - d_pad[t, m]
+        tau = k - c - b - d_pad[t, m]
         mask = (tau >= 0) & (tau < PSS_TD_LEN)
-        coeff = np.zeros((KV_V2, W_V4, t_pad), dtype=np.complex64)
+        coeff = np.zeros((kv, W_V4, t_pad), dtype=np.complex64)
         coeff[mask] = tmpl[t[mask], tau[mask]]
         u, v = coeff.real, coeff.imag
-        g = np.zeros((2 * KV_V2, 2, W_V4, t_pad), dtype=np.float32)
-        g[:KV_V2, 0] = u
-        g[KV_V2:, 0] = -v
-        g[:KV_V2, 1] = v
-        g[KV_V2:, 1] = u
-        g = g.reshape(2 * KV_V2, 2, W_V4, n_tc, t_chunk)
+        g = np.zeros((2 * kv, 2, W_V4, t_pad), dtype=np.float32)
+        g[:kv, 0] = u
+        g[kv:, 0] = -v
+        g[:kv, 1] = v
+        g[kv:, 1] = u
+        g = g.reshape(2 * kv, 2, W_V4, n_tc, t_chunk)
         g = np.transpose(g, (0, 3, 1, 2, 4))
-        out[m] = g.reshape(2 * KV_V2, n_tc * 2 * W_V4 * t_chunk)
-    return out.reshape(n_comb * 2 * KV_V2, n_tc * 2 * W_V4 * t_chunk)
+        out[m] = g.reshape(2 * kv, n_tc * 2 * W_V4 * t_chunk)
+    return out.reshape(n_comb * 2 * kv, n_tc * 2 * W_V4 * t_chunk)
 
 
 _band_v4_cache = {}
 
 
 def bands_v4_for_templates(templates, start_idx, precision: str = "bf16",
-                           t_chunk: int = 16):
+                           t_chunk: int = 16, kv=None):
     """Host-built per-period v4 band matrices for a [T, 137] template
     set and its [n_f, n_comb] fold-start table (T = 3 * n_f; the delta
     row of template t is start_idx[t mod n_f] -- the 3 PSS share each
     hypothesis's k_factor).  Content-cached.
 
-    precision "bf16"/"f32" -> one array [n_comb*512, n_tc*2560].
+    precision "bf16"/"f32" -> one array [n_comb*2kv, n_tc*2560].
     precision "int8" -> (g_int8, power_scale): same quantization
     convention as bands_v2_int8_for_templates (the scale restores
-    capture-unit powers on the folded map)."""
+    capture-unit powers on the folded map).
+
+    kv: force the row-window width (256 default / 384 wide); None
+    picks the cheapest window that fits the delta table (v4_kv_for).
+    Multihost callers pass the globally agreed kv so every process
+    compiles identical band shapes."""
     templates = np.asarray(templates).reshape(-1, PSS_TD_LEN) \
         .astype(np.complex64)
     start_idx = np.asarray(start_idx)
@@ -703,7 +741,7 @@ def bands_v4_for_templates(templates, start_idx, precision: str = "bf16",
         raise ValueError("template count must be a multiple of the "
                          "hypothesis count")
     key = (templates.shape, templates.tobytes(), start_idx.tobytes(),
-           precision, t_chunk)
+           precision, t_chunk, kv)
     hit = _band_v4_cache.get(key)
     if hit is not None:
         return hit
@@ -711,10 +749,13 @@ def bands_v4_for_templates(templates, start_idx, precision: str = "bf16",
     delta_f = delta_table(start_idx)                   # [n_f, n_comb]
     reps = templates.shape[0] // n_f
     delta = np.tile(delta_f, (reps, 1))                # [T, n_comb]
-    if not v4_applicable(start_idx):
-        raise ValueError("fold deviations exceed the v4 window; use "
-                         "v2 + the XLA fold (v4_applicable gates this)")
-    g = _im2col_bands_v4(templates, delta, t_pad, n_tc, t_chunk)
+    if kv is None:
+        kv = v4_kv_for(start_idx)
+    if kv is None or not v4_applicable(start_idx, kv=kv):
+        raise ValueError("fold deviations exceed even the wide v4 "
+                         "window; use v2 + the XLA fold (v4_kv_for "
+                         "gates this)")
+    g = _im2col_bands_v4(templates, delta, t_pad, n_tc, t_chunk, kv)
     if precision == "int8":
         s_g = 127.0 / float(np.max(np.abs(g)))
         g_i8 = jnp.asarray(np.clip(np.round(g * s_g), -127, 127)
@@ -794,8 +835,15 @@ def corr_fold_core_v4(cap_re, cap_im, g, n_comb: int, t_count: int,
     xdt = jnp.int8 if precision == "int8" \
         else jnp.bfloat16 if precision == "bf16" else jnp.float32
 
+    # row-window width from the band matrix itself (g rows = n_comb*2*kv;
+    # kv = 256 default, 384 = the wide long-capture window)
+    kv = g.shape[0] // (2 * n_comb)
+    b_v4 = v4_back_shift(kv)
+    n_chunks = -(-kv // W_V4)             # W-wide pieces per row window
+    rem = kv - W_V4 * (n_chunks - 1)      # width of the last piece
+
     n_rows_p = RHO_V4 * n_comb            # rows per carrier
-    ext_len = W_V4 * (n_rows_p + 3)
+    ext_len = W_V4 * (n_rows_p + n_chunks - 1)
     planes = []
     for plane in (cap_re, cap_im):
         p = plane.astype(jnp.float32)
@@ -803,29 +851,29 @@ def corr_fold_core_v4(cap_re, cap_im, g, n_comb: int, t_count: int,
             # same ADC quantization convention as v2 (k = p*128, the
             # saturated +128 code clips to 127 -- see is_adc_grid)
             p = jnp.clip(jnp.round(p * 128.0), -127.0, 127.0)
-        pad = ext_len - B_V4 - p.shape[1]
+        pad = ext_len - b_v4 - p.shape[1]
         p = jnp.concatenate(
-            [jnp.zeros((p.shape[0], B_V4), jnp.float32), p,
+            [jnp.zeros((p.shape[0], b_v4), jnp.float32), p,
              jnp.zeros((p.shape[0], max(0, pad)), jnp.float32)],
             axis=1)[:, :ext_len]
-        a = p.reshape(p.shape[0], n_rows_p + 3, W_V4)
-        planes.append(jnp.concatenate(
-            [a[:, :-3], a[:, 1:-2], a[:, 2:-1],
-             a[:, 3:, : KV_V2 - 3 * W_V4]], axis=2))
-    x = jnp.concatenate(planes, axis=2).astype(xdt)  # [C, rows_p, 512]
+        a = p.reshape(p.shape[0], n_rows_p + n_chunks - 1, W_V4)
+        pieces = [a[:, i: i + n_rows_p] for i in range(n_chunks - 1)]
+        pieces.append(a[:, n_chunks - 1: n_chunks - 1 + n_rows_p, :rem])
+        planes.append(jnp.concatenate(pieces, axis=2))
+    x = jnp.concatenate(planes, axis=2).astype(xdt)  # [C, rows_p, 2kv]
     # m-major row layout so one block holds c_blk carriers of ONE
     # period: row (m*C + c)*120 + rho
-    x = x.reshape(-1, n_comb, RHO_V4, 2 * KV_V2)
-    x = jnp.transpose(x, (1, 0, 2, 3)).reshape(-1, 2 * KV_V2)
+    x = x.reshape(-1, n_comb, RHO_V4, 2 * kv)
+    x = jnp.transpose(x, (1, 0, 2, 3)).reshape(-1, 2 * kv)
 
     n_cols = 2 * W_V4 * t_chunk
     grid = (n_cb, n_tc, n_comb)           # m INNERMOST: the out block
                                           # stays VMEM-resident across
                                           # the whole fold
     cost = pl.CostEstimate(
-        flops=2 * (n_c + c_pad) * n_rows_p * 2 * KV_V2 * n_cols * n_tc,
-        bytes_accessed=(n_cb * n_comb * n_tc * 2 * KV_V2 * n_cols
-                        + (n_c + c_pad) * n_rows_p * 2 * KV_V2
+        flops=2 * (n_c + c_pad) * n_rows_p * 2 * kv * n_cols * n_tc,
+        bytes_accessed=(n_cb * n_comb * n_tc * 2 * kv * n_cols
+                        + (n_c + c_pad) * n_rows_p * 2 * kv
                         + (n_c + c_pad) * RHO_V4 * n_tc * n_cols * 2),
         transcendentals=0,
     )
@@ -833,10 +881,10 @@ def corr_fold_core_v4(cap_re, cap_im, g, n_comb: int, t_count: int,
         _corr_kernel_v4_int8 if precision == "int8" else _corr_kernel_v4,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((c_blk * RHO_V4, 2 * KV_V2),
+            pl.BlockSpec((c_blk * RHO_V4, 2 * kv),
                          lambda co, j, m: (m * n_cb + co, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * KV_V2, n_cols),
+            pl.BlockSpec((2 * kv, n_cols),
                          lambda co, j, m: (m, j),
                          memory_space=pltpu.VMEM),
         ],

@@ -245,26 +245,33 @@ def plan_carrier_inputs(capbufs: Sequence[np.ndarray],
     return cap, tmpl, starts, n_comb_xc, c_real
 
 
-def v4_band_applicable(starts, margin: int = 0) -> bool:
-    """v4 gate for a whole band chunk, not just its mid carrier.
+def v4_band_kv(starts, margin: int = 0) -> int:
+    """v4 gate for a whole band chunk, not just its mid carrier:
+    returns the kernel row-window width to use (256 default / 384 wide
+    for long captures) or 0 for the v2 fallback.
 
     The fused-fold kernel bakes the MID carrier's fold-start deltas
-    into G, so two conditions must hold: (a) the mid table fits the
-    kernel's representable delta window (``v4_applicable``), and
-    (b) every carrier's exact fold starts stay within 1 sample of the
-    mid table -- edge carriers drift by ~9600*m*df/fc samples per
-    period, so a chunk spanning tens of MHz can push late periods
-    beyond the +-ds_comb_arm=2 combining arm and silently degrade
-    edge-carrier sensitivity.  When (b) fails the scan falls back to
-    v2 + the exact per-carrier XLA fold."""
+    into G, so two conditions must hold: (a) the mid table fits a
+    representable delta window (``v4_kv_for``), and (b) every
+    carrier's exact fold starts stay within 1 sample of the mid
+    table -- edge carriers drift by ~9600*m*df/fc samples per period,
+    so a chunk spanning tens of MHz can push late periods beyond the
+    +-ds_comb_arm=2 combining arm and silently degrade edge-carrier
+    sensitivity.  When either fails the scan falls back to v2 + the
+    exact per-carrier XLA fold."""
     starts = np.asarray(starts)
-    from ..ops.corr_pallas import v4_applicable
+    from ..ops.corr_pallas import v4_kv_for
     smid = starts[starts.shape[0] // 2]
-    if not v4_applicable(smid, margin=margin):
-        return False
+    kv = v4_kv_for(smid, margin=margin)
+    if kv is None:
+        return 0
     dev = np.max(np.abs(starts.astype(np.int64)
                         - smid[None].astype(np.int64)))
-    return int(dev) <= 1
+    return kv if int(dev) <= 1 else 0
+
+
+def v4_band_applicable(starts, margin: int = 0) -> bool:
+    return v4_band_kv(starts, margin) != 0
 
 
 def _plan_scan_bands(tmpl, starts, capbufs, cfg,
@@ -285,8 +292,10 @@ def _plan_scan_bands(tmpl, starts, capbufs, cfg,
     bounds the chunk's per-carrier start deviation from the baked mid
     table to 1 sample).  int8 when every capture sits on the 8-bit ADC
     grid, bf16 otherwise.  force_int8/force_v4 override the data-
-    derived choices -- the multihost scan passes globally all-gathered
-    verdicts so every process compiles the same program structure."""
+    derived choices (force_v4 may also be a kv row-window width --
+    256/384 -- instead of a bool) -- the multihost scan passes globally
+    all-gathered verdicts so every process compiles the same program
+    structure."""
     if not use_pallas_corr(getattr(cfg, "corr_backend", "auto")):
         return ()
     from ..ops.corr_pallas import (bands_v4_for_templates, is_adc_grid,
@@ -296,13 +305,20 @@ def _plan_scan_bands(tmpl, starts, capbufs, cfg,
     smid = np.asarray(starts[mid])
     use_int8 = all(is_adc_grid(c) for c in capbufs) \
         if force_int8 is None else force_int8
-    use_v4 = v4_band_applicable(starts) if force_v4 is None else force_v4
-    if use_v4:
+    if force_v4 is None or force_v4 is True:
+        kv = v4_band_kv(starts)
+    elif force_v4 is False:
+        kv = 0
+    else:
+        kv = int(force_v4)
+    if kv:
         tf = tmid.reshape(-1, PSS_TD_LEN)
         if use_int8:
-            g, scale = bands_v4_for_templates(tf, smid, precision="int8")
+            g, scale = bands_v4_for_templates(tf, smid, precision="int8",
+                                              kv=kv)
             return (g, jnp.full((1,), scale, jnp.float32))
-        return (bands_v4_for_templates(tf, smid, precision="bf16"),)
+        return (bands_v4_for_templates(tf, smid, precision="bf16",
+                                       kv=kv),)
     if use_int8:
         g, scale = prod_bands_for_templates(tmid, int8=True)
         return (g, jnp.full((1,), scale, jnp.float32))

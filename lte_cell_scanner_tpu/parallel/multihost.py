@@ -193,19 +193,25 @@ def _scan_chunk(chunk, chunk_real: int, mesh, n_local_dev: int,
     if use_pallas_corr(cfg.corr_backend):
         from jax.experimental import multihost_utils
         from ..ops.corr_pallas import is_adc_grid
-        from .carriers import _plan_scan_bands, v4_band_applicable
+        from .carriers import _plan_scan_bands, v4_band_kv
         local_grid = all(is_adc_grid(c) for c in capbufs)
         # margin=1 so processes gating on slightly different mid-carrier
         # tables cannot disagree near the window edge (the verdict is
-        # additionally all-gathered and ANDed below)
-        local_v4 = v4_band_applicable(starts, margin=1)
+        # additionally all-gathered and combined below: any process's 0
+        # -> global v2 fallback; otherwise the WIDEST locally required
+        # kv row window, so every process compiles identical band
+        # shapes -- a kv valid for one delta table is valid for any
+        # smaller one)
+        local_kv = v4_band_kv(starts, margin=1)
         flags = multihost_utils.process_allgather(np.array(
-            [1 if local_grid else 0, 1 if local_v4 else 0], np.int32))
+            [1 if local_grid else 0, local_kv], np.int32))
         flags = np.asarray(flags).reshape(-1, 2)
+        kv_glob = 0 if np.any(flags[:, 1] == 0) \
+            else int(np.max(flags[:, 1]))
         bands = tuple(np.asarray(g) for g in _plan_scan_bands(
             tmpl, starts, capbufs, cfg,
             force_int8=bool(np.all(flags[:, 0])),
-            force_v4=bool(np.all(flags[:, 1]))))
+            force_v4=kv_glob if kv_glob else False))
 
     shard = NamedSharding(mesh, P("c"))
 

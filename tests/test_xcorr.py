@@ -581,7 +581,21 @@ def test_v4_gate_and_mid_delta_deviation():
                         for f in (fc, fc + 1e5)])
     cap2 = np.zeros(2 * 153600, np.complex64)
     bands2 = _plan_scan_bands(tmpl2, starts2, [cap2, cap2], cfg)
-    assert bands2[0].shape[0] == 512                 # v2 fallback
+    # round 5: the 160 ms / 200 ppm grid no longer falls back to v2 --
+    # it routes to the WIDE v4 window (K=384, delta in [-84, +84])
+    assert bands2[0].shape[0] == n_comb_160 * 2 * 384
+
+    # a grid beyond even the wide window still falls back to v2
+    f300 = default_f_search_set(fc, 300.0)
+    n_comb_320 = (4 * 153600 - 136 - 100) // 9600
+    tmpl3 = np.stack([pss_templates(f300, f, f, fs, np.complex64)
+                      for f in (fc, fc + 1e5)])
+    starts3 = np.stack([combine_start_indices(f300, f, f, fs,
+                                              n_comb_320)
+                        for f in (fc, fc + 1e5)])
+    cap3 = np.zeros(4 * 153600, np.complex64)
+    bands3 = _plan_scan_bands(tmpl3, starts3, [cap3, cap3], cfg)
+    assert bands3[0].shape[0] == 512                 # v2 fallback
 
     # shared-mid delta deviation across a 10 MHz band
     fcs = np.arange(739e6, 749e6 + 1, 1e6)
@@ -589,3 +603,58 @@ def test_v4_gate_and_mid_delta_deviation():
                        for f in fcs])
     mid = tables[len(fcs) // 2]
     assert np.max(np.abs(tables - mid[None])) <= 1
+
+
+def test_v4_wide_window_matches_xla_fold():
+    """The K=384 wide v4 variant (long-capture window, delta in
+    [-84, +84]): interpret-mode parity against the exact per-period
+    XLA fold on a delta table far outside the default +-20 window, and
+    the kv router picks 384 for a genuine 160 ms / 200 ppm grid."""
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.models.search import default_f_search_set
+    from lte_cell_scanner_tpu.models.xcorr import combine_start_indices
+    from lte_cell_scanner_tpu.ops.corr import correlate
+    from lte_cell_scanner_tpu.ops.corr_pallas import (
+        KV_V4_WIDE, bands_v4_for_templates, corr_fold_core_v4,
+        plan_pallas_v4, v4_kv_for)
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    # the documented long-capture case routes to the wide window
+    f200 = default_f_search_set(fc, 200.0)
+    n_comb_160 = (2 * 153600 - 136 - 100) // 9600
+    s200 = combine_start_indices(f200, fc, fc, fs, n_comb_160)
+    assert v4_kv_for(s200) == KV_V4_WIDE
+
+    # kernel parity on a compact capture with SYNTHETIC deltas spanning
+    # +-60 (outside the 256 window, inside 384)
+    rng = np.random.default_rng(5)
+    n_cap = 3 * 9600 + 400
+    cap = (rng.normal(size=n_cap) + 1j * rng.normal(size=n_cap)) \
+        .astype(np.complex64) * 0.1
+    f_set = np.arange(-10e3, 10e3 + 1, 5e3)
+    n_f = len(f_set)
+    n_lags = n_cap - 136
+    n_comb = (n_lags - 100) // 9600
+    tmpl = pss_templates(f_set, fc, fc, fs, np.complex64).reshape(-1, 137)
+    deltas = rng.integers(-60, 61, size=(n_f, n_comb))
+    deltas[:, 0] = 0      # as in reality: delta(t, 0) = round(0*k) = 0
+    starts = (9600 * np.arange(n_comb)[None, :] + deltas).astype(np.int64)
+    assert v4_kv_for(starts) == KV_V4_WIDE
+
+    xc = np.asarray(correlate(jnp.asarray(cap.astype(np.complex128)),
+                              jnp.asarray(tmpl.astype(np.complex128))))
+    xc2 = np.abs(xc) ** 2
+    ref = np.zeros((tmpl.shape[0], 9600))
+    for t in range(tmpl.shape[0]):
+        for m in range(n_comb):
+            s = starts[t % n_f, m]
+            ref[t] += xc2[t, s: s + 9600]
+
+    g = bands_v4_for_templates(tmpl, starts, precision="f32")
+    assert g.shape[0] == n_comb * 2 * KV_V4_WIDE     # wide format
+    t_pad, n_tc = plan_pallas_v4(tmpl.shape[0])
+    got = np.asarray(corr_fold_core_v4(
+        jnp.asarray(cap.real), jnp.asarray(cap.imag), g, n_comb,
+        tmpl.shape[0], t_pad, n_tc, interpret=True, precision="f32"))[0]
+    assert np.max(np.abs(got - ref)) / ref.max() < 1e-5
