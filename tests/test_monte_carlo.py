@@ -57,3 +57,19 @@ def test_production_backend_matches_golden_decision():
                          corr_backend=backend, adc_grid=adc)
         assert out["success"] == 1.0, (backend, adc, out)
         assert out["false_alarm"] == 0.0
+
+
+def test_noise_only_tail_calibration():
+    """--noise-only measures the false-alarm statistic against the chi2
+    model (SENSITIVITY.md round 5): the normalization must be exact
+    (mean(T) == dof within sampling error) and the measured exceedance
+    at the 10^-1 design point must sit within the documented
+    correlated-noise band (~1.5x the chi2 prediction, heavier tail)."""
+    from monte_carlo import noise_only_config
+
+    out = noise_only_config(trials=2, seed=5)
+    assert abs(out["t_mean"] - out["dof"]) < 1.5, out["t_mean"]
+    p1 = out["exceedance"][0]
+    assert p1["p_design"] == 0.1
+    assert 1.2 < p1["ratio"] < 2.0, p1
+    assert out["false_alarms_at_design_threshold"] == 0

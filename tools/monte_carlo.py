@@ -162,6 +162,112 @@ def run_config(trials: int, snr_db: float, fading: bool, seed: int,
     return out
 
 
+def noise_only_config(trials: int, seed: int, corr_backend: str = "auto",
+                      adc_grid: bool = False, n_subframes: int = 80,
+                      n_nines: int = 12) -> dict:
+    """Calibrate the chi-squared false-alarm TAIL against noise-only
+    captures (VERDICT r4 item 6).
+
+    The Z_th1 design point (reference CellSearch.cpp:500-503, derived in
+    Matlab/pss_search_final.m:207-255) models each delay-spread-combined
+    folded power cell, normalized by the local noise estimate, as
+    chi-squared with 2*n_comb_xc*(2*arm+1) degrees of freedom, and sets
+    the threshold at the 10^-12 tail.  Zero false alarms over ~1e5-1e6
+    cells cannot distinguish 10^-12 from 10^-6; this mode measures the
+    EMPIRICAL exceedance curve of the normalized statistic T =
+    Z * (rx_cutoff * 137 * 2 * n_comb * (2*arm+1)) / sp_incoherent over
+    the 10^-1..10^-6 range where statistics exist, against the chi2
+    survival function -- if the measured curve rides the prediction
+    across those decades, the analytic extrapolation to 10^-12 is the
+    calibrated design point, not a guess.
+
+    Neighboring lag cells share fold periods and delay-spread windows,
+    so cells are correlated: the per-cell marginal (what the threshold
+    acts on) is still chi2, but the effective sample count for the
+    ratio's error bars is below the raw cell count -- quote ratios, not
+    confidence intervals."""
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.search import SearchConfig
+    from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
+    from lte_cell_scanner_tpu.ops.dsp import chi2cdf_inv
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    cfg = SearchConfig(corr_backend=corr_backend)
+    arm = cfg.ds_comb_arm
+    rng = np.random.default_rng(seed)
+    f_search_set = np.arange(-10e3, 10e3 + 1, 5e3)
+    rx_cutoff = (6 * 12 * 15e3 / 2 + 4 * 15e3) / (FS_LTE / 16 / 2)
+
+    n_cap = int(n_subframes * 960)
+    # The chi2 model is derived for RECEIVER-FILTERED noise: the
+    # rx_cutoff factor in Z_th1 is the occupied band fraction
+    # (6 RB + guards) / fs of the noise the dongle's anti-alias chain
+    # delivers (Matlab/pss_search_final.m:207-255).  Calibrating the
+    # model therefore uses brickwall noise at that cutoff; plain white
+    # noise (no filter) measures ~2 orders BELOW the predicted tail --
+    # i.e. the threshold is conservative for wider-band noise.
+    mask = np.zeros(n_cap)
+    f_bins = np.fft.fftfreq(n_cap) * fs
+    mask[np.abs(f_bins) <= rx_cutoff * fs / 2] = 1.0
+    t_all = []
+    n_comb = None
+    for _ in range(trials):
+        sig = (rng.standard_normal(n_cap)
+               + 1j * rng.standard_normal(n_cap)) / np.sqrt(2)
+        sig = np.fft.ifft(np.fft.fft(sig) * mask)
+        if adc_grid:
+            k_re = np.clip(np.round(sig.real * 0.25 * 128), -127, 128)
+            k_im = np.clip(np.round(sig.imag * 0.25 * 128), -127, 128)
+            sig = ((k_re + 1j * k_im) / 128.0).astype(np.complex64)
+        res = xcorr_pss(sig, f_search_set, arm, fc, fc, fs,
+                        corr_backend=corr_backend)
+        n_comb = res.n_comb_xc
+        scale = rx_cutoff * 137 * 2 * n_comb * (2 * arm + 1)
+        # pre-collapse cells: the per-lag-cell statistic the threshold
+        # is designed against ([3, n_f, 9600] per capture)
+        t = np.asarray(res.xc_incoherent) * scale \
+            / np.asarray(res.sp_incoherent)[None, None, :]
+        t_all.append(t.ravel())
+    t_all = np.concatenate(t_all)
+    dof = 2 * n_comb * (2 * arm + 1)
+
+    curve = []
+    for p_exp in range(1, 7):
+        p = 10.0 ** (-p_exp)
+        if p * len(t_all) < 10:      # too few expected events to quote
+            break
+        thr = float(chi2cdf_inv(1 - p, dof))
+        meas = float(np.mean(t_all > thr))
+        curve.append({"p_design": p, "threshold": round(thr, 2),
+                      "p_measured": meas,
+                      "ratio": round(meas / p, 3) if meas else 0.0})
+    thr12 = float(chi2cdf_inv(1 - 10.0 ** (-n_nines), dof))
+    out = {"mode": "noise_only", "trials": trials, "cells": len(t_all),
+           "dof": dof, "corr_backend": corr_backend,
+           "adc_grid": adc_grid,
+           "t_mean": round(float(t_all.mean()), 2),
+           "exceedance": curve,
+           "t_max_observed": round(float(t_all.max()), 2),
+           "z_th1_dof_threshold": round(thr12, 2),
+           "false_alarms_at_design_threshold":
+               int(np.sum(t_all > thr12))}
+    # exponential tail fit over the deepest measured decades -> the
+    # EFFECTIVE per-cell rate at the actual Z_th1 threshold (the honest
+    # extrapolation when the measured curve does not ride chi2)
+    deep = [c for c in curve if 0 < c["p_measured"]]
+    if len(deep) >= 3:
+        xs = np.array([c["threshold"] for c in deep[-3:]])
+        ys = np.log([c["p_measured"] for c in deep[-3:]])
+        slope = np.polyfit(xs, ys, 1)[0]
+        tau = -1.0 / slope
+        p12 = deep[-1]["p_measured"] * np.exp(
+            -(thr12 - deep[-1]["threshold"]) / tau)
+        out["tail_e_folding"] = round(float(tau), 2)
+        out["extrapolated_p_at_design_threshold"] = float(p12)
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=20)
@@ -184,6 +290,12 @@ def main(argv=None) -> int:
     ap.add_argument("--adc-grid", action="store_true",
                     help="quantize each trial's signal onto the dongle's "
                          "8-bit (x-127)/128 ADC grid before detection")
+    ap.add_argument("--noise-only", action="store_true",
+                    help="false-alarm tail calibration: noise-only "
+                         "captures, empirical exceedance of the "
+                         "normalized folded powers vs the chi2 "
+                         "prediction over 10^-1..10^-6 (the measurable "
+                         "version of the 10^-12 design point)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--platform", choices=["tpu", "cpu", "default"],
@@ -195,6 +307,11 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
         if args.platform == "cpu":
             jax.config.update("jax_enable_x64", True)
+
+    if args.noise_only:
+        print(json.dumps(noise_only_config(
+            args.trials, args.seed, args.corr_backend, args.adc_grid)))
+        return 0
 
     snrs = [args.snr] if args.snr_sweep is None else list(
         np.arange(args.snr_sweep[0], args.snr_sweep[1] + 1e-9,
