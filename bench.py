@@ -88,23 +88,28 @@ def full_chain(capbuf, fc):
         return cells, st
 
     cells, _ = run()                    # compile + warm
-    best = float("inf")
-    stages = None
-    for _ in range(3):
+    runs = []
+    for _ in range(5):
         t0 = time.perf_counter()
         cells, st = run()
-        dt = time.perf_counter() - t0
-        if dt < best:
-            best, stages = dt, st
+        runs.append((time.perf_counter() - t0, st))
+    # median-of-N with the spread attached (VERDICT r4 item 5: published
+    # == what a cold driver run reproduces, variance band included; the
+    # tunnel has ~2x session-to-session transfer variance)
+    runs.sort(key=lambda r: r[0])
+    med_dt, med_st = runs[len(runs) // 2]
     ids = sorted(c.n_id_cell() for c in cells)
-    return {"s_per_carrier": round(best, 4),
-            "vs_baseline": round(6.0 / best, 1),
+    return {"s_per_carrier": round(med_dt, 4),
+            "s_per_carrier_min": round(runs[0][0], 4),
+            "s_per_carrier_max": round(runs[-1][0], 4),
+            "n_runs": len(runs),
+            "vs_baseline": round(6.0 / med_dt, 1),
             "n_cells": len(cells), "cell_ids": ids,
             "valid": ids == [271, 277],
             "uploads_per_carrier": 1,
             "bytes_uploaded": int(np.asarray(capbuf).nbytes),
             "blocking_round_trips": 3,
-            "stages_ms": {k: round(v, 1) for k, v in stages.items()}}
+            "stages_ms": {k: round(v, 1) for k, v in med_st.items()}}
 
 
 def main():
@@ -196,7 +201,7 @@ def main():
         return (jnp.sum(pow_c) + jnp.sum(sp_inc) + jnp.sum(slab)
                 + jnp.sum(frq_c.astype(jnp.float32)))
 
-    n_iter, n_rounds = 6, 4
+    n_iter, n_rounds = 6, 5
     bufs = []
     for k in range(n_iter * n_rounds):
         c = np.roll(capbuf, 977 * k + 1)
@@ -207,14 +212,19 @@ def main():
         im.block_until_ready()
 
     jax.device_get(launch(*bufs[0], *bands))  # compile + true sync
-    best = float("inf")
+    round_dts = []
     for r in range(n_rounds):
         batch = bufs[r * n_iter: (r + 1) * n_iter]
         t0 = time.perf_counter()
         outs = [launch(re, im, *bands) for re, im in batch]
         jax.device_get(outs)              # forces completion of all
-        best = min(best, (time.perf_counter() - t0) / n_iter)
-    dt = best / C                         # per carrier
+        round_dts.append((time.perf_counter() - t0) / n_iter)
+    # median-of-rounds (VERDICT r4 item 5: the published number must be
+    # what a cold driver run reproduces, spread attached) -- per carrier
+    round_dts.sort()
+    dt = round_dts[len(round_dts) // 2] / C
+    dt_lo = round_dts[0] / C
+    dt_hi = round_dts[-1] / C
 
     samples_per_sec = n_cap / dt
     baseline = 153600 / 6.0
@@ -231,6 +241,9 @@ def main():
         "metric": "pss_scan_samples_per_sec",
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
+        "value_min": round(n_cap / dt_hi, 1),
+        "value_max": round(n_cap / dt_lo, 1),
+        "n_rounds": n_rounds,
         "vs_baseline": round(samples_per_sec / baseline, 2),
         "useful_tflops": round(tflops, 2),
         "mfu_pct_nominal_197tf": round(100 * tflops / 197.0, 2),
