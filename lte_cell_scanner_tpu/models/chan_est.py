@@ -348,9 +348,14 @@ def _chan_est_hex_impl(tfg, rows, cols, rs_conj, wl, wr, idx, w):
     ce_filt = _hex_filter_weighted(raw, wl, wr)
     resid = ce_filt - raw
     np_est = jnp.mean(jnp.real(resid) ** 2 + jnp.imag(resid) ** 2)
-    vals = ce_filt.reshape(-1)[idx] * w.astype(raw.real.dtype)
+    # gather TRANSPOSED ([6, n_points] instead of [n_points, 6]) so the
+    # 6-wide plan axis lands on TPU sublanes: the [n, 6] layout pads
+    # its lane axis 128/6 = 21x, which at band scale made this gather
+    # the decode program's dominant HBM temp (~60 MB/peak, measured
+    # OOM at 128-peak dispatches)
+    vals = ce_filt.reshape(-1)[idx.T] * w.T.astype(raw.real.dtype)
     n_ofdm = idx.shape[0] // 72
-    return jnp.sum(vals, axis=-1).reshape(n_ofdm, 72), np_est
+    return jnp.sum(vals, axis=0).reshape(n_ofdm, 72), np_est
 
 
 _chan_est_hex_core = jax.jit(_chan_est_hex_impl)

@@ -259,9 +259,17 @@ def decode_back_half_batch_multi(cells: Sequence[Cell], capbufs,
     return _decode_grouped(cells, run)
 
 
+# Max peaks per fused-decode dispatch.  The hex-CE interpolation gather
+# materializes an HLO temp of [peaks, ports, n_ofdm*72, 6] whose 6-wide
+# lane axis pads 21x on TPU (~60 MB/peak); 64 peaks bound it to ~4 GB of
+# HBM temp (measured: 128-peak dispatches OOM a 16 GB chip at 23 GB).
+# Groups beyond the cap decode as consecutive same-shape dispatches.
+_DECODE_CHUNK = 64
+
+
 def _decode_grouped(cells: Sequence[Cell], run) -> List[Cell]:
-    """Group (cell, original_index) pairs by CP type, run each group,
-    and restore the original order."""
+    """Group (cell, original_index) pairs by CP type, chunk each group
+    to _DECODE_CHUNK peaks per dispatch, and restore original order."""
     if not cells:
         return []
     groups = {}
@@ -269,6 +277,8 @@ def _decode_grouped(cells: Sequence[Cell], run) -> List[Cell]:
         groups.setdefault(c.cp_type, []).append((c, i))
     out: List[Optional[Cell]] = [None] * len(cells)
     for group in groups.values():
-        for (c_out, (_, i)) in zip(run(group), group):
-            out[i] = c_out
+        for k in range(0, len(group), _DECODE_CHUNK):
+            chunk = group[k: k + _DECODE_CHUNK]
+            for (c_out, (_, i)) in zip(run(chunk), chunk):
+                out[i] = c_out
     return out  # type: ignore[return-value]

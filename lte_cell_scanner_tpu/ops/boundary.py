@@ -86,6 +86,11 @@ class ComplexPair:
     def __len__(self):
         return self.re.shape[0]
 
+    def __getitem__(self, i):
+        """Materialize one row on host (rare fallback paths only --
+        the planes transfer fine because they are float)."""
+        return np.asarray(self.re[i]) + 1j * np.asarray(self.im[i])
+
 
 def device_complex(x):
     """Put an array on device for use with safe_jit entry points.

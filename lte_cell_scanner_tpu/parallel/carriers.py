@@ -195,7 +195,10 @@ def _front_sharded(mesh: Mesh, capbufs, templates, start_idx,
     """Shard the host->device transfer itself (each device receives only
     its carrier slab, not the whole band staged on device 0)."""
     if mesh.devices.size == 1 and needs_float_boundary():
-        return _front_batch(np.asarray(capbufs), np.asarray(templates),
+        from ..ops.boundary import ComplexPair
+        if not isinstance(capbufs, ComplexPair):
+            capbufs = np.asarray(capbufs)
+        return _front_batch(capbufs, np.asarray(templates),
                             np.asarray(start_idx), ds_comb_arm, *bands)
     shard = NamedSharding(mesh, P("c"))
     capbufs = jax.device_put(capbufs, shard)
@@ -372,16 +375,27 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
 
     bands = _plan_scan_bands(tmpl, starts, capbufs, cfg)
 
+    # single-device boundary deployments (the axon chip): upload the
+    # padded capture stack ONCE and reuse the device-resident planes
+    # across the front end, the fused SSS+FOE dispatch, AND the fused
+    # decode -- through a remote tunnel the stack re-uploads (~77 MB at
+    # batch 64) were the full-chain band scan's dominant cost
+    cap_dev = None
+    if mesh.devices.size == 1 and needs_float_boundary():
+        from ..ops.boundary import device_complex
+        cap_dev = device_complex(cap)
+
     slabs, pow_c, frq_c, sp_inc = _front_sharded(
-        mesh, cap, tmpl, starts, cfg.ds_comb_arm, bands)
+        mesh, cap if cap_dev is None else cap_dev, tmpl, starts,
+        cfg.ds_comb_arm, bands)
     return refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list,
                        fcp_list, f_search_set, fs_programmed, n_comb_xc,
-                       cfg)
+                       cfg, cap_dev=cap_dev)
 
 
 def refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list, fcp_list,
                 f_search_set, fs_programmed: float, n_comb_xc: int,
-                cfg: SearchConfig) -> List[List[Cell]]:
+                cfg: SearchConfig, cap_dev=None) -> List[List[Cell]]:
     """Host back half of a band scan: per-carrier peak search, then the
     batched SSS/FOE/decode stages over all peaks of all carriers.
 
@@ -389,7 +403,12 @@ def refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list, fcp_list,
     [C, 3, 2*arm+1, 9600] refinement slabs may stay device-resident
     (sharded) -- pulled one carrier at a time.  Shared by scan_band
     (single-process mesh) and parallel.multihost.scan_band_multihost
-    (each host refines its local carriers)."""
+    (each host refines its local carriers).
+
+    cap_dev: an already device-resident (possibly padded) capture
+    stack; when given the SSS/FOE and decode dispatches reuse it
+    instead of re-uploading the stack per stage (per-peak carrier
+    indices are < c_real, so padding rows are never gathered)."""
     c_real = len(capbufs)
     if c_real == 0:
         # a pure-padding multihost chunk: this process had no real
@@ -434,7 +453,8 @@ def refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list, fcp_list,
     # (sss_detect.sss_foe_batch_fused), with the per-peak carrier index
     # selecting rows of the full-precision capture stack -- O(1) device
     # programs for the band instead of O(carriers).
-    cap_full = np.stack([np.asarray(c) for c in capbufs])
+    cap_full = cap_dev if cap_dev is not None \
+        else np.stack([np.asarray(c) for c in capbufs])
     from ..models.sss_detect import sss_foe_batch_fused
     cells = sss_foe_batch_fused(all_peaks, None, cfg.thresh2_n_sigma,
                                 fs_programmed, compat=cfg.compat,
