@@ -55,7 +55,8 @@ def full_chain(capbuf, fc):
                                                     default_f_search_set,
                                                     refine_peaks)
     from lte_cell_scanner_tpu.models.xcorr import xcorr_pss
-    from lte_cell_scanner_tpu.ops.boundary import device_complex
+    from lte_cell_scanner_tpu.ops.boundary import device_complex_adc
+    from lte_cell_scanner_tpu.ops.corr_pallas import is_adc_grid as _is_grid
 
     fs = FS_LTE / 16
     fss = default_f_search_set(fc, 100.0)
@@ -64,11 +65,14 @@ def full_chain(capbuf, fc):
     def run():
         st = {}
         t0 = time.perf_counter()
-        cap_dev = device_complex(capbuf)        # the ONE upload, ASYNC
+        # the ONE upload, ASYNC -- as lossless uint8 ADC codes (the
+        # production cell_search wire, round 5: 4x fewer bytes than
+        # float planes on the dominant transfer)
         # no completion barrier here: the transfer overlaps the front
         # program's dispatch (a sync would add a pure-latency round
         # trip); upload_issue_ms is the host-side issue cost only, the
         # wire time lands in front_ms
+        cap_dev = device_complex_adc(capbuf)
         t1 = time.perf_counter()
         st["upload_issue_ms"] = (t1 - t0) * 1e3
         res = xcorr_pss(capbuf, fss, DS_COMB_ARM, fc, fc, fs, lean=True,
@@ -107,7 +111,9 @@ def full_chain(capbuf, fc):
             "n_cells": len(cells), "cell_ids": ids,
             "valid": ids == [271, 277],
             "uploads_per_carrier": 1,
-            "bytes_uploaded": int(np.asarray(capbuf).nbytes),
+            # wire bytes: ADC-grid captures cross as 2 uint8 planes
+            "bytes_uploaded": 2 * len(capbuf) if _is_grid(capbuf)
+            else int(np.asarray(capbuf).nbytes),
             "blocking_round_trips": 3,
             "stages_ms": {k: round(v, 1) for k, v in med_st.items()}}
 

@@ -99,3 +99,83 @@ def peak_search(xc_incoherent_collapsed_pow: np.ndarray,
         work[work < peak_pow * 10.0 ** (-12.0 / 10.0)] = 0.0
 
     return cells
+
+
+# ---------------------------------------------------------------------------
+# Device-resident peak search (round 5): the same greedy loop as a
+# traced lax.while_loop, so a band scan downloads ~KB of peak records
+# per carrier instead of the [3, 9600] maps + [3, 2*arm+1, 9600]
+# refinement slabs (~0.8 MB/carrier -- a measurable share of the
+# remote-tunnel wall).  Semantics identical to peak_search above
+# (ties: argmax picks the first maximum, matching the host scan order);
+# the CAP bounds the while_loop -- the 12 dB floor cancellation makes
+# real captures terminate in <= ~25 iterations, and peaks beyond the
+# cap would anyway be within 12 dB of the weakest accepted one.
+# ---------------------------------------------------------------------------
+
+PEAK_CAP = 40
+
+
+def peak_search_device_impl(pow_c, frq_c, slab, z_th1, ds_comb_arm: int,
+                            cap: int = PEAK_CAP):
+    """Traced greedy extraction.  pow_c/frq_c [3, 9600], slab
+    [3, 2*arm+1, 9600], z_th1 [9600].  Returns (recs [cap, 4], n):
+    rec = (pss_pow, refined_ind, frq_index, n_id_2); rows >= n are
+    padding."""
+    import jax
+    import jax.numpy as jnp
+
+    lags = jnp.arange(HALF := 9600)
+    rdt = pow_c.dtype
+
+    def body(state):
+        work, recs, k, _c = state
+        flat = work.reshape(-1)
+        i = jnp.argmax(flat)
+        t = i // HALF
+        lag = i % HALF
+        p = flat[i]
+        ok = p >= z_th1[lag]
+
+        d = jnp.argmax(slab[t, :, lag])          # first max wins (ties)
+        best_ind = (lag - ds_comb_arm + d) % HALF
+        rec = jnp.stack([p.astype(rdt),
+                         best_ind.astype(rdt),
+                         frq_c[t, lag].astype(rdt),
+                         t.astype(rdt)])
+        recs = jnp.where((jnp.arange(cap) == k)[:, None] & ok,
+                         rec[None, :], recs)
+
+        dist = jnp.abs(((lags - lag + HALF // 2) % HALF) - HALF // 2)
+        win = dist <= _SAME_PSS_CANCEL
+        same = (jnp.arange(3) == t)[:, None]
+        th8 = p * jnp.asarray(10.0 ** (-0.8), rdt)
+        th12 = p * jnp.asarray(10.0 ** (-1.2), rdt)
+        cancel = (same & win[None, :]) \
+            | (~same & win[None, :] & (work < th8)) \
+            | (work < th12)
+        work = jnp.where(ok & cancel, jnp.zeros((), rdt), work)
+        k = k + ok.astype(k.dtype)
+        return work, recs, k, ok & (k < cap)
+
+    work0 = pow_c
+    recs0 = jnp.zeros((cap, 4), rdt)
+    state = jax.lax.while_loop(
+        lambda s: s[3], body,
+        (work0, recs0, jnp.int32(0), jnp.bool_(True)))
+    return state[1], state[2]
+
+
+def cells_from_peak_records(recs: np.ndarray, n: int,
+                            f_search_set: np.ndarray, fc_requested: float,
+                            fc_programmed: float) -> List[Cell]:
+    """Host materialization of peak_search_device_impl's records."""
+    cells: List[Cell] = []
+    for j in range(int(n)):
+        p, ind, foi, t = recs[j]
+        cells.append(Cell(
+            fc_requested=fc_requested, fc_programmed=fc_programmed,
+            pss_pow=float(p), ind=int(round(float(ind))),
+            freq=float(f_search_set[int(round(float(foi)))]),
+            n_id_2=int(round(float(t)))))
+    return cells

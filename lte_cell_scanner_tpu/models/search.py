@@ -187,8 +187,8 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
     # ONE device-resident capture for the whole chain: front end + the
     # three back-half programs reuse it (on the tunnel the 1.2 MB
     # upload is a measurable share of the per-carrier wall clock)
-    from ..ops.boundary import device_complex
-    cap_dev = device_complex(capbuf)
+    from ..ops.boundary import device_complex_adc
+    cap_dev = device_complex_adc(capbuf)
 
     with stage("xcorr_pss"):
         res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,

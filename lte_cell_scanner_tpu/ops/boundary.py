@@ -107,6 +107,53 @@ def device_complex(x):
     return jnp.asarray(x)
 
 
+def device_complex_adc(x):
+    """device_complex with a LOSSLESS uint8 wire for ADC-grid captures.
+
+    The reference dongle's samples are (byte - 127)/128 (capbuf.cpp
+    :174); for captures on that grid the planes cross the link as the
+    raw uint8 codes (4x fewer bytes than float32 -- through a remote
+    tunnel the capture upload dominates band-scan wall time) and a
+    tiny jitted program reconstructs exact float32 planes on device,
+    returned as a device-resident ComplexPair.  The +128 saturated
+    code is representable (uint8, offset +127), so unlike the int8
+    CORRELATION quantization this path is bit-exact for every capture
+    the grid check accepts.  Non-grid captures fall back to
+    device_complex unchanged; so do plain-jit (non-boundary) backends,
+    where keeping complex device arrays is already free."""
+    if isinstance(x, ComplexPair) or not needs_float_boundary():
+        return device_complex(x)
+    from .corr_pallas import is_adc_grid
+    x = np.asarray(x)
+    if not is_adc_grid(x):
+        return device_complex(x)
+    k_re = (np.round(x.real * 128.0) + 127.0).astype(np.uint8)
+    k_im = (np.round(x.imag * 128.0) + 127.0).astype(np.uint8)
+    # decode to the dtype the float-plane path would have used (f64 for
+    # complex128 captures on x64 hosts -- the golden CPU paths keep
+    # their precision; without x64 this resolves to f32 anyway)
+    dec = _adc_decoder(str(x.real.dtype))
+    return ComplexPair(dec(jnp.asarray(k_re)), dec(jnp.asarray(k_im)))
+
+
+_adc_dec_cache: Dict[str, Any] = {}
+
+
+def _adc_decoder(dtype_name: str):
+    """Cached per-dtype jitted uint8 -> float decoder (a fresh jax.jit
+    per call would re-trace -- and through the tunnel, re-COMPILE --
+    on every capture, measured at ~400 ms per upload)."""
+    fn = _adc_dec_cache.get(dtype_name)
+    if fn is None:
+        rdt = jnp.dtype(dtype_name)
+
+        def dec(k):
+            return (k.astype(rdt) - 127.0) / 128.0
+
+        fn = _adc_dec_cache[dtype_name] = jax.jit(dec)
+    return fn
+
+
 def _split_arg(a):
     """-> (tag, [leaves]) for one positional argument."""
     if isinstance(a, ComplexPair):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cell import Cell
-from ..constants import HALF_FRAME_LEN, PSS_TD_LEN
+from ..constants import FS_LTE, HALF_FRAME_LEN, PSS_TD_LEN
 from ..models.decode import decode_back_half_batch_multi
 from ..models.search import (SearchConfig, _decode_back_half, compute_z_th1,
                              refine_peaks)
@@ -190,6 +190,35 @@ def _front_batch_impl(capbufs, templates, start_idx, ds_comb_arm: int,
 _front_batch = safe_jit(_front_batch_impl, static_argnames=("ds_comb_arm",))
 
 
+def _front_peaks_batch_impl(capbufs, templates, start_idx,
+                            ds_comb_arm: int, z_scale, g_re=None,
+                            g_im=None):
+    """Front end + chi-squared threshold + the greedy peak search ON
+    DEVICE (models.peaks.peak_search_device_impl vmapped over
+    carriers): only the padded peak records and sp_incoherent leave the
+    device (~KB/carrier) instead of the collapsed maps + refinement
+    slabs (~0.8 MB/carrier).  z_scale is the host-computed chi2 factor
+    so Z_th1 = sp_incoherent * z_scale."""
+    import jax
+
+    from ..models.peaks import peak_search_device_impl
+
+    bands = () if g_re is None else ((g_re,) if g_im is None
+                                     else (g_re, g_im))
+    slabs, pow_c, frq_c, sp_inc = _vmap_front(
+        capbufs, templates, start_idx, ds_comb_arm, bands)
+    z = sp_inc * z_scale
+    recs, ns = jax.vmap(
+        lambda p, f, s, zz: peak_search_device_impl(p, f, s, zz,
+                                                    ds_comb_arm))(
+        pow_c, frq_c, slabs, z)
+    return recs, ns
+
+
+_front_peaks_batch = safe_jit(_front_peaks_batch_impl,
+                              static_argnames=("ds_comb_arm",))
+
+
 def _front_sharded(mesh: Mesh, capbufs, templates, start_idx,
                    ds_comb_arm: int, bands=()):
     """Shard the host->device transfer itself (each device receives only
@@ -333,8 +362,18 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
               config: Optional[SearchConfig] = None,
               mesh: Optional[Mesh] = None,
               dtype=np.complex64,
-              max_carriers_per_program: int = 64) -> List[List[Cell]]:
+              max_carriers_per_program: int = 64,
+              device_peaks: Optional[bool] = None) -> List[List[Cell]]:
     """Scan many carriers at once, carriers sharded across the mesh.
+
+    device_peaks: run the chi-squared threshold AND the greedy peak
+    search on device (models.peaks.peak_search_device_impl) so only
+    ~KB of peak records download per carrier instead of the collapsed
+    maps + refinement slabs (~0.8 MB/carrier).  None = auto: on for
+    single-device accelerator scans when no debug dump is active (the
+    dump needs the full maps on host); the host path remains the
+    golden route and the two are pinned identical on the shipped
+    golden vector (tests/test_peak_search.py).
 
     captures: sequence of (capbuf, fc_requested, fc_programmed).
     Returns one decoded-cell list per carrier (feed to models.search.dedup).
@@ -363,7 +402,7 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
         for i in range(0, len(captures), limit):
             out.extend(scan_band(captures[i: i + limit], f_search_set,
                                  fs_programmed, cfg, mesh, dtype,
-                                 max_carriers_per_program))
+                                 max_carriers_per_program, device_peaks))
         return out
 
     capbufs = [c[0] for c in captures]
@@ -382,8 +421,43 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
     # batch 64) were the full-chain band scan's dominant cost
     cap_dev = None
     if mesh.devices.size == 1 and needs_float_boundary():
-        from ..ops.boundary import device_complex
-        cap_dev = device_complex(cap)
+        # ADC-grid captures additionally cross as lossless uint8 codes
+        # (4x fewer bytes than float planes on the dominant transfer)
+        from ..ops.boundary import device_complex_adc
+        cap_dev = device_complex_adc(cap)
+
+    if device_peaks is None:
+        from ..utils.debug import get_dump
+        import jax as _jax
+        device_peaks = (mesh.devices.size == 1
+                        and _jax.default_backend() != "cpu"
+                        and get_dump() is None)
+
+    if device_peaks:
+        from ..models.peaks import cells_from_peak_records
+        from ..ops.dsp import chi2cdf_inv
+        r_th1 = chi2cdf_inv(1 - 10.0 ** (-cfg.thresh1_n_nines),
+                            2 * n_comb_xc * (2 * cfg.ds_comb_arm + 1))
+        rx_cutoff = (6 * 12 * 15e3 / 2 + 4 * 15e3) / (FS_LTE / 16 / 2)
+        z_scale = np.float64(
+            r_th1 / rx_cutoff / 137 / 2 / n_comb_xc
+            / (2 * cfg.ds_comb_arm + 1))
+        recs, ns = _front_peaks_batch(
+            cap if cap_dev is None else cap_dev, tmpl, starts,
+            cfg.ds_comb_arm, z_scale, *bands)
+        recs = np.asarray(recs)
+        ns = np.asarray(ns)
+        all_peaks: List[Cell] = []
+        carrier_of: List[int] = []
+        for i in range(c_real):
+            cells_i = cells_from_peak_records(
+                recs[i], int(ns[i]), f_search_set, fc_list[i],
+                fcp_list[i])
+            all_peaks.extend(cells_i)
+            carrier_of.extend([i] * len(cells_i))
+        return _refine_from_peaks(all_peaks, carrier_of, capbufs,
+                                  fc_list, fcp_list, fs_programmed, cfg,
+                                  cap_dev)
 
     slabs, pow_c, frq_c, sp_inc = _front_sharded(
         mesh, cap if cap_dev is None else cap_dev, tmpl, starts,
@@ -437,6 +511,16 @@ def refine_band(pow_c, frq_c, sp_inc, slabs, capbufs, fc_list, fcp_list,
         all_peaks.extend(peaks)
         carrier_of.extend([i] * len(peaks))
 
+    return _refine_from_peaks(all_peaks, carrier_of, capbufs, fc_list,
+                              fcp_list, fs_programmed, cfg, cap_dev)
+
+
+def _refine_from_peaks(all_peaks: List[Cell], carrier_of: List[int],
+                       capbufs, fc_list, fcp_list, fs_programmed: float,
+                       cfg: SearchConfig, cap_dev=None) -> List[List[Cell]]:
+    """Batched SSS/FOE/decode back half over an already-extracted peak
+    list (shared by the host and device peak-search routes)."""
+    c_real = len(capbufs)
     if not all_peaks:
         return [[] for _ in range(c_real)]
     if not cfg.batch_peaks:

@@ -275,3 +275,38 @@ def test_scan_band_float_boundary_pallas_path(monkeypatch):
     assert [c.n_id_cell() for c in fb[0]] == \
         [c.n_id_cell() for c in plain[0]]
     assert fb[0] and fb[0][0].n_id_cell() == 277
+
+
+def test_scan_band_device_peaks_matches_host_path():
+    """scan_band with the DEVICE greedy peak search (device_peaks=True)
+    must decode the identical cell lists as the host peak-search route
+    on a band of rolled real captures containing cells 271+277."""
+    from lte_cell_scanner_tpu.models.search import SearchConfig
+    from lte_cell_scanner_tpu.parallel.carriers import (make_carrier_mesh,
+                                                        scan_band)
+    from lte_cell_scanner_tpu.utils import read_itfile
+
+    base = np.asarray(
+        read_itfile("/root/reference/test/capbuf_0000.it")["capbuf"],
+        np.complex64)
+    fc = 739e6
+    f_set = np.arange(25e3, 45e3 + 1, 5e3)
+    caps = [(np.roll(base, 31 * i + 1), fc + 1e5 * i, fc + 1e5 * i)
+            for i in range(2)]
+    mesh = make_carrier_mesh(1)
+    cfg = SearchConfig()
+    host = scan_band(caps, f_set, FS, cfg, mesh, device_peaks=False)
+    dev = scan_band(caps, f_set, FS, cfg, mesh, device_peaks=True)
+    assert len(host) == len(dev) == 2
+    for hs, ds in zip(host, dev):
+        assert sorted(c.n_id_cell() for c in hs) == \
+            sorted(c.n_id_cell() for c in ds)
+        assert len(hs) >= 2
+        for a, b in zip(sorted(hs, key=lambda c: c.n_id_cell()),
+                        sorted(ds, key=lambda c: c.n_id_cell())):
+            assert a.ind == b.ind
+            assert a.freq == b.freq
+            assert a.sfn == b.sfn
+            assert a.n_rb_dl == b.n_rb_dl
+            np.testing.assert_allclose(b.freq_superfine, a.freq_superfine,
+                                       rtol=1e-9, atol=1e-5)

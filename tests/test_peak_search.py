@@ -47,3 +47,46 @@ def test_first_peak_is_cell_277_pss(ref_test_dir):
     assert d["peaks_ind"][0] - 1 == 8674
     assert d["peaks_freq"][0] == 40000
     assert abs(d["peaks_pow"][0] - 0.13688) < 1e-4
+
+
+def test_device_peak_search_matches_host_on_golden_vector():
+    """peak_search_device_impl (the traced lax.while_loop greedy loop)
+    must reproduce the host peak_search EXACTLY on the shipped golden
+    vector (20 peaks, MATLAB semantics incl. the other-PSS 8 dB
+    cancellation): same powers, refined lags, frequencies and PSS ids,
+    in the same order."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from lte_cell_scanner_tpu.models.peaks import (
+        cells_from_peak_records, peak_search, peak_search_device_impl)
+    from lte_cell_scanner_tpu.utils import read_itfile
+
+    d = read_itfile("/root/reference/test/test_peak_search.it")
+    pow_c = np.asarray(d["xc_incoherent_collapsed_pow"])
+    frq_c = np.asarray(d["xc_incoherent_collapsed_frq"]).astype(np.int64) - 1
+    z = np.asarray(d["Z_th1"])
+    f_set = np.asarray(d["f_search_set"], dtype=np.float64)
+    fc = 739e6
+    arm = 2
+    # synthetic flat single (the golden test convention): every lag in
+    # the refinement window equals the collapsed value
+    single = np.repeat(pow_c[:, None, :], len(f_set), axis=1)
+    host = peak_search(pow_c, frq_c, z, f_set, fc, fc, single, arm)
+    # slab from the synthetic single, exactly as the lean front end
+    # would have gathered it
+    slab = np.empty((3, 2 * arm + 1, 9600))
+    for t in range(3):
+        for dd in range(2 * arm + 1):
+            src = (np.arange(9600) - arm + dd) % 9600
+            slab[t, dd] = pow_c[t, src]
+    recs, n = jax.jit(peak_search_device_impl, static_argnums=(4,))(
+        jnp.asarray(pow_c), jnp.asarray(frq_c), jnp.asarray(slab),
+        jnp.asarray(z), arm)
+    dev = cells_from_peak_records(np.asarray(recs), int(n), f_set, fc, fc)
+    assert len(dev) == len(host) == 20
+    for a, b in zip(dev, host):
+        assert a.n_id_2 == b.n_id_2
+        assert a.ind == b.ind
+        assert a.freq == b.freq
+        assert a.pss_pow == b.pss_pow
