@@ -75,15 +75,17 @@ def full_chain(capbuf, fc):
         cap_dev = device_complex_adc(capbuf)
         t1 = time.perf_counter()
         st["upload_issue_ms"] = (t1 - t0) * 1e3
-        res = xcorr_pss(capbuf, fss, DS_COMB_ARM, fc, fc, fs, lean=True,
-                        cap_dev=cap_dev)
+        # round 5: threshold + greedy peak search fused into the front
+        # program (the cell_search accelerator route) -- ~KB of peak
+        # records download instead of the maps + refinement slab
+        from lte_cell_scanner_tpu.models.peaks import \
+            cells_from_peak_records
+        from lte_cell_scanner_tpu.models.xcorr import xcorr_pss_peaks
+        recs, n, _nc = xcorr_pss_peaks(capbuf, fss, DS_COMB_ARM, fc, fc,
+                                       fs, 12, cap_dev=cap_dev)
         t2 = time.perf_counter()
         st["front_ms"] = (t2 - t1) * 1e3
-        z = compute_z_th1(res.sp_incoherent, res.n_comb_xc)
-        peaks = peak_search(res.xc_incoherent_collapsed_pow,
-                            res.xc_incoherent_collapsed_frq, z, fss, fc,
-                            fc, res.xc_incoherent_single, DS_COMB_ARM,
-                            refine_slab=res.refine_slab)
+        peaks = cells_from_peak_records(recs, n, fss, fc, fc)
         t3 = time.perf_counter()
         st["peak_search_host_ms"] = (t3 - t2) * 1e3
         cells = refine_peaks(peaks, capbuf, fc, fc, fs, cfg,

@@ -190,6 +190,26 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
     from ..ops.boundary import device_complex_adc
     cap_dev = device_complex_adc(capbuf)
 
+    # accelerator route: threshold + greedy peak search fused into the
+    # front-end program (models.xcorr.xcorr_pss_peaks) -- only ~KB of
+    # peak records download instead of the collapsed maps + refinement
+    # slab.  Host route stays the golden path (and the debug-dump
+    # path, which needs the full maps).
+    import jax as _jax
+    from ..utils.debug import get_dump
+    if _jax.default_backend() != "cpu" and get_dump() is None:
+        from .peaks import cells_from_peak_records
+        from .xcorr import xcorr_pss_peaks
+        with stage("xcorr_pss"):
+            recs, n, _nc = xcorr_pss_peaks(
+                capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
+                fc_programmed, fs_programmed, cfg.thresh1_n_nines,
+                corr_backend=cfg.corr_backend, cap_dev=cap_dev)
+        peaks = cells_from_peak_records(recs, n, f_search_set,
+                                        fc_requested, fc_programmed)
+        return refine_peaks(peaks, capbuf, fc_requested, fc_programmed,
+                            fs_programmed, cfg, cap_dev=cap_dev)
+
     with stage("xcorr_pss"):
         res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
                         fc_programmed, fs_programmed, lean=True,

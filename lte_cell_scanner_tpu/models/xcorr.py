@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import HALF_FRAME_LEN, PSS_TD_LEN
+from ..constants import FS_LTE, HALF_FRAME_LEN, PSS_TD_LEN
 from .pss import PSS_TD
 from ..ops.boundary import device_complex, safe_jit
 from ..ops.corr import correlate
@@ -301,6 +301,73 @@ def use_pallas_corr(corr_backend: str = "auto") -> bool:
         import jax as _jax
         return _jax.default_backend() == "tpu"
     return False
+
+
+def _xcorr_peaks_impl(capbuf, templates, start_idx, ds_comb_arm: int,
+                      z_scale, g_re=None, g_im=None):
+    """Lean front end + chi-squared threshold + greedy peak search in
+    ONE device program (models.peaks.peak_search_device_impl): only the
+    padded peak records leave the device."""
+    from .peaks import peak_search_device_impl
+
+    (_s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab) = _xcorr_core_impl(
+        capbuf, templates, start_idx, ds_comb_arm, False, True,
+        g_re, g_im)
+    return peak_search_device_impl(pow_c, frq_c, slab,
+                                   sp_inc * z_scale, ds_comb_arm)
+
+
+_xcorr_peaks = safe_jit(_xcorr_peaks_impl, static_argnames=("ds_comb_arm",))
+
+
+def xcorr_pss_peaks(capbuf, f_search_set, ds_comb_arm: int,
+                    fc_requested: float, fc_programmed: float,
+                    fs_programmed: float, thresh1_n_nines: int,
+                    corr_backend: str = "auto", cap_dev=None):
+    """Single-carrier front end with the peak search fused on device
+    (the accelerator production route of cell_search): returns
+    (recs [cap, 4], n, n_comb_xc) -- feed to
+    models.peaks.cells_from_peak_records.  Same staging/backend
+    routing as xcorr_pss."""
+    from ..ops.dsp import chi2cdf_inv
+
+    use_int8 = isinstance(capbuf, np.ndarray) \
+        and use_pallas_corr(corr_backend)
+    if use_int8:
+        from ..ops.corr_pallas import is_adc_grid
+        use_int8 = is_adc_grid(capbuf)
+    capbuf_d = cap_dev if cap_dev is not None else device_complex(capbuf)
+    dtype = capbuf_d.dtype
+    n_lags = capbuf_d.shape[0] - (PSS_TD_LEN - 1)
+    n_comb_xc = (n_lags - 100) // HALF_FRAME_LEN
+
+    tmpl_host = pss_templates(f_search_set, fc_requested, fc_programmed,
+                              fs_programmed,
+                              np.complex64 if dtype == np.complex64
+                              else np.complex128)
+    templates = device_complex(tmpl_host)
+    start_idx = jnp.asarray(combine_start_indices(
+        f_search_set, fc_requested, fc_programmed, fs_programmed,
+        n_comb_xc))
+
+    bands = ()
+    if use_pallas_corr(corr_backend):
+        from ..ops.corr_pallas import prod_bands_for_templates
+        tf = tmpl_host.astype(np.complex64).reshape(-1, PSS_TD_LEN)
+        if use_int8:
+            g, scale = prod_bands_for_templates(tf, int8=True)
+            bands = (g, jnp.full((1,), scale, jnp.float32))
+        else:
+            bands = (prod_bands_for_templates(tf),)
+
+    r_th1 = chi2cdf_inv(1 - 10.0 ** (-thresh1_n_nines),
+                        2 * n_comb_xc * (2 * ds_comb_arm + 1))
+    rx_cutoff = (6 * 12 * 15e3 / 2 + 4 * 15e3) / (FS_LTE / 16 / 2)
+    z_scale = np.float64(r_th1 / rx_cutoff / 137 / 2 / n_comb_xc
+                         / (2 * ds_comb_arm + 1))
+    recs, n = jax.device_get(_xcorr_peaks(
+        capbuf_d, templates, start_idx, ds_comb_arm, z_scale, *bands))
+    return np.asarray(recs), int(n), n_comb_xc
 
 
 def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,

@@ -90,3 +90,40 @@ def test_device_peak_search_matches_host_on_golden_vector():
         assert a.ind == b.ind
         assert a.freq == b.freq
         assert a.pss_pow == b.pss_pow
+
+
+def test_xcorr_pss_peaks_matches_staged_on_capture():
+    """The fused front+peaks program (models.xcorr.xcorr_pss_peaks, the
+    cell_search accelerator route) must extract the identical peak list
+    to the staged xcorr_pss -> compute_z_th1 -> host peak_search flow
+    on the real two-cell capture."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from lte_cell_scanner_tpu.constants import FS_LTE
+    from lte_cell_scanner_tpu.models.peaks import (cells_from_peak_records,
+                                                   peak_search)
+    from lte_cell_scanner_tpu.models.search import compute_z_th1
+    from lte_cell_scanner_tpu.models.xcorr import (xcorr_pss,
+                                                   xcorr_pss_peaks)
+    from lte_cell_scanner_tpu.utils import read_itfile
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    cap = np.asarray(
+        read_itfile("/root/reference/test/capbuf_0000.it")["capbuf"])
+    f_set = np.arange(25e3, 45e3 + 1, 5e3)
+
+    res = xcorr_pss(cap, f_set, 2, fc, fc, fs, lean=True)
+    z = compute_z_th1(res.sp_incoherent, res.n_comb_xc)
+    host = peak_search(res.xc_incoherent_collapsed_pow,
+                       res.xc_incoherent_collapsed_frq, z, f_set, fc, fc,
+                       None, 2, refine_slab=res.refine_slab)
+    recs, n, n_comb = xcorr_pss_peaks(cap, f_set, 2, fc, fc, fs, 12)
+    dev = cells_from_peak_records(recs, n, f_set, fc, fc)
+    assert n_comb == res.n_comb_xc
+    assert len(dev) == len(host) >= 2
+    for a, b in zip(dev, host):
+        assert a.n_id_2 == b.n_id_2
+        assert a.ind == b.ind
+        assert a.freq == b.freq
+        np.testing.assert_allclose(a.pss_pow, b.pss_pow, rtol=1e-12)
