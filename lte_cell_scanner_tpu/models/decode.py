@@ -93,11 +93,41 @@ def _decode_impl_multi(capbufs, ci, *args):
 
 _decode_single = safe_jit(_decode_impl)
 _N_ARGS = 5 + _N_TFOEC + 2 + 2 * _N_CE + 3   # batched args after capbuf
+
+
+def _pack_decode_outs(outs):
+    """One output leaf: this tunnel charges a ~13-50 ms round trip PER
+    transferred array regardless of size (measured with cProfile), so
+    (residual_f [B], c_all [B,12,40], crc_all [B,12,16]) concatenate
+    into a single float matrix; 0/1 code bits are exact in float."""
+    import jax.numpy as jnp
+    residual_f, c_all, crc_all = outs
+    rdt = residual_f.dtype
+    b = residual_f.shape[0]
+    return jnp.concatenate(
+        [residual_f[:, None],
+         c_all.reshape(b, -1).astype(rdt),
+         crc_all.reshape(b, -1).astype(rdt)], axis=1)
+
+
+def _unpack_decode_outs(vec: np.ndarray):
+    # c_all [B, 3 ports-cfg, 4 phases, 40 bits]; crc_all [.., 16 bits]
+    vec = np.asarray(vec)
+    nc = 3 * 4 * 40
+    residual_f = vec[:, 0]
+    c_all = np.rint(vec[:, 1: 1 + nc]).astype(np.int32) \
+        .reshape(len(vec), 3, 4, 40)
+    crc_all = np.rint(vec[:, 1 + nc:]).astype(np.int32) \
+        .reshape(len(vec), 3, 4, 16)
+    return residual_f, c_all, crc_all
+
+
 # trailing (None,)*3: the shared plan tables + the CRC matrix
-_decode_batch = safe_jit(jax.vmap(
-    _decode_impl, in_axes=(None,) + (0,) * _N_ARGS + (None,) * 3))
-_decode_batch_multi = safe_jit(jax.vmap(
-    _decode_impl_multi, in_axes=(None, 0) + (0,) * _N_ARGS + (None,) * 3))
+_decode_batch = safe_jit(lambda *a: _pack_decode_outs(jax.vmap(
+    _decode_impl, in_axes=(None,) + (0,) * _N_ARGS + (None,) * 3)(*a)))
+_decode_batch_multi = safe_jit(lambda *a: _pack_decode_outs(jax.vmap(
+    _decode_impl_multi,
+    in_axes=(None, 0) + (0,) * _N_ARGS + (None,) * 3)(*a)))
 
 
 def _decode_device_inputs(cell: Cell, n_cap: int, fc_requested: float,
@@ -219,9 +249,7 @@ def _run_decode_batch(batch_fn, capbuf_args, cells_fc, fs_programmed: float
                for i in range(len(preps_b[0]))]
     out = batch_fn(*capbuf_args, *(device_complex(s) for s in stacked),
                    idx_t, w_t, _crc_arg())
-    residual_f = np.asarray(out[0])
-    c_all = np.asarray(out[1])
-    crc_all = np.asarray(out[2])
+    residual_f, c_all, crc_all = _unpack_decode_outs(out)
     return [_finish(c, residual_f[i], c_all[i], crc_all[i])
             for i, (c, _, _) in enumerate(cells_fc)]
 

@@ -813,6 +813,35 @@ def _detect_foe_impl_multi(capbufs, ci, *args, **kw):
 _detect_foe_cache: Dict[Tuple[bool, bool], object] = {}
 
 
+def _pack_detect_foe_outs(outs):
+    """One output leaf (the tunnel charges a ~13-50 ms round trip PER
+    transferred array): [B, 168*2*2 + 8] = lln | lle | Re M | Im M |
+    n_id_1 | use_norm | late | dist | n_loc, all in the compute float
+    dtype (the discrete fields are small integers, exact in f32)."""
+    lln, lle, M, n_id_1, use_norm, late, dist, n_loc = outs
+    rdt = lln.dtype
+    b = lln.shape[0]
+    cols = [lln.reshape(b, -1), lle.reshape(b, -1)] + [
+        x.reshape(b, 1).astype(rdt)
+        for x in (jnp.real(M), jnp.imag(M), n_id_1, use_norm, late,
+                  dist, n_loc)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack_detect_foe_outs(vec: np.ndarray):
+    vec = np.asarray(vec)
+    b = len(vec)
+    h = 168 * 2
+    lln = vec[:, :h].reshape(b, 168, 2)
+    lle = vec[:, h: 2 * h].reshape(b, 168, 2)
+    t = vec[:, 2 * h:]
+    M = t[:, 0] + 1j * t[:, 1]
+    return (lln, lle, M, np.rint(t[:, 2]).astype(np.int64),
+            t[:, 3] > 0.5, t[:, 4] > 0.5,
+            np.rint(t[:, 5]).astype(np.int64),
+            np.rint(t[:, 6]).astype(np.int64))
+
+
 def _detect_foe_fn(multi: bool, golden: bool):
     """Jitted fused batch program, one per (multi, golden) variant (the
     golden flag changes traced constants, so it is baked per closure
@@ -829,7 +858,8 @@ def _detect_foe_fn(multi: bool, golden: bool):
             def fn(capbuf, *args):
                 return _detect_foe_impl(capbuf, *args, golden=golden)
             in_axes = (None,) + (0,) * 9 + (None,) * 4
-        hit = safe_jit(jax.vmap(fn, in_axes=in_axes))
+        vm = jax.vmap(fn, in_axes=in_axes)
+        hit = safe_jit(lambda *a: _pack_detect_foe_outs(vm(*a)))
         _detect_foe_cache[key] = hit
     return hit
 
@@ -900,7 +930,7 @@ def sss_foe_batch_fused(cells: Sequence[Cell], capbuf,
         out = _detect_foe_fn(False, golden)(
             device_complex(capbuf), *args, *roms)
     lln_b, lle_b, M_b, nid1_d, usenorm_d, late_d, dist_d, nloc_d = \
-        (np.asarray(o) for o in out)
+        _unpack_detect_foe_outs(out)
 
     result: List[Cell] = []
     for i, (c, fcr, fcp) in enumerate(cells_fc):

@@ -313,8 +313,11 @@ def _xcorr_peaks_impl(capbuf, templates, start_idx, ds_comb_arm: int,
     (_s, _i, pow_c, frq_c, _sp, sp_inc, _xc, slab) = _xcorr_core_impl(
         capbuf, templates, start_idx, ds_comb_arm, False, True,
         g_re, g_im)
-    return peak_search_device_impl(pow_c, frq_c, slab,
-                                   sp_inc * z_scale, ds_comb_arm)
+    recs, n = peak_search_device_impl(pow_c, frq_c, slab,
+                                      sp_inc * z_scale, ds_comb_arm)
+    # one output leaf (the tunnel charges a round trip per array)
+    return jnp.concatenate([recs.ravel(),
+                            n.astype(recs.dtype).reshape(1)])
 
 
 _xcorr_peaks = safe_jit(_xcorr_peaks_impl, static_argnames=("ds_comb_arm",))
@@ -365,9 +368,10 @@ def xcorr_pss_peaks(capbuf, f_search_set, ds_comb_arm: int,
     rx_cutoff = (6 * 12 * 15e3 / 2 + 4 * 15e3) / (FS_LTE / 16 / 2)
     z_scale = np.float64(r_th1 / rx_cutoff / 137 / 2 / n_comb_xc
                          / (2 * ds_comb_arm + 1))
-    recs, n = jax.device_get(_xcorr_peaks(
-        capbuf_d, templates, start_idx, ds_comb_arm, z_scale, *bands))
-    return np.asarray(recs), int(n), n_comb_xc
+    vec = np.asarray(jax.device_get(_xcorr_peaks(
+        capbuf_d, templates, start_idx, ds_comb_arm, z_scale, *bands)))
+    recs = vec[:-1].reshape(-1, 4)
+    return recs, int(round(float(vec[-1]))), n_comb_xc
 
 
 def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,

@@ -212,7 +212,11 @@ def _front_peaks_batch_impl(capbufs, templates, start_idx,
         lambda p, f, s, zz: peak_search_device_impl(p, f, s, zz,
                                                     ds_comb_arm))(
         pow_c, frq_c, slabs, z)
-    return recs, ns
+    # one output leaf (the tunnel charges a round trip per array)
+    import jax.numpy as jnp
+    c = recs.shape[0]
+    return jnp.concatenate(
+        [recs.reshape(c, -1), ns.astype(recs.dtype)[:, None]], axis=1)
 
 
 _front_peaks_batch = safe_jit(_front_peaks_batch_impl,
@@ -442,11 +446,11 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
         z_scale = np.float64(
             r_th1 / rx_cutoff / 137 / 2 / n_comb_xc
             / (2 * cfg.ds_comb_arm + 1))
-        recs, ns = _front_peaks_batch(
+        vec = np.asarray(_front_peaks_batch(
             cap if cap_dev is None else cap_dev, tmpl, starts,
-            cfg.ds_comb_arm, z_scale, *bands)
-        recs = np.asarray(recs)
-        ns = np.asarray(ns)
+            cfg.ds_comb_arm, z_scale, *bands))
+        recs = vec[:, :-1].reshape(vec.shape[0], -1, 4)
+        ns = np.rint(vec[:, -1]).astype(np.int64)
         all_peaks: List[Cell] = []
         carrier_of: List[int] = []
         for i in range(c_real):
