@@ -198,17 +198,22 @@ def cell_search(capbuf, f_search_set, fc_requested: float,
     import jax as _jax
     from ..utils.debug import get_dump
     if _jax.default_backend() != "cpu" and get_dump() is None:
-        from .peaks import cells_from_peak_records
+        from .peaks import PEAK_CAP, cells_from_peak_records
         from .xcorr import xcorr_pss_peaks
         with stage("xcorr_pss"):
             recs, n, _nc = xcorr_pss_peaks(
                 capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,
                 fc_programmed, fs_programmed, cfg.thresh1_n_nines,
                 corr_backend=cfg.corr_backend, cap_dev=cap_dev)
-        peaks = cells_from_peak_records(recs, n, f_search_set,
-                                        fc_requested, fc_programmed)
-        return refine_peaks(peaks, capbuf, fc_requested, fc_programmed,
-                            fs_programmed, cfg, cap_dev=cap_dev)
+        if n < PEAK_CAP:
+            peaks = cells_from_peak_records(recs, n, f_search_set,
+                                            fc_requested, fc_programmed)
+            return refine_peaks(peaks, capbuf, fc_requested,
+                                fc_programmed, fs_programmed, cfg,
+                                cap_dev=cap_dev)
+        # SATURATED record buffer (>= PEAK_CAP extractions): the host
+        # route is unbounded -- fall through to it rather than silently
+        # truncating a dense capture's peak list
 
     with stage("xcorr_pss"):
         res = xcorr_pss(capbuf, f_search_set, cfg.ds_comb_arm, fc_requested,

@@ -323,18 +323,14 @@ def _xcorr_peaks_impl(capbuf, templates, start_idx, ds_comb_arm: int,
 _xcorr_peaks = safe_jit(_xcorr_peaks_impl, static_argnames=("ds_comb_arm",))
 
 
-def xcorr_pss_peaks(capbuf, f_search_set, ds_comb_arm: int,
-                    fc_requested: float, fc_programmed: float,
-                    fs_programmed: float, thresh1_n_nines: int,
-                    corr_backend: str = "auto", cap_dev=None):
-    """Single-carrier front end with the peak search fused on device
-    (the accelerator production route of cell_search): returns
-    (recs [cap, 4], n, n_comb_xc) -- feed to
-    models.peaks.cells_from_peak_records.  Same staging/backend
-    routing as xcorr_pss."""
-    from ..ops.dsp import chi2cdf_inv
-
-    use_int8 = isinstance(capbuf, np.ndarray) \
+def _front_staging(capbuf, f_search_set, fc_requested: float,
+                   fc_programmed: float, fs_programmed: float,
+                   corr_backend: str, cap_dev, want_bands: bool):
+    """Shared host staging of the single-carrier front end: resident
+    capture, device templates, fold-start table, and (when requested)
+    the production Pallas band set with the int8/bf16 routing.
+    Returns (capbuf_d, templates, start_idx, bands, n_comb_xc)."""
+    use_int8 = isinstance(capbuf, np.ndarray) and want_bands \
         and use_pallas_corr(corr_backend)
     if use_int8:
         from ..ops.corr_pallas import is_adc_grid
@@ -354,7 +350,7 @@ def xcorr_pss_peaks(capbuf, f_search_set, ds_comb_arm: int,
         n_comb_xc))
 
     bands = ()
-    if use_pallas_corr(corr_backend):
+    if want_bands and use_pallas_corr(corr_backend):
         from ..ops.corr_pallas import prod_bands_for_templates
         tf = tmpl_host.astype(np.complex64).reshape(-1, PSS_TD_LEN)
         if use_int8:
@@ -362,12 +358,26 @@ def xcorr_pss_peaks(capbuf, f_search_set, ds_comb_arm: int,
             bands = (g, jnp.full((1,), scale, jnp.float32))
         else:
             bands = (prod_bands_for_templates(tf),)
+    return capbuf_d, templates, start_idx, bands, n_comb_xc
 
-    r_th1 = chi2cdf_inv(1 - 10.0 ** (-thresh1_n_nines),
-                        2 * n_comb_xc * (2 * ds_comb_arm + 1))
-    rx_cutoff = (6 * 12 * 15e3 / 2 + 4 * 15e3) / (FS_LTE / 16 / 2)
-    z_scale = np.float64(r_th1 / rx_cutoff / 137 / 2 / n_comb_xc
-                         / (2 * ds_comb_arm + 1))
+
+def xcorr_pss_peaks(capbuf, f_search_set, ds_comb_arm: int,
+                    fc_requested: float, fc_programmed: float,
+                    fs_programmed: float, thresh1_n_nines: int,
+                    corr_backend: str = "auto", cap_dev=None):
+    """Single-carrier front end with the peak search fused on device
+    (the accelerator production route of cell_search): returns
+    (recs [cap, 4], n, n_comb_xc) -- feed to
+    models.peaks.cells_from_peak_records.  Same staging/backend
+    routing as xcorr_pss (shared _front_staging)."""
+    capbuf_d, templates, start_idx, bands, n_comb_xc = _front_staging(
+        capbuf, f_search_set, fc_requested, fc_programmed, fs_programmed,
+        corr_backend, cap_dev, want_bands=True)
+    # the chi-squared threshold scale: exactly compute_z_th1 with a
+    # unit sp_incoherent (ONE definition of the detection constant)
+    from .search import compute_z_th1
+    z_scale = np.float64(compute_z_th1(
+        np.float64(1.0), n_comb_xc, ds_comb_arm, thresh1_n_nines))
     vec = np.asarray(jax.device_get(_xcorr_peaks(
         capbuf_d, templates, start_idx, ds_comb_arm, z_scale, *bands)))
     recs = vec[:-1].reshape(-1, 4)
@@ -393,34 +403,11 @@ def xcorr_pss(capbuf, f_search_set, ds_comb_arm: int, fc_requested: float,
     does), so the 1.2 MB capture crosses the host->device link exactly
     once per carrier instead of once per stage."""
     # 8-bit-ADC-grid captures take the exact int8 dot (checked on host
-    # BEFORE the device transfer; non-grid/simulated floats use bf16)
-    use_int8 = isinstance(capbuf, np.ndarray) and not keep_xc \
-        and use_pallas_corr(corr_backend)
-    if use_int8:
-        from ..ops.corr_pallas import is_adc_grid
-        use_int8 = is_adc_grid(capbuf)
-    capbuf = cap_dev if cap_dev is not None else device_complex(capbuf)
-    dtype = capbuf.dtype
-    n_lags = capbuf.shape[0] - (PSS_TD_LEN - 1)
-    n_comb_xc = (n_lags - 100) // HALF_FRAME_LEN
-
-    tmpl_host = pss_templates(f_search_set, fc_requested, fc_programmed,
-                              fs_programmed,
-                              np.complex64 if dtype == np.complex64
-                              else np.complex128)
-    templates = device_complex(tmpl_host)
-    start_idx = jnp.asarray(combine_start_indices(
-        f_search_set, fc_requested, fc_programmed, fs_programmed, n_comb_xc))
-
-    bands = ()
-    if not keep_xc and use_pallas_corr(corr_backend):
-        from ..ops.corr_pallas import prod_bands_for_templates
-        tf = tmpl_host.astype(np.complex64).reshape(-1, PSS_TD_LEN)
-        if use_int8:
-            g, scale = prod_bands_for_templates(tf, int8=True)
-            bands = (g, jnp.full((1,), scale, jnp.float32))
-        else:
-            bands = (prod_bands_for_templates(tf),)
+    # BEFORE the device transfer; non-grid/simulated floats use bf16);
+    # keep_xc (test-only) bypasses the Pallas bands
+    capbuf, templates, start_idx, bands, n_comb_xc = _front_staging(
+        capbuf, f_search_set, fc_requested, fc_programmed, fs_programmed,
+        corr_backend, cap_dev, want_bands=not keep_xc)
 
     (xc_single, xc_inc, pow_c, frq_c, sp, sp_inc, xc, slab) = _xcorr_core(
         capbuf, templates, start_idx, ds_comb_arm, keep_xc, lean, *bands)

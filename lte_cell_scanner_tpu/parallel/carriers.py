@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cell import Cell
-from ..constants import FS_LTE, HALF_FRAME_LEN, PSS_TD_LEN
+from ..constants import HALF_FRAME_LEN, PSS_TD_LEN
 from ..models.decode import decode_back_half_batch_multi
 from ..models.search import (SearchConfig, _decode_back_half, compute_z_th1,
                              refine_peaks)
@@ -341,8 +341,18 @@ def _plan_scan_bands(tmpl, starts, capbufs, cfg,
     smid = np.asarray(starts[mid])
     use_int8 = all(is_adc_grid(c) for c in capbufs) \
         if force_int8 is None else force_int8
-    if force_v4 is None or force_v4 is True:
+    if force_v4 is None:
         kv = v4_band_kv(starts)
+    elif force_v4 is True:
+        # FORCED v4 (bench A/Bs): gate only on the mid table's window
+        # and raise loudly when even the wide window cannot represent
+        # it -- silently measuring the v2 fallback would invalidate
+        # the comparison
+        from ..ops.corr_pallas import v4_kv_for
+        kv = v4_kv_for(smid)
+        if kv is None:
+            raise ValueError("force_v4: fold deviations exceed even "
+                             "the wide v4 window")
     elif force_v4 is False:
         kv = 0
     else:
@@ -439,29 +449,32 @@ def scan_band(captures: Sequence[Tuple[np.ndarray, float, float]],
 
     if device_peaks:
         from ..models.peaks import cells_from_peak_records
-        from ..ops.dsp import chi2cdf_inv
-        r_th1 = chi2cdf_inv(1 - 10.0 ** (-cfg.thresh1_n_nines),
-                            2 * n_comb_xc * (2 * cfg.ds_comb_arm + 1))
-        rx_cutoff = (6 * 12 * 15e3 / 2 + 4 * 15e3) / (FS_LTE / 16 / 2)
-        z_scale = np.float64(
-            r_th1 / rx_cutoff / 137 / 2 / n_comb_xc
-            / (2 * cfg.ds_comb_arm + 1))
+        # the chi-squared threshold scale: exactly compute_z_th1 with
+        # a unit sp_incoherent (ONE definition of the constant)
+        z_scale = np.float64(compute_z_th1(
+            np.float64(1.0), n_comb_xc, cfg.ds_comb_arm,
+            cfg.thresh1_n_nines))
+        from ..models.peaks import PEAK_CAP
         vec = np.asarray(_front_peaks_batch(
             cap if cap_dev is None else cap_dev, tmpl, starts,
             cfg.ds_comb_arm, z_scale, *bands))
         recs = vec[:, :-1].reshape(vec.shape[0], -1, 4)
         ns = np.rint(vec[:, -1]).astype(np.int64)
-        all_peaks: List[Cell] = []
-        carrier_of: List[int] = []
-        for i in range(c_real):
-            cells_i = cells_from_peak_records(
-                recs[i], int(ns[i]), f_search_set, fc_list[i],
-                fcp_list[i])
-            all_peaks.extend(cells_i)
-            carrier_of.extend([i] * len(cells_i))
-        return _refine_from_peaks(all_peaks, carrier_of, capbufs,
-                                  fc_list, fcp_list, fs_programmed, cfg,
-                                  cap_dev)
+        if int(ns[:c_real].max(initial=0)) < PEAK_CAP:
+            all_peaks: List[Cell] = []
+            carrier_of: List[int] = []
+            for i in range(c_real):
+                cells_i = cells_from_peak_records(
+                    recs[i], int(ns[i]), f_search_set, fc_list[i],
+                    fcp_list[i])
+                all_peaks.extend(cells_i)
+                carrier_of.extend([i] * len(cells_i))
+            return _refine_from_peaks(all_peaks, carrier_of, capbufs,
+                                      fc_list, fcp_list, fs_programmed,
+                                      cfg, cap_dev)
+        # a carrier SATURATED the record buffer: fall through to the
+        # unbounded host peak search for this chunk (rare; correctness
+        # over the transfer saving)
 
     slabs, pow_c, frq_c, sp_inc = _front_sharded(
         mesh, cap if cap_dev is None else cap_dev, tmpl, starts,

@@ -1029,3 +1029,11 @@ class TrackedCellProcessor:
         self._emitted_base = base + n_ready
         self._phase_c(n_ready, slots, symsn,
                       lambda i: self._spec_map.pop(base + i))
+        # _phase_c can return mid-batch (a failed MIB decode at the
+        # 16-PDU boundary); entries whose absolute index is already
+        # below the advanced emit counter will never be requested --
+        # prune them so repeated decode failures cannot leak rows
+        if self._spec_map:
+            for key in [key for key in self._spec_map
+                        if key < self._emitted_base]:
+                del self._spec_map[key]

@@ -199,7 +199,24 @@ class TrackerRunner:
             chunk = fifo.pop_upto(cap) if fifo is not None else None
             work.append((tc, fifo, chunk))
         active = [(tc, ch) for tc, _, ch in work if ch is not None]
-        if self.parallel_cells > 1 and len(active) > 1:
+        if active and self._use_device_loop():
+            # device-loop mode: demod + CRS extraction on device, the
+            # processors' host f64 control loops run on the downloaded
+            # raw-CE rows (tracker/device_loop.py; one dispatch/tick).
+            # This branch must come FIRST: a processor's device-loop
+            # counters (_sym_base/_emitted_base, sparse special map)
+            # and the dense process() path are mutually exclusive --
+            # mixing them across ticks (e.g. via the parallel_cells
+            # pool on single-cell ticks) would desynchronize the
+            # label arithmetic.  The device loop already batches all
+            # cells into one dispatch, which is what parallel_cells
+            # approximates on CPU hosts.
+            from .device_loop import batched_tick_extract
+            batch = [(self.processors[tc.n_id_cell], ch)
+                     for tc, ch in active]
+            batched_tick_extract(batch, self.state, raw_block=samples,
+                                 block_seq=self.producer.block_seq)
+        elif self.parallel_cells > 1 and len(active) > 1:
             from .batched import batched_get_fd
 
             def _cell_job(tc, chunk):
@@ -218,15 +235,6 @@ class TrackerRunner:
             futs = [pool.submit(_cell_job, tc, ch) for tc, ch in active]
             for f in futs:
                 f.result()
-        elif active and self._use_device_loop():
-            # device-loop mode: demod + CRS extraction on device, the
-            # processors' host f64 control loops run on the downloaded
-            # raw-CE rows (tracker/device_loop.py; one dispatch/tick)
-            from .device_loop import batched_tick_extract
-            batch = [(self.processors[tc.n_id_cell], ch)
-                     for tc, ch in active]
-            batched_tick_extract(batch, self.state, raw_block=samples,
-                                 block_seq=self.producer.block_seq)
         else:
             fd_map = {}
             if self.device_fd and active:

@@ -957,3 +957,27 @@ def test_device_loop_four_port_and_extended_cp():
         proc = runner.processors[tc.n_id_cell]
         assert proc.mib_fifo_synchronized
         assert tc.health_pct() > 99.0, (cp, tc.health_pct())
+
+
+def test_device_loop_takes_priority_over_parallel_cells():
+    """device_loop and the parallel_cells pool must not interleave: a
+    processor's device-loop counters and the dense process() path are
+    mutually exclusive (single-cell ticks falling to a different branch
+    would desynchronize the sparse label arithmetic).  With both
+    requested, the device loop wins and tracking stays healthy."""
+    rng = np.random.default_rng(22)
+    a = create_dl_sig(CpType.NORMAL, 400, 0, 92, 1, 0.4, rng=rng,
+                      n_ports=2, sfn=4)
+    b = create_dl_sig(CpType.NORMAL, 400, 7, 90, 1, 0.4, rng=rng,
+                      n_ports=2, sfn=8)
+    sig = awgn(apply_freq_offset(a + 0.7 * b, 200.0), 12.0, rng=rng)
+
+    runner = TrackerRunner(FC, FC, FS, device_loop=True, parallel_cells=2)
+    for i in range(0, len(sig), 10000):
+        runner.process_block(sig[i: i + 10000])
+    runner.close()
+
+    got = {tc.n_id_cell: tc for tc in runner.cells}
+    assert set(got) == {277, 271}
+    for tc in got.values():
+        assert tc.health_pct() > 99.0
