@@ -176,6 +176,37 @@ def interpft(x, n_y: int):
     return y
 
 
+def interpft_host(x: np.ndarray, n_y: int) -> np.ndarray:
+    """interpft on HOST numpy (identical matlab semantics).
+
+    The simulation channel models resample arbitrary-length chunks;
+    on TPU a non-power-of-two jnp.fft lowers to a DENSE O(N^2) DFT
+    matmul (a 262k-sample chunk would allocate a 275 GB matrix), so
+    source-model resampling runs on the host where pocketfft handles
+    any length."""
+    x = np.asarray(x)
+    n_x = x.shape[-1]
+    if n_y <= 0:
+        raise ValueError("n_y must be positive")
+    n_up = int(np.ceil(n_y / n_x)) * n_x
+    X = np.fft.fft(x, axis=-1)
+    nyqst = (n_x + 1) // 2
+    head = X[..., :nyqst]
+    tail = X[..., nyqst:]
+    pad = np.zeros(x.shape[:-1] + (n_up - n_x,), dtype=X.dtype)
+    if n_x % 2 == 0:
+        nyq = X[..., nyqst: nyqst + 1] / 2.0
+        Xup = np.concatenate(
+            [head[..., :nyqst], nyq, pad[..., :-1], nyq,
+             tail[..., 1:]], axis=-1)
+    else:
+        Xup = np.concatenate([head, pad, tail], axis=-1)
+    y = np.fft.ifft(Xup, axis=-1) * (n_up / n_x)
+    if n_up != n_y and n_up % n_y == 0:
+        return y[..., :: n_up // n_y]
+    return y[..., :n_y]
+
+
 # ---------------------------------------------------------------------------
 # Chi-squared distribution (reference dsp.h:188-201 via boost gamma)
 # ---------------------------------------------------------------------------

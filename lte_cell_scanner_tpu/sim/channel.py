@@ -112,10 +112,12 @@ def apply_clock_offset(sig: np.ndarray, k_factor: float,
 def apply_clock_offset_positions(sig: np.ndarray, pos: np.ndarray,
                                  up: int) -> np.ndarray:
     """Evaluate sig at fractional positions via interpft + linear interp."""
-    from ..ops.dsp import interpft
+    from ..ops.dsp import interpft_host
 
     n = len(sig)
-    fine = np.asarray(interpft(sig, n * up))
+    # host-numpy interpft: chunk lengths are arbitrary, and on TPU a
+    # non-power-of-two jnp.fft would lower to a dense O(N^2) DFT
+    fine = interpft_host(sig, n * up)
     # clamp positions BEFORE splitting into (index, frac) so tail samples
     # hold the last fine value instead of blending a mismatched pair
     posu = np.clip(pos * up, 0.0, n * up - 1.0)

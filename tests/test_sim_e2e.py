@@ -162,3 +162,30 @@ def test_full_chain_through_multipath_channel():
         assert c.n_rb_dl == 6, interp
         assert c.n_ports == 2, interp
         assert c.sfn in (40, 41), interp
+
+
+def test_long_capture_coupled_offset_detects():
+    """160 ms capture through the coupled-crystal channel at ~81 ppm
+    (60 kHz at 739 MHz): the k_factor fold must stay aligned over 31
+    half-frame periods and decode the cell.  (An UNcoupled 60 kHz
+    offset legitimately fails at this length -- the fold de-strides by
+    ~23 samples assuming the clock moved with the carrier, exactly the
+    reference's physical model, searcher.cpp:18-43.)  Also pins the
+    sim resampler's host-numpy interpft: chunked non-power-of-two FFTs
+    must never reach an accelerator backend, where they would lower to
+    a dense O(N^2) DFT."""
+    from lte_cell_scanner_tpu.models.search import SearchConfig, cell_search
+    from lte_cell_scanner_tpu.sim import apply_coupled_offset
+
+    fs = FS_LTE / 16
+    fc = 739e6
+    rng = np.random.default_rng(5)
+    sig = np.asarray(create_dl_sig(CpType.NORMAL, 170, 0, 92, 1, 0.4,
+                                   rng=rng, n_ports=2, sfn=8))
+    sig = apply_coupled_offset(sig, 60e3, fc, fs)[: 2 * 153600]
+    sig = awgn(sig, 10.0, rng=rng).astype(np.complex64)
+    f_set = np.arange(50e3, 70e3 + 1, 5e3)
+    cells = cell_search(sig, f_set, fc, fc, fs, SearchConfig())
+    got = {c.n_id_cell(): c for c in cells}
+    assert 277 in got and got[277].n_rb_dl == 6
+    assert abs(got[277].freq_fine - 60e3) < 50.0
