@@ -73,7 +73,13 @@ def full_chain():
     peak search, the fused SSS+FOE dispatch, and the fused decode
     through MIB -- the reference's 6 s/carrier baseline is this full
     chain, src/CellSearch.cpp:471-570).  Wall clock includes the host
-    peak search and every transfer: the honest deployment rate."""
+    peak search and every transfer: the honest deployment rate.
+
+    cells_per_carrier < 2.0 on some roll sets is the roll SEAM, not a
+    decode defect: a cyclic roll puts one discontinuity in the 80 ms
+    capture, and a cell whose only complete 40 ms PBCH period straddles
+    it legitimately fails MIB for that roll (real contiguous captures
+    have no seam)."""
     from lte_cell_scanner_tpu.models.search import SearchConfig
     from lte_cell_scanner_tpu.parallel.carriers import (make_carrier_mesh,
                                                         scan_band)
