@@ -125,7 +125,8 @@ def peak_search_device_impl(pow_c, frq_c, slab, z_th1, ds_comb_arm: int,
     import jax
     import jax.numpy as jnp
 
-    lags = jnp.arange(HALF := 9600)
+    HALF = 9600
+    lags = jnp.arange(HALF)
     rdt = pow_c.dtype
 
     def body(state):
