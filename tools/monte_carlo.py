@@ -133,13 +133,14 @@ def run_trial(rng: np.random.Generator, snr_db: float, fading: bool,
 def run_config(trials: int, snr_db: float, fading: bool, seed: int,
                verbose: bool = False, decode: bool = False,
                coupled: bool = False, corr_backend: str = "auto",
-               adc_grid: bool = False) -> dict:
+               adc_grid: bool = False, n_subframes: int = 80) -> dict:
     rng = np.random.default_rng(seed)
     counts = {"success": 0, "thresh1_fail": 0, "thresh2_fail": 0,
               "false_alarm": 0}
     terrs, ferrs = [], []
     for t in range(trials):
-        r = run_trial(rng, snr_db, fading, decode=decode, coupled=coupled,
+        r = run_trial(rng, snr_db, fading, n_subframes=n_subframes,
+                      decode=decode, coupled=coupled,
                       corr_backend=corr_backend, adc_grid=adc_grid)
         counts[r.outcome] += 1
         if r.outcome == "success":
@@ -154,7 +155,7 @@ def run_config(trials: int, snr_db: float, fading: bool, seed: int,
                   file=sys.stderr)
     out = {"snr_db": snr_db, "fading": fading, "coupled": coupled,
            "corr_backend": corr_backend, "adc_grid": adc_grid,
-           "trials": trials,
+           "capture_ms": n_subframes, "trials": trials,
            **{k: v / trials for k, v in counts.items()}}
     if terrs:
         out["timing_rmse"] = float(np.sqrt(np.mean(np.square(terrs))))
@@ -290,6 +291,12 @@ def main(argv=None) -> int:
     ap.add_argument("--adc-grid", action="store_true",
                     help="quantize each trial's signal onto the dongle's "
                          "8-bit (x-127)/128 ADC grid before detection")
+    ap.add_argument("--capture-ms", type=int, default=80,
+                    help="capture length per trial (the long-capture "
+                         "sensitivity lever: 160 ms doubles the "
+                         "incoherent integration, measured ~+1.5-2 dB "
+                         "of detection SNR -- the grids the WIDE v4 "
+                         "kernel serves; SENSITIVITY.md round 5)")
     ap.add_argument("--noise-only", action="store_true",
                     help="false-alarm tail calibration: noise-only "
                          "captures, empirical exceedance of the "
@@ -320,7 +327,7 @@ def main(argv=None) -> int:
         print(json.dumps(run_config(args.trials, float(snr), args.fading,
                                     args.seed, args.verbose, args.decode,
                                     args.coupled, args.corr_backend,
-                                    args.adc_grid)))
+                                    args.adc_grid, args.capture_ms)))
     return 0
 
 
